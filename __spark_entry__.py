@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (revenue-by-country top-10, the
+report_customer_invoices.sql analogue) at sf0.001. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline extensions; the driver hash-compares each against
+DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_4_online_retail_spark.plans import registry as _registry
+
+# Importing these modules populates the registry.
+from data_pipeline_4_online_retail_spark.plans import star as _star  # noqa: E402
+from data_pipeline_4_online_retail_spark.plans.registry import REGISTRY, Query  # noqa: E402
+
+for _name, (_fn, _sql) in _star.STAR_QUERIES.items():
+    REGISTRY.setdefault(_name, Query(name=_name, build=_fn, oracle=_sql))
+
+# Operator micro-queries + extensions (each module self-registers).
+import data_pipeline_4_online_retail_spark.operators.relational  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.dedup  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.similarity  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.text_analysis  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.events_windows  # noqa: E402,F401
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    fn = REGISTRY["star_report_customer"].build
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()

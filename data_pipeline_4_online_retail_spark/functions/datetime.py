@@ -1,0 +1,48 @@
+"""Datetime parsing/formatting matching the reference's conventions.
+
+The reference round-trips InvoiceDate through the BigQuery strptime pattern
+``%m/%d/%Y %I:%M %p`` (written by pandas at dags/online_retail.py:48, parsed
+back by dim_datetime.sql:5). The Java-time equivalent is
+``MM/dd/yyyy hh:mm a`` — including the 12-hour-clock 12 AM/PM edge cases.
+
+Parsing is null-coercing (non-ANSI ``to_timestamp``), mirroring
+``pd.to_datetime(errors='coerce')`` (dags/online_retail.py:38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BigQuery %m/%d/%Y %I:%M %p  ==  Java MM/dd/yyyy hh:mm a
+INVOICE_DATE_FMT = "MM/dd/yyyy hh:mm a"
+
+
+def parse_invoice_datetime(col: str | Column) -> Column:
+    """String → timestamp; unparseable values become NULL (non-ANSI)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_timestamp(c, INVOICE_DATE_FMT)
+
+
+def format_invoice_datetime(col: str | Column) -> Column:
+    """Timestamp → the reference's canonical string form
+    (e.g. ``12/01/2010 08:26 AM``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, INVOICE_DATE_FMT)
+
+
+def datetime_parts(col: str | Column) -> dict[str, Column]:
+    """The EXTRACT(...) family used by dim_datetime.sql:13-18.
+
+    ``weekday`` follows the BigQuery DAYOFWEEK convention 1=Sunday..7=Saturday,
+    which is also Spark's ``dayofweek`` — a direct match (SURVEY.md §2.9 F5).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "year": F.year(c),
+        "month": F.month(c),
+        "day": F.dayofmonth(c),
+        "hour": F.hour(c),
+        "minute": F.minute(c),
+        "weekday": F.dayofweek(c),
+    }

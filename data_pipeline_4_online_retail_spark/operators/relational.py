@@ -1,0 +1,609 @@
+"""SURVEY.md §2 relational operator inventory as oracle-checked micro-queries.
+
+Each query isolates one operator family over the driver's TPC-H-ish tables
+and registers both the Spark builder and the DuckDB oracle. Reference
+citations point at the construct being replicated.
+
+Design-for-scale notes appear per operator; the general rules:
+- filters/projections go first so Catalyst pushes them into the parquet scan,
+- tiny relations are broadcast, large joins left to AQE sort-merge,
+- all expressions are built-ins → whole-stage codegen end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.functions.keys import (
+    surrogate_key,
+    surrogate_key_sql,
+)
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir).table(name)
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / derived columns (P1-P6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_project_alias",
+    "SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment FROM customer",
+    doc="P1: column select + alias (dim_customer.sql:4-5)",
+)
+def op_project_alias(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "op_filter_predicates",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_shipdate IS NOT NULL
+    """,
+    doc="P3/P4: IS NOT NULL + numeric comparison filters "
+    "(dim_customer.sql:7, dim_product.sql:8, fct_invoice_line_value.sql:9); "
+    "predicates push into the parquet scan",
+)
+def op_filter_predicates(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 25)
+        & F.col("l_discount").between(0.02, 0.06)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "op_derived_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    """,
+    doc="P5/F8: derived arithmetic columns (fct_invoice_line_value.sql:7). "
+    "Raw doubles: per-row IEEE arithmetic on identical inputs is "
+    "bit-identical across engines; round() is not (tie-break differs).",
+)
+def op_derived_arithmetic(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (F.lit(1.0) + F.col("l_tax"))).alias("charged"),
+    )
+
+
+@register(
+    "op_conditional_case",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'standard'
+                ELSE 'small' END AS size_class
+    FROM lineitem
+    """,
+    doc="P6 family: conditional expression (CASE/when)",
+)
+def op_conditional_case(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "standard")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Surrogate keys (§2.4) — incl. the NULL-sentinel path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_surrogate_key",
+    f"""
+    SELECT {surrogate_key_sql('p_partkey', 'p_brand')} AS product_key,
+           md5(concat_ws('-',
+               coalesce(cast(p_partkey as varchar), '_dbt_utils_surrogate_key_null_'),
+               coalesce(cast(NULL as varchar), '_dbt_utils_surrogate_key_null_')))
+             AS key_with_null,
+           p_partkey
+    FROM part
+    """,
+    doc="§2.4: dbt_utils.generate_surrogate_key semantics incl. NULL "
+    "sentinel (dim_product.sql:2; NULL Description participates via "
+    "sentinel). Pure built-ins → codegen-friendly at 100 TB.",
+)
+def op_surrogate_key(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        surrogate_key("p_partkey", "p_brand").alias("product_key"),
+        surrogate_key(F.col("p_partkey"), F.lit(None).cast("string")).alias(
+            "key_with_null"
+        ),
+        "p_partkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / dedup (D1-D3) + windows (W1/W2 + extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_distinct_projection",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    doc="D1: SELECT DISTINCT after projection (dim_customer.sql:2). "
+    "Planned as hash-aggregate on the projected cols only.",
+)
+def op_distinct_projection(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "op_window_group_max",
+    """
+    SELECT l_orderkey, l_linenumber,
+           MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS canonical_shipdate
+    FROM lineitem
+    """,
+    doc="D2/W1/A6: per-group max broadcast back to rows — the pandas "
+    "groupby-transform canonicalization (dags/online_retail.py:46) as a "
+    "window aggregate (one shuffle, no self-join)",
+)
+def op_window_group_max(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.max("l_shipdate").over(w).alias("canonical_shipdate"),
+    )
+
+
+@register(
+    "op_dedup_row_number",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_shipdate,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_shipdate DESC, l_linenumber) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="D3/W2: keep-latest-row dedup via row_number "
+    "(reference README.md:361-378 appendix variant)",
+)
+def op_dedup_row_number(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_shipdate"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@register(
+    "op_window_running_sum",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,4)) AS running_revenue
+    FROM lineitem
+    """,
+    doc="window extension: explicit ROWS frame running total. DECIMAL "
+    "accumulator (exact, order-stable) over a fully-deterministic sort key "
+    "— (l_orderkey, l_linenumber) alone is NOT unique in this data.",
+)
+def op_window_running_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_shipdate", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.sum(rev.cast("decimal(18,4)")).over(w).cast("decimal(18,4)").alias(
+            "running_revenue"
+        ),
+    )
+
+
+@register(
+    "op_window_lead_lag",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           LAG(l_shipdate) OVER w AS prev_ship,
+           LEAD(l_shipdate) OVER w AS next_ship
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey)
+    """,
+    doc="window extension: lead/lag navigation over a fully-deterministic "
+    "sort key",
+)
+def op_window_lead_lag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_shipdate", "l_partkey", "l_suppkey"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.lag("l_shipdate").over(w).alias("prev_ship"),
+        F.lead("l_shipdate").over(w).alias("next_ship"),
+    )
+
+
+@register(
+    "op_window_rank",
+    """
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank
+    FROM customer
+    """,
+    doc="window extension: rank/dense_rank with deterministic tie-break",
+)
+def op_window_rank(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A7 + rollup/pivot extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_agg_group_multi",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A1/A2 family: grouped hash-agg, count/sum/avg/min/max. Catalyst "
+    "plans partial (map-side) + final aggregation automatically.",
+)
+def op_agg_group_multi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec).cast("decimal(18,2)").alias("sum_price"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "op_agg_count_distinct",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS num_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="A4: exact COUNT(DISTINCT) (report_year_invoices.sql:4). At 100 TB "
+    "prefer approx_count_distinct (HLL) — see op_agg_approx_distinct's "
+    "rows-only variant.",
+)
+def op_agg_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("num_customers")
+    )
+
+
+@register(
+    "op_agg_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="aggregation extension: ROLLUP grouping sets",
+)
+def op_agg_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "op_agg_conditional_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS f_total,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS o_total,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="aggregation extension: pivot as conditional aggregation "
+    "(single shuffle; no per-value scans)",
+)
+def op_agg_conditional_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def bucket(status, alias):
+        dec = F.col("o_totalprice").cast("decimal(18,2)")
+        return (
+            F.coalesce(F.sum(F.when(F.col("o_orderstatus") == status, dec)), F.lit(0))
+            .cast("decimal(18,2)")
+            .alias(alias)
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        bucket("F", "f_total"), bucket("O", "o_total"), bucket("P", "p_total")
+    )
+
+
+@register(
+    "op_quality_metrics",
+    """
+    SELECT COUNT(*) AS row_count,
+           COUNT(*) - COUNT(lang) AS missing_lang,
+           COUNT(*) - COUNT(DISTINCT text) AS duplicate_texts,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    """,
+    doc="A7: the Soda metric aggregates (missing_count, duplicate_count, "
+    "min/max thresholds — include/soda/checks/**) as one whole-table agg",
+)
+def op_quality_metrics(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("missing_lang"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("duplicate_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J-family beyond the star models): semi / anti / non-equi
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    doc="join family: LEFT SEMI — the explicit form of the implicit "
+    "semi-filter the reference gets from its inner joins (SURVEY §2.3 J2)",
+)
+def op_join_semi(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "op_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+    doc="join family: LEFT ANTI (customers with no orders)",
+)
+def op_join_anti(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "op_join_range",
+    """
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 930.0),
+                 ('mid', 930.0, 970.0),
+                 ('premium', 970.0, 1e9)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    doc="join family: non-equi (range) join against a broadcast literal "
+    "band table — planned as BroadcastNestedLoopJoin; the band side is "
+    "tiny by construction so this stays cheap at any scale",
+)
+def op_join_range(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8 extension surface)
+# ---------------------------------------------------------------------------
+
+_SET_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SET_B = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+
+
+@register(
+    "op_set_union",
+    f"SELECT DISTINCT c_custkey FROM ({_SET_A} UNION {_SET_B})",
+    doc="set ops: UNION (distinct)",
+)
+def op_set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "op_set_intersect",
+    f"{_SET_A} INTERSECT {_SET_B}",
+    doc="set ops: INTERSECT",
+)
+def op_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "op_set_except",
+    f"{_SET_A} EXCEPT {_SET_B}",
+    doc="set ops: EXCEPT",
+)
+def op_set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1-O3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_topk",
+    """
+    SELECT o_orderkey, o_totalprice AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+    doc="O1/O2: ORDER BY + LIMIT top-k — Spark plans TakeOrderedAndProject "
+    "(per-partition heap + driver merge, no global sort)",
+)
+def op_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", F.col("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "op_order_by_full",
+    "SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
+    doc="O3: full ordered output (order-insensitive hash makes this safe)",
+)
+def op_order_by_full(spark, sf_dir):
+    return _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: datetime round-trip (F1-F3) + JSON (extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_datetime_roundtrip",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%m/%d/%Y %I:%M %p') AS formatted,
+           strptime(strftime(o_orderdate, '%m/%d/%Y %I:%M %p'), '%m/%d/%Y %I:%M %p') AS reparsed
+    FROM orders
+    """,
+    doc="F1/F2/F3: the reference's InvoiceDate string round-trip "
+    "(dags/online_retail.py:48 writes %m/%d/%Y %I:%M %p; "
+    "dim_datetime.sql:5 parses it back) incl. 12-hour-clock edge cases",
+)
+def op_datetime_roundtrip(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    fmt = "MM/dd/yyyy hh:mm a"
+    formatted = F.date_format("o_orderdate", fmt)
+    return o.select(
+        "o_orderkey",
+        formatted.alias("formatted"),
+        F.to_timestamp(formatted, fmt).alias("reparsed"),
+    )
+
+
+@register(
+    "op_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="scalar extension: JSON extraction from events.props "
+    "(get_json_object stays JVM-side; no Python)",
+)
+def op_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )

@@ -1,0 +1,428 @@
+"""The reference's star-schema semantics over the driver's TPC-H-ish tables.
+
+Mapping (FIXTURES.md §B): invoice line → ``lineitem`` row, invoice →
+``orders``, product → ``part``, customer → ``customer``, country →
+``nation`` (ISO-lookup role played by ``region`` via a left join).
+
+Each model mirrors a reference dbt model's operator pipeline
+(include/dbt/models/transform/*.sql, report/*.sql):
+
+- dims are DISTINCT projections of the denormalized line table with
+  md5 surrogate keys (dim_customer.sql:2-7, dim_product.sql:1-8),
+- the fact joins back to dims with INNER joins whose implicit row-drop
+  side effects are part of the semantics (SURVEY.md §2.3 J2/J4/J5),
+- reports are grouped aggregates with top-k or full ordering
+  (report_*.sql).
+
+Scale design: nation/region are broadcast explicitly (tiny dims);
+customer/part-sized dims are left to AQE (sort-merge with skew splitting at
+100 TB, runtime-converted to broadcast when small). Revenue sums accumulate
+exact DECIMAL(18,4) (order-independent, engine-independent); per-row money
+arithmetic stays raw double (IEEE-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.functions.keys import (
+    surrogate_key,
+    surrogate_key_sql,
+)
+from data_pipeline_4_online_retail_spark.sources.catalog import Catalog, load_tables
+
+# ---------------------------------------------------------------------------
+# Denormalized "raw invoice lines" (the raw_invoices analogue)
+# ---------------------------------------------------------------------------
+
+
+def lines(cat: Catalog) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation — the denormalized line table
+    every dim/fact derives from, like the reference's ``raw_invoices``.
+
+    Join strategy: lineitem⋈orders and orders⋈customer are large-large at
+    scale → shuffle hash/sort-merge on the keys (AQE decides); nation is
+    tiny → explicit broadcast.
+    """
+    li = cat.table("lineitem")
+    o = cat.table("orders")
+    c = cat.table("customer")
+    n = cat.table("nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+    )
+
+
+# SQL twin of lines() for the DuckDB oracles.
+LINES_CTE = """
+lines AS (
+    SELECT l.*, o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+           c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment,
+           n.n_name, n.n_regionkey
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+)
+"""
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+# Cross-engine float discipline (see tools/oracle_check.py findings):
+# - per-row arithmetic on identical inputs is IEEE-deterministic → emit raw
+#   doubles, never round them (round() tie-breaking differs across engines
+#   for values like x.xx5),
+# - SUM(double) is partition-order-dependent → sum exact DECIMALs instead,
+# - AVG → exact decimal sum cast to double, divided by count (one double
+#   division on identical operands → bit-identical).
+SUM_REVENUE_SQL = (
+    f"CAST(SUM(CAST({REVENUE} AS DECIMAL(18,4))) AS DECIMAL(18,4))"
+)
+
+
+def revenue_col() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def sum_revenue_col() -> F.Column:
+    return F.sum(revenue_col().cast("decimal(18,4)")).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# Dimensions (mirror dim_customer / dim_product / dim_datetime / dim_invoice)
+# ---------------------------------------------------------------------------
+
+
+def dim_customer(cat: Catalog) -> DataFrame:
+    """dim_customer.sql analogue: DISTINCT (key, id, country) projection of
+    the line table + LEFT JOIN to a lookup, unmatched → NULL (J1).
+
+    The ISO-lookup role is played by ``region`` restricted to r_regionkey<3
+    so some nations exercise the null-extension path.
+    """
+    c = cat.table("customer")
+    n = cat.table("nation")
+    region = cat.table("region").filter(F.col("r_regionkey") < 3)
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select(
+            surrogate_key("c_custkey", "n_name").alias("customer_key"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("n_name").alias("country"),
+            F.col("n_regionkey"),
+        )
+        .distinct()
+    )
+    return cust.join(
+        F.broadcast(region), cust.n_regionkey == region.r_regionkey, "left"
+    ).select("customer_key", "customer_id", "country", F.col("r_name").alias("region"))
+
+
+DIM_CUSTOMER_SQL = f"""
+WITH cust AS (
+    SELECT DISTINCT
+        {surrogate_key_sql('c_custkey', 'n_name')} AS customer_key,
+        c_custkey AS customer_id,
+        n_name AS country,
+        n_regionkey
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT customer_key, customer_id, country, r.r_name AS region
+FROM cust
+LEFT JOIN (SELECT * FROM region WHERE r_regionkey < 3) r
+       ON cust.n_regionkey = r.r_regionkey
+"""
+
+
+def dim_product(cat: Catalog) -> DataFrame:
+    """dim_product.sql analogue: DISTINCT projection + not-null/positive
+    filters (P3/P4) + 3-column surrogate key (§2.4)."""
+    p = cat.table("part")
+    return (
+        p.filter(F.col("p_partkey").isNotNull() & (F.col("p_retailprice") > 0))
+        .select(
+            surrogate_key("p_partkey", "p_brand", "p_type").alias("product_key"),
+            F.col("p_partkey").alias("stock_code"),
+            F.col("p_name").alias("description"),
+            F.col("p_retailprice").alias("price"),
+        )
+        .distinct()
+    )
+
+
+DIM_PRODUCT_SQL = f"""
+SELECT DISTINCT
+    {surrogate_key_sql('p_partkey', 'p_brand', 'p_type')} AS product_key,
+    p_partkey AS stock_code,
+    p_name AS description,
+    p_retailprice AS price
+FROM part
+WHERE p_partkey IS NOT NULL AND p_retailprice > 0
+"""
+
+
+def dim_datetime(cat: Catalog) -> DataFrame:
+    """dim_datetime.sql analogue: DISTINCT date key + EXTRACT family
+    (F4/F5). ``weekday`` keeps the BigQuery/Spark 1=Sunday..7=Saturday
+    convention."""
+    o = cat.table("orders")
+    ds = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            surrogate_key(ds).alias("date_key"),
+            ds.alias("datetime_id"),
+            F.col("o_orderdate").alias("datetime"),
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            F.dayofmonth("o_orderdate").alias("day"),
+            F.hour("o_orderdate").alias("hour"),
+            F.minute("o_orderdate").alias("minute"),
+            F.dayofweek("o_orderdate").alias("weekday"),
+        )
+        .distinct()
+    )
+
+
+_DS_SQL = "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"
+DIM_DATETIME_SQL = f"""
+SELECT DISTINCT
+    md5(concat_ws('-', coalesce({_DS_SQL}, '_dbt_utils_surrogate_key_null_'))) AS date_key,
+    {_DS_SQL} AS datetime_id,
+    o_orderdate AS datetime,
+    CAST(year(o_orderdate) AS INT) AS year,
+    CAST(month(o_orderdate) AS INT) AS month,
+    CAST(day(o_orderdate) AS INT) AS day,
+    CAST(hour(o_orderdate) AS INT) AS hour,
+    CAST(minute(o_orderdate) AS INT) AS minute,
+    CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday
+FROM orders
+WHERE o_orderdate IS NOT NULL
+"""
+
+
+def dim_invoice(cat: Catalog) -> DataFrame:
+    """dim_invoice.sql analogue: DISTINCT invoice projection INNER-joined to
+    dim_customer — the join is an implicit semi-filter (J2): orders whose
+    customer fell out of dim_customer are silently dropped."""
+    o = cat.table("orders")
+    c = cat.table("customer")
+    n = cat.table("nation")
+    inv = (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select(
+            surrogate_key("o_orderkey").alias("invoice_key"),
+            F.col("o_orderkey").alias("invoiceno"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("invoicedate"),
+            surrogate_key("o_custkey", "n_name").alias("customer_key_raw"),
+        )
+        .distinct()
+    )
+    dc = dim_customer(cat).select("customer_key")
+    return inv.join(dc, inv.customer_key_raw == dc.customer_key, "inner").select(
+        "invoice_key", "invoiceno", "invoicedate", "customer_key"
+    )
+
+
+DIM_INVOICE_SQL = f"""
+WITH inv AS (
+    SELECT DISTINCT
+        {surrogate_key_sql('o_orderkey')} AS invoice_key,
+        o_orderkey AS invoiceno,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS invoicedate,
+        {surrogate_key_sql('o_custkey', 'n_name')} AS customer_key_raw
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+),
+dc AS (
+    SELECT DISTINCT {surrogate_key_sql('c_custkey', 'n_name')} AS customer_key
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT invoice_key, invoiceno, invoicedate, dc.customer_key
+FROM inv INNER JOIN dc ON inv.customer_key_raw = dc.customer_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fact (mirrors fct_invoice_line_value.sql)
+# ---------------------------------------------------------------------------
+
+
+def fct_invoice_line_value(cat: Catalog) -> DataFrame:
+    """fct_invoice_line_value.sql analogue: keyed fact CTE filtered to
+    quantity > 0, INNER-joined to all three dims (J3/J4/J5 — the joins'
+    implicit drops are part of the contract)."""
+    li = cat.table("lineitem")
+    o = cat.table("orders")
+    p = cat.table("part")
+    fct = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(p, li.l_partkey == p.p_partkey, "inner")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            surrogate_key("o_orderkey").alias("invoice_key"),
+            surrogate_key(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            ).alias("date_key"),
+            surrogate_key("p_partkey", "p_brand", "p_type").alias("product_key"),
+            F.col("l_quantity").alias("quantity"),
+            revenue_col().alias("total_price"),
+        )
+    )
+    dt = dim_datetime(cat).select("date_key")
+    dp = dim_product(cat).select("product_key")
+    di = dim_invoice(cat).select("invoice_key")
+    return (
+        fct.join(dt, "date_key", "inner")
+        .join(dp, "product_key", "inner")
+        .join(di, "invoice_key", "inner")
+        .select("invoice_key", "date_key", "product_key", "quantity", "total_price")
+    )
+
+
+FCT_SQL = f"""
+WITH fct AS (
+    SELECT
+        {surrogate_key_sql('o_orderkey')} AS invoice_key,
+        md5(concat_ws('-', coalesce({_DS_SQL}, '_dbt_utils_surrogate_key_null_'))) AS date_key,
+        {surrogate_key_sql('p_partkey', 'p_brand', 'p_type')} AS product_key,
+        l_quantity AS quantity,
+        {REVENUE} AS total_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey = p_partkey
+    WHERE l_quantity > 0
+),
+dt AS ({DIM_DATETIME_SQL}),
+dp AS ({DIM_PRODUCT_SQL}),
+di AS ({DIM_INVOICE_SQL})
+SELECT fct.invoice_key, fct.date_key, fct.product_key, quantity, total_price
+FROM fct
+JOIN dt ON fct.date_key = dt.date_key
+JOIN dp ON fct.product_key = dp.product_key
+JOIN di ON fct.invoice_key = di.invoice_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reports (mirror report_customer/product/year_invoices.sql)
+# ---------------------------------------------------------------------------
+
+
+def report_customer(cat: Catalog) -> DataFrame:
+    """report_customer_invoices.sql analogue — the flagship query.
+
+    COUNT counts invoice LINES (not distinct invoices), replicating the
+    reference's naming quirk (SURVEY.md §2.6 A1). Top-10 with a
+    deterministic country tie-break.
+    """
+    df = lines(cat)
+    return (
+        df.groupBy(F.col("n_name").alias("country"))
+        .agg(
+            F.count("l_orderkey").alias("total_invoices"),
+            sum_revenue_col().alias("total_revenue"),
+        )
+        .orderBy(F.desc("total_revenue"), F.asc("country"))
+        .limit(10)
+    )
+
+
+REPORT_CUSTOMER_SQL = f"""
+WITH {LINES_CTE.strip()}
+SELECT n_name AS country,
+       COUNT(l_orderkey) AS total_invoices,
+       {SUM_REVENUE_SQL} AS total_revenue
+FROM lines
+GROUP BY n_name
+ORDER BY total_revenue DESC, country ASC
+LIMIT 10
+"""
+
+
+def report_product(cat: Catalog) -> DataFrame:
+    """report_product_invoices.sql analogue: top-10 products by quantity."""
+    li = cat.table("lineitem")
+    p = cat.table("part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "inner")
+        .groupBy(
+            surrogate_key("p_partkey", "p_brand", "p_type").alias("product_key"),
+            F.col("p_partkey").alias("stock_code"),
+            F.col("p_name").alias("description"),
+        )
+        .agg(F.sum("l_quantity").alias("total_quantity_sold"))
+        .orderBy(F.desc("total_quantity_sold"), F.asc("stock_code"))
+        .limit(10)
+    )
+
+
+REPORT_PRODUCT_SQL = f"""
+SELECT {surrogate_key_sql('p_partkey', 'p_brand', 'p_type')} AS product_key,
+       p_partkey AS stock_code,
+       p_name AS description,
+       SUM(l_quantity) AS total_quantity_sold
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2, 3
+ORDER BY total_quantity_sold DESC, stock_code ASC
+LIMIT 10
+"""
+
+
+def report_year(cat: Catalog) -> DataFrame:
+    """report_year_invoices.sql analogue: per (year, month) distinct-invoice
+    count (A4 COUNT(DISTINCT)) + revenue, fully ordered (O3)."""
+    li = cat.table("lineitem")
+    o = cat.table("orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy(
+            F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("num_invoices"),
+            sum_revenue_col().alias("total_revenue"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+REPORT_YEAR_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+       CAST(month(o_orderdate) AS INT) AS month,
+       COUNT(DISTINCT o_orderkey) AS num_invoices,
+       {SUM_REVENUE_SQL} AS total_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY year, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registration helpers
+# ---------------------------------------------------------------------------
+
+
+def _with_catalog(model):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return model(load_tables(spark, sf_dir))
+
+    return run
+
+
+STAR_QUERIES = {
+    "star_dim_customer": (_with_catalog(dim_customer), DIM_CUSTOMER_SQL),
+    "star_dim_product": (_with_catalog(dim_product), DIM_PRODUCT_SQL),
+    "star_dim_datetime": (_with_catalog(dim_datetime), DIM_DATETIME_SQL),
+    "star_dim_invoice": (_with_catalog(dim_invoice), DIM_INVOICE_SQL),
+    "star_fct_invoice_line_value": (_with_catalog(fct_invoice_line_value), FCT_SQL),
+    "star_report_customer": (_with_catalog(report_customer), REPORT_CUSTOMER_SQL),
+    "star_report_product": (_with_catalog(report_product), REPORT_PRODUCT_SQL),
+    "star_report_year": (_with_catalog(report_year), REPORT_YEAR_SQL),
+}

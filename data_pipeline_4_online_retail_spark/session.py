@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Semantics pinned to match the reference stack (BigQuery SQL + pandas):
+
+- **UTC session timezone** — BigQuery ``DATETIME`` is timezone-less; running
+  Spark with UTC makes ``TimestampType`` behave like a wall-clock datetime
+  and keeps DuckDB-oracle comparisons stable.
+- **ANSI mode off** — BigQuery's ``PARSE_DATETIME`` failures were coerced to
+  NULL upstream by ``pd.to_datetime(errors='coerce')`` (reference
+  dags/online_retail.py:38); Spark non-ANSI ``to_timestamp`` has exactly the
+  null-coerce behavior.
+- **AQE on** — runtime re-planning (skew-join splitting, partition
+  coalescing) is the 100 TB safety net; free at small SF.
+
+Scale knobs are environment-variable driven so the same code runs on
+``local[32]`` in tests and on a 1000-executor cluster unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Default parallelism knobs. On a real cluster these are overridden by
+# spark-submit conf; locally they keep shuffle partition counts sane for
+# the test scale factors.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "data-pipeline-4-online-retail-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters are overridable for tests; production deployments pass
+    everything through ``spark-submit --conf`` instead and the builder's
+    ``getOrCreate`` picks up the externally-configured session.
+    """
+    cpus = int(_DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # -- semantics pins ------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # -- adaptive execution: coalesce post-shuffle partitions, split
+        #    skewed ones, convert to broadcast when runtime stats allow ----
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle sizing: small for local test SFs; clusters override ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        # -- Arrow for the (rare) pandas_udf paths -------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- keep parquet scans prunable ------------------------------------
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # quiet progress bars in test logs
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

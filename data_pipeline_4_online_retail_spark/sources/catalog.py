@@ -1,0 +1,70 @@
+"""Named-source registry — the dbt ``source()`` / ``ref()`` equivalent
+(SURVEY.md §2.1 S12/S13).
+
+A ``Catalog`` maps logical table names to DataFrames and registers each as a
+temp view so both the DataFrame API and ``spark.sql`` resolve them. Models
+(plans/) take a Catalog and return DataFrames; materializing a model back
+into the catalog is the ``ref()`` edge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_4_online_retail_spark.sources.schemas import TESTDATA_TABLES
+
+# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet reader
+# rejects; we read nanos as long (runtime conf) and convert to microsecond
+# timestamps, matching DuckDB's ns→µs truncation.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Registry of named DataFrames (temp views)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame) -> DataFrame:
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name]
+        return self.spark.table(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
+    """Load every driver test table from ``sf_dir`` into a Catalog."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf removed in a future Spark
+        pass
+    cat = Catalog(spark)
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for col in _NANOS_TS_COLS.get(name, ()):
+            if isinstance(df.schema[col].dataType, T.LongType):
+                df = df.withColumn(
+                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                )
+        cat.register(name, df)
+    return cat

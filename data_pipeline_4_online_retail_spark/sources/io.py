@@ -1,0 +1,77 @@
+"""Readers and sinks (SURVEY.md §2.1 S2/S3/S5/S11).
+
+Readers take explicit schemas; the sink is the reference's full-rebuild
+``materialized: table`` semantics (WRITE_TRUNCATE / CREATE OR REPLACE →
+``mode("overwrite")``).
+
+Scale notes:
+- parquet reads are vectorized + filter-pushdown/column-pruned by Catalyst;
+  callers should select/filter *before* any wide transform so pruning
+  reaches the scan,
+- ``write_table`` supports partition columns and bucketing so downstream
+  co-located joins skip the shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    encoding: str = "ISO-8859-1",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with an explicit schema.
+
+    Defaults to latin-1 to match the reference's loader
+    (dags/online_retail.py:36, :92 — the Online Retail CSV is iso-8859-1).
+    """
+    return (
+        spark.read.option("header", header)
+        .option("encoding", encoding)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (schema comes from parquet footers; declared schemas are
+    asserted post-read by quality checks rather than forced at scan)."""
+    return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    *,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Full-rebuild table sink — the reference's ``materialized: table`` /
+    ``WRITE_TRUNCATE`` semantics (dbt_project.yml:5-7,
+    dags/online_retail.py:90).
+
+    ``partition_by`` enables partition pruning for downstream reads;
+    ``bucket_by=(n, cols)`` pre-shuffles on join keys once so repeated
+    large-large joins on those keys become shuffle-free.
+    """
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    writer.saveAsTable(name)
+
+
+def write_csv(df: DataFrame, path: str, *, header: bool = True, single_file: bool = False) -> None:
+    """CSV sink (reference dags/online_retail.py:50). ``single_file``
+    coalesces to one partition — only for small exports."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", header).csv(path)
