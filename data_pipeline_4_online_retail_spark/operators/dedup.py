@@ -1,1 +1,380 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+The training-data-pipeline tier (BASELINE.json north star): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash, and embedding-cosine
+near-dup. All hot paths are built-in column expressions (codegen); nothing
+collects to the driver.
+
+Scale design:
+- exact dedup groups by md5(text) so the shuffle carries a 32-byte digest,
+  not document bodies;
+- the pairwise Jaccard join explodes shingles — correct but O(pairs); at
+  100 TB use ``dedup_minhash_lsh``: signatures are fixed-width, the LSH
+  band join only shuffles (band_idx, band_hash, doc_id), and candidate
+  verification touches a tiny fraction of pairs;
+- the oracle-checked MinHash uses md5-string minima so DuckDB computes the
+  identical signature; ``minhash_signature_xxhash64`` is the production
+  variant (8-byte longs, ~4× less shuffle + faster hashing), checked by
+  pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+from data_pipeline_4_online_retail_spark.functions.vector import cosine_similarity
+
+# MinHash/LSH geometry: 16 hashes = 8 bands × 2 rows.
+# P(candidate | J=0.6) = 1-(1-0.6²)⁸ ≈ 0.97; false candidates are removed
+# by exact-Jaccard verification.
+N_HASHES = 16
+N_BANDS = 8
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.6
+COSINE_THRESHOLD = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir).table("documents")
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (documents.text is pre-normalized:
+    lowercase, single-space)."""
+    toks = F.split(text, " ")
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams)
+    )
+
+
+# SQL twin (DuckDB): distinct word 3-grams per doc.
+SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks) q
+)
+"""
+
+
+def exploded_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="exact dedup: group by content digest, keep lowest doc_id. The "
+    "shuffle key is the 32-byte md5, not the document body.",
+)
+def dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard near-dup (exact pairwise — the verification baseline)
+# ---------------------------------------------------------------------------
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common * 1.0 / (sa.c + sb.c - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over exploded shingle sets: |A∩B| via shingle join,
+    |A∪B| = |A|+|B|-|A∩B|. Emits (doc_a, doc_b) only — the division on
+    identical ints is deterministic, so thresholding is engine-stable."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("common")
+            / (F.col("sa.c") + F.col("sb.c") - F.col("common"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_PAIRS_SQL,
+    doc="near-dup: word-3-gram Jaccard ≥ 0.6, exact pairwise via shingle "
+    "equi-join. O(candidate pairs) — at 100 TB this is the *verifier* "
+    "behind dedup_minhash_lsh, not the scan strategy.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = exploded_shingles(_docs(spark, sf_dir))
+    return _jaccard_pairs(sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH (oracle-checked via md5-string minima)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_md5(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: h_i = MIN(md5('<i>#' || shingle)).
+
+    md5 exists in both Spark and DuckDB with identical output, so the
+    signature (and therefore the LSH bucketing) is oracle-reproducible.
+    Lexicographic MIN over hex digests is a valid uniform hash order.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature_xxhash64(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Production signature: xxhash64 longs (8 bytes/hash vs 32, ~4× less
+    shuffle). Same geometry; verified by pytest (DuckDB has no xxhash64)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signature, bucket-join on (band_idx, band_hash).
+
+    Only (doc_id, band_idx, band_hash) shuffles — fixed width regardless of
+    document size. Docs sharing ≥1 band become candidates.
+    """
+    rows = N_HASHES // n_bands
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)]))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_MINHASH_BANDS_SQL = ",\n".join(
+    "md5(" + " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+    for b in range(N_BANDS)
+)
+_MINHASH_MINS_SQL = ",\n".join(
+    f"MIN(md5('{i}#' || s)) AS h{i}" for i in range(N_HASHES)
+)
+_MINHASH_LSH_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {_MINHASH_MINS_SQL} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {_MINHASH_BANDS_SQL} FROM sig),
+banded AS (
+    SELECT doc_id, band_idx, band_hash FROM bands
+    UNPIVOT (band_hash FOR band_idx IN ({", ".join(f"band{b}" for b in range(N_BANDS))}))
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x JOIN banded y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+common AS (
+    SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
+    FROM cand
+    JOIN sh a ON a.doc_id = cand.doc_a
+    JOIN sh b ON b.doc_id = cand.doc_b AND a.s = b.s
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common * 1.0 / (sa.c + sb.c - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_LSH_SQL,
+    doc="near-dup at scale: MinHash(16) → LSH(8 bands × 2 rows) candidate "
+    "generation → exact-Jaccard verification at 0.6. The md5-based "
+    "signature makes the whole pipeline oracle-reproducible in DuckDB; "
+    "minhash_signature_xxhash64 is the cheaper production variant.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sh = exploded_shingles(_docs(spark, sf_dir))
+    sig = minhash_signature_md5(sh)
+    cand = lsh_candidate_pairs(sig)
+    verified = _jaccard_pairs(sh, JACCARD_THRESHOLD)
+    # verification = semi-join of candidates against exact-Jaccard pairs
+    return cand.join(verified, ["doc_a", "doc_b"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash (xxhash64-based; no SQL oracle — pytest-verified)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(sh: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: for each bit j, sum ±1 over shingle hashes;
+    bit j of the fingerprint = sign of the sum.
+
+    One groupBy over exploded shingles computing 64 conditional sums —
+    a single shuffle, all codegen.
+    """
+    h = F.xxhash64("s")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = sh.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64 has no DuckDB equivalent → rows-only check
+    doc="near-dup: 64-bit SimHash fingerprints; Hamming-distance ≤ 3 pairs "
+    "via 4×16-bit chunk LSH (pigeonhole: ≤3 differing bits leave ≥1 of 4 "
+    "chunks identical), candidates verified by exact popcount.",
+)
+def dedup_simhash(spark, sf_dir):
+    sh = exploded_shingles(_docs(spark, sf_dir))
+    fp = simhash64(sh)
+    # chunk LSH: 4 chunks of 16 bits; hamming ≤ 3 guarantees ≥1 equal chunk
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_THRESHOLD}
+    """,
+    doc="near-dup by embedding: brute-force pairwise cosine ≥ 0.4 "
+    "(pairs-only output — thresholding is stable across engines' float "
+    "summation orders). Scale path: similarity.sim_ann_* LSH/IVF "
+    "bucketing makes the pair space sub-quadratic.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = load_tables(spark, sf_dir).table("embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )

@@ -1,1 +1,133 @@
-"""Placeholder — populated in a later milestone."""
+"""Time-window operators over the ``events`` table — the batch twins of the
+Structured Streaming surface (streaming/windows.py builds the same plans on
+a readStream source; SURVEY.md §2.10).
+
+Windows are computed with Spark's native ``window`` / ``session_window``
+functions; oracles re-derive the same bucketing with epoch arithmetic and
+gaps-and-islands SQL. Value sums use the exact-DECIMAL discipline.
+
+Scale: tumbling/hopping aggregation is a single shuffle on
+(window, event_type); session windows shuffle on user_id — the natural
+key — and AQE handles user skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+TUMBLE_SECONDS = 600
+HOP_SECONDS = 300
+SESSION_GAP = "5 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir).table("events")
+
+
+@register(
+    "ev_tumbling_window",
+    f"""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {TUMBLE_SECONDS}) AS BIGINT) * {TUMBLE_SECONDS}) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="streaming twin: 10-minute tumbling window counts + value sums "
+    "(epoch-aligned, identical to F.window's bucketing)",
+)
+def ev_tumbling_window(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", f"{TUMBLE_SECONDS} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "ev_hopping_window",
+    f"""
+    WITH assigned AS (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {HOP_SECONDS}) AS BIGINT) * {HOP_SECONDS}) AS TIMESTAMP) AS window_start, value FROM events
+        UNION ALL
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {HOP_SECONDS}) AS BIGINT) * {HOP_SECONDS} - {HOP_SECONDS}) AS TIMESTAMP), value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+    doc="streaming twin: 10-minute window hopping every 5 minutes — each "
+    "event lands in exactly two windows (Spark explodes window instances "
+    "before the aggregate; the oracle unions the two grid alignments)",
+)
+def ev_hopping_window(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", f"{TUMBLE_SECONDS} seconds", f"{HOP_SECONDS} seconds").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "ev_session_window",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="streaming twin: 5-minute-gap session windows per user "
+    "(F.session_window in batch mode; oracle = gaps-and-islands). "
+    "Session end = last event + gap, matching Spark's convention.",
+)
+def ev_session_window(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

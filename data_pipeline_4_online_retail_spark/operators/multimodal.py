@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Convention: media travels as an opaque ``binary`` content column plus a
+typed metadata struct — the schema a 100 TB training-data pipeline needs:
+
+    content      binary            (raw encoded bytes)
+    media_meta   struct<mime string, width int, height int,
+                        duration_ms int, n_frames int>
+
+Decode / feature-extract / resize / frame-sample are Arrow-batched
+``mapInPandas`` stages so the (CPU-heavy, library-backed) Python work gets
+whole batches, and partition counts control decode parallelism. The
+container has no image/audio libraries, so the decoder is STUBBED: it
+raises ``NotImplementedError`` unless ``fake=True``, which produces a
+deterministic synthetic decode from the bytes themselves — the Spark-side
+plumbing (schemas, batching, partitioning) is real and tested either way.
+
+The driver test data has no media table, so the oracle-checked query
+synthesizes binary content from ``documents.text`` (utf-8 bytes) — byte
+lengths and digests are engine-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_len", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Synthesize the multimodal shape from documents: utf-8 bytes as the
+    binary content column + a metadata struct."""
+    content = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        content.alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image_batch(content_bytes: bytes, *, fake: bool) -> tuple[int, int, float]:
+    """STUB decoder. Real implementation: PIL/libvips decode → (w, h, luma).
+
+    ``fake=True`` derives a deterministic pseudo-decode from the bytes so
+    the distributed plumbing is testable without image libraries.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/libvips, not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    n = len(content_bytes)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    mean_luma = (sum(content_bytes[:256]) % 2551) / 10.0 if n else 0.0
+    return width, height, mean_luma
+
+
+def extract_image_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, typed rows out.
+
+    At scale: repartition upstream to size decode batches
+    (``media.repartition(n)``); the stage is embarrassingly parallel and
+    the output is a narrow typed table ready for columnar storage.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                w, h, luma = decode_image_batch(data, fake=fake)
+                rows.append((int(doc_id), len(data), w, h, luma))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "byte_len", "width", "height", "mean_luma"]
+            )
+
+    return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+@register(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_digest
+    FROM documents
+    """,
+    doc="multimodal: binary content column plumbing — byte length + digest "
+    "over the opaque binary column (JVM-side; the decode path is the "
+    "mapInPandas stage in operators/multimodal.py, pytest-verified)",
+)
+def mm_binary_metadata(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents")
+    content = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(content).alias("byte_len"),
+        F.md5(content).alias("content_digest"),
+    )
+
+
+@register(
+    "mm_image_features_fake",
+    None,  # python-side stub decode → rows-only; determinism asserted in tests
+    doc="multimodal: mapInPandas decode/feature-extract plumbing over the "
+    "binary column (stub decoder — deterministic fake; real decode drops "
+    "in behind the same batch signature)",
+)
+def mm_image_features_fake(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents")
+    return extract_image_features(documents_as_media(docs), fake=True)

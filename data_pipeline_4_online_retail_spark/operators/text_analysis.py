@@ -1,1 +1,228 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline tier: token counting, quality scoring, language ID,
+fingerprinting, corpus term frequencies. Everything is built-in column
+expressions (split/filter/transform/aggregate) — at 100 TB these run inside
+whole-stage codegen over the document scan with no Python round-trip.
+
+documents.text is pre-normalized (lowercase, single-space), so queries
+tokenize with a plain split; the general-purpose normalizing tokenizers
+live in functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+# Tiny per-language stopword inventories for the n-gram/stopword-hit
+# heuristic language ID. Deliberately small: the operator demonstrates the
+# argmax-over-evidence-counts shape; production swaps in real lexicons.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+    "de": ("der", "die", "das", "und", "ein", "ist"),
+    "es": ("el", "los", "las", "una", "es", "y"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir).table("documents")
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _hits(lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(_toks(), lambda t: t.isin(*words)))
+
+
+def _hits_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# 1. Token counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    doc="text analysis: whitespace token + distinct-token counts "
+    "(the BPE-ish regex tokenizer lives in functions/text.py)",
+)
+def text_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_toks()).alias("n_tokens"),
+        F.size(F.array_distinct(_toks())).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id, n_tokens, ttr, avg_word_len, stop_ratio,
+           0.4 * ttr
+         + 0.3 * least(avg_word_len / 8.0, 1.0)
+         + 0.3 * least(stop_ratio * 5.0, 1.0) AS quality_score
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr,
+               (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                   / len(string_split(text, ' ')) AS avg_word_len,
+               {en_hits} * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents) q
+    """.format(en_hits=_hits_sql("en")),
+    doc="text analysis: quality score from type-token ratio, average word "
+    "length, stopword ratio — integer-derived divisions, so doubles are "
+    "bit-identical across engines",
+)
+def text_quality_score(spark, sf_dir):
+    n = F.size(_toks())
+    ttr = F.size(F.array_distinct(_toks())) * F.lit(1.0) / n
+    awl = (F.length("text") - (n - F.lit(1))) * F.lit(1.0) / n
+    stop = _hits("en") * F.lit(1.0) / n
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ttr.alias("ttr"),
+        awl.alias("avg_word_len"),
+        stop.alias("stop_ratio"),
+    )
+    score = (
+        F.lit(0.4) * F.col("ttr")
+        + F.lit(0.3) * F.least(F.col("avg_word_len") / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(F.col("stop_ratio") * F.lit(5.0), F.lit(1.0))
+    )
+    return base.select(
+        "doc_id", "n_tokens", "ttr", "avg_word_len", "stop_ratio",
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Language ID (stopword-hit argmax)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang, en_hits, fr_hits, de_hits, es_hits,
+           CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits
+                 AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                WHEN fr_hits >= de_hits AND fr_hits >= es_hits
+                 AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               {_hits_sql("en")} AS en_hits,
+               {_hits_sql("fr")} AS fr_hits,
+               {_hits_sql("de")} AS de_hits,
+               {_hits_sql("es")} AS es_hits
+        FROM documents) q
+    """,
+    doc="text analysis: heuristic language ID — per-language stopword hit "
+    "counts with a deterministic argmax tie-break (en > fr > de > es)",
+)
+def text_lang_id(spark, sf_dir):
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _hits("en").alias("en_hits"),
+        _hits("fr").alias("fr_hits"),
+        _hits("de").alias("de_hits"),
+        _hits("es").alias("es_hits"),
+    )
+    en, fr, de, es = (F.col(c) for c in ("en_hits", "fr_hits", "de_hits", "es_hits"))
+    predicted = (
+        F.when((en >= fr) & (en >= de) & (en >= es) & (en > 0), "en")
+        .when((fr >= de) & (fr >= es) & (fr > 0), "fr")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return base.select(
+        "doc_id", "labeled_lang", "en_hits", "fr_hits", "de_hits", "es_hits",
+        predicted.alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fingerprint_md5,
+           md5(substr(text, 1, 64)) AS prefix_fingerprint
+    FROM documents
+    """,
+    doc="text analysis: content + prefix fingerprints (md5; the 64-bit "
+    "xxhash64 rolling fingerprint in functions/text.py is the cheap "
+    "production variant)",
+)
+def text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("fingerprint_md5"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Corpus term frequencies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_word_freq",
+    """
+    SELECT tok, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) q
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+    doc="text analysis: global term + document frequencies, top-20 "
+    "(explode → partial-agg → final-agg; the explode fan-out stays "
+    "map-side before the combine)",
+)
+def text_word_freq(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )

@@ -63,8 +63,9 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
         df = spark.read.parquet(path)
         for col in _NANOS_TS_COLS.get(name, ()):
             if isinstance(df.schema[col].dataType, T.LongType):
-                df = df.withColumn(
-                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
-                )
+                # integer DIV, not double division: epoch-nanos (~1.7e18)
+                # exceed double's 53-bit mantissa and would round, while
+                # DuckDB truncates ns→µs — off-by-1µs hash mismatches.
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
         cat.register(name, df)
     return cat

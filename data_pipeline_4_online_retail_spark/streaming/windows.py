@@ -1,0 +1,118 @@
+"""Windowed streaming aggregations over an events stream.
+
+Plans mirror operators/events_windows.py exactly — the same groupBy
+expressions compiled against a streaming source, plus ``withWatermark``
+so state for closed windows is evicted (bounded memory at 100 TB/day
+event rates; late rows beyond the watermark are dropped, the documented
+late-data policy).
+
+Sinks: production writes ``writeStream.format("parquet")`` with
+checkpointing; tests use the memory sink via ``run_available_now``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+DEFAULT_WATERMARK = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events directory (parquet).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size; the schema is declared
+    (streaming file sources require it).
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "10 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type, watermarked."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def hopping_counts(
+    events: DataFrame,
+    *,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Hopping (sliding) window counts, watermarked."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "5 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user, watermarked —
+    state for a session closes once the watermark passes its gap end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain all available input through the streaming plan into a memory
+    sink and return the result as a batch DataFrame (test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
