@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Each query materializes fully through the ``noop`` sink (no output cost,
+no driver collect). Timings include plan + execution, excluding the shared
+SparkSession/catalog warmup (reported separately inside the JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from data_pipeline_4_online_retail_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the star-schema reports (the reference's own workload),
+# the fact build (join-heavy), and the extension tier's heavy hitters.
+HEADLINE = [
+    "star_report_customer",
+    "star_report_product",
+    "star_report_year",
+    "star_fct_invoice_line_value",
+    "op_window_group_max",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_word_freq",
+    "ev_session_window",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    t0 = time.time()
+    # warmup: JVM + parquet footers + first-job overhead on a trivial query
+    qs["op_order_by_full"](spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    warmup = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t = time.time()
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "warmup_sec": round(warmup, 3),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

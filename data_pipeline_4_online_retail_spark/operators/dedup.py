@@ -5,16 +5,23 @@ n-gram Jaccard near-dup, MinHash+LSH, SimHash, and embedding-cosine
 near-dup. All hot paths are built-in column expressions (codegen); nothing
 collects to the driver.
 
-Scale design:
-- exact dedup groups by md5(text) so the shuffle carries a 32-byte digest,
-  not document bodies;
-- the pairwise Jaccard join explodes shingles — correct but O(pairs); at
-  100 TB use ``dedup_minhash_lsh``: signatures are fixed-width, the LSH
-  band join only shuffles (band_idx, band_hash, doc_id), and candidate
-  verification touches a tiny fraction of pairs;
+Scale design (what shuffles, and how wide):
+- exact dedup groups by md5(text): the shuffle carries a 32-byte digest,
+  never document bodies;
+- MinHash signatures and SimHash fingerprints are **map-side only** —
+  array higher-order functions (``transform``/``array_min``/``aggregate``)
+  over the per-row shingle array, no explode, no groupBy. The only
+  shuffles are (a) the LSH band join, whose rows are
+  (doc_id, band_idx, band_hash) — fixed width regardless of document
+  size — and (b) candidate verification, which joins the candidate pair
+  list (tiny by construction) back to shingle arrays and intersects
+  map-side;
+- the exact pairwise Jaccard operator (the verification baseline) does
+  explode + shingle equi-join — correct but O(colliding pairs); it exists
+  to measure the LSH variants against, not as the 100 TB scan strategy;
 - the oracle-checked MinHash uses md5-string minima so DuckDB computes the
   identical signature; ``minhash_signature_xxhash64`` is the production
-  variant (8-byte longs, ~4× less shuffle + faster hashing), checked by
+  variant (8-byte longs, ~4× narrower + faster hashing), checked by
   pytest instead.
 """
 
@@ -23,9 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_4_online_retail_spark.functions.vector import cosine_similarity
 from data_pipeline_4_online_retail_spark.plans.registry import register
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
-from data_pipeline_4_online_retail_spark.functions.vector import cosine_similarity
 
 # MinHash/LSH geometry: 16 hashes = 8 bands × 2 rows.
 # P(candidate | J=0.6) = 1-(1-0.6²)⁸ ≈ 0.97; false candidates are removed
@@ -38,17 +45,20 @@ COSINE_THRESHOLD = 0.4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir).table("documents")
+    # The fixture table arrives as one parquet file → one input partition;
+    # hash-repartition on doc_id so per-row hashing parallelizes (at 100 TB
+    # the source is many files and this shuffle disappears).
+    return load_tables(spark, sf_dir).table("documents").repartition("doc_id")
 
 
 # ---------------------------------------------------------------------------
-# Shingling (shared by Jaccard + MinHash)
+# Shingling
 # ---------------------------------------------------------------------------
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (documents.text is pre-normalized:
-    lowercase, single-space)."""
+    lowercase, single-space) — an array column, built map-side."""
     toks = F.split(text, " ")
     cnt = F.size(toks)
     grams = F.transform(
@@ -62,22 +72,41 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-# SQL twin (DuckDB): distinct word 3-grams per doc.
-SHINGLES_CTE = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
-    SELECT DISTINCT doc_id, s FROM (
-        SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM toks) q
-)
-"""
+def shingled_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>) — the shared map-side input of the
+    MinHash/SimHash/Jaccard family."""
+    return docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
 
 
 def exploded_shingles(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
-    )
+    return docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+
+
+# SQL twins (DuckDB).
+SHINGLES_ARRAY_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sharr AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+    FROM toks
+)
+"""
+SHINGLES_CTE = (
+    SHINGLES_ARRAY_CTE
+    + ",\nsh AS (SELECT doc_id, unnest(shingles) AS s FROM sharr)"
+)
+
+# Jaccard over shingle arrays, computed map-side per candidate pair.
+_J_SQL = (
+    "len(list_intersect(a.shingles, b.shingles)) * 1.0 / "
+    "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))"
+)
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
 
 
 # ---------------------------------------------------------------------------
@@ -110,42 +139,34 @@ def dedup_exact(spark, sf_dir):
 
 _JACCARD_PAIRS_SQL = f"""
 WITH {SHINGLES_CTE.strip()},
-sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
 )
 SELECT doc_a, doc_b
-FROM pairs
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE common * 1.0 / (sa.c + sb.c - common) >= {JACCARD_THRESHOLD}
+FROM cand
+JOIN sharr a ON doc_a = a.doc_id
+JOIN sharr b ON doc_b = b.doc_id
+WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
 """
 
 
-def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over exploded shingle sets: |A∩B| via shingle join,
-    |A∪B| = |A|+|B|-|A∩B|. Emits (doc_a, doc_b) only — the division on
-    identical ints is deterministic, so thresholding is engine-stable."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+def jaccard_verify_pairs(
+    cand: DataFrame, sharr: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: join the (small)
+    candidate list to the shingle arrays and intersect map-side — no
+    exploded shingle shuffle."""
+    a = sharr.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    b = sharr.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(
-            F.col("common")
-            / (F.col("sa.c") + F.col("sb.c") - F.col("common"))
-            >= threshold
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(_jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
         .select("doc_a", "doc_b")
     )
 
@@ -153,13 +174,22 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     _JACCARD_PAIRS_SQL,
-    doc="near-dup: word-3-gram Jaccard ≥ 0.6, exact pairwise via shingle "
-    "equi-join. O(candidate pairs) — at 100 TB this is the *verifier* "
-    "behind dedup_minhash_lsh, not the scan strategy.",
+    doc="near-dup: word-3-gram Jaccard ≥ 0.6, exact pairwise — candidates "
+    "from a shingle equi-join (O(colliding pairs); this is the baseline "
+    "LSH is measured against, not the 100 TB strategy), verification via "
+    "map-side array intersection.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = exploded_shingles(_docs(spark, sf_dir))
-    return _jaccard_pairs(sh, JACCARD_THRESHOLD)
+    docs = _docs(spark, sf_dir)
+    sh = exploded_shingles(docs)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify_pairs(cand, shingled_docs(docs), JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -167,28 +197,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature_md5(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: h_i = MIN(md5('<i>#' || shingle)).
+def minhash_signature_md5(sharr: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature, **map-side**: h_i = the minimum of
+    md5('<i>#' || shingle) over the row's shingle array.
 
     md5 exists in both Spark and DuckDB with identical output, so the
     signature (and therefore the LSH bucketing) is oracle-reproducible.
     Lexicographic MIN over hex digests is a valid uniform hash order.
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("s")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    def h(i: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}#"), s)))
+        ).alias(f"h{i}")
+
+    return sharr.select("doc_id", *[h(i) for i in range(n_hashes)])
 
 
-def minhash_signature_xxhash64(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """Production signature: xxhash64 longs (8 bytes/hash vs 32, ~4× less
-    shuffle). Same geometry; verified by pytest (DuckDB has no xxhash64)."""
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def minhash_signature_xxhash64(
+    sharr: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Production signature: xxhash64 longs (8 bytes/hash vs 32, faster
+    hashing). Same geometry; verified by pytest (DuckDB has no xxhash64)."""
+    def h(i: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"h{i}")
+
+    return sharr.select("doc_id", *[h(i) for i in range(n_hashes)])
 
 
 def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
@@ -219,16 +254,19 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
+_MINHASH_MINS_SQL = ",\n".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}#' || s))) AS h{i}"
+    for i in range(N_HASHES)
+)
 _MINHASH_BANDS_SQL = ",\n".join(
-    "md5(" + " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+    "md5("
+    + " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + f") AS band{b}"
     for b in range(N_BANDS)
 )
-_MINHASH_MINS_SQL = ",\n".join(
-    f"MIN(md5('{i}#' || s)) AS h{i}" for i in range(N_HASHES)
-)
 _MINHASH_LSH_SQL = f"""
-WITH {SHINGLES_CTE.strip()},
-sig AS (SELECT doc_id, {_MINHASH_MINS_SQL} FROM sh GROUP BY doc_id),
+WITH {SHINGLES_ARRAY_CTE.strip()},
+sig AS (SELECT doc_id, {_MINHASH_MINS_SQL} FROM sharr),
 bands AS (SELECT doc_id, {_MINHASH_BANDS_SQL} FROM sig),
 banded AS (
     SELECT doc_id, band_idx, band_hash FROM bands
@@ -239,38 +277,28 @@ cand AS (
     FROM banded x JOIN banded y
       ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
      AND x.doc_id < y.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-common AS (
-    SELECT cand.doc_a, cand.doc_b, COUNT(*) AS common
-    FROM cand
-    JOIN sh a ON a.doc_id = cand.doc_a
-    JOIN sh b ON b.doc_id = cand.doc_b AND a.s = b.s
-    GROUP BY 1, 2
 )
 SELECT doc_a, doc_b
-FROM common
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE common * 1.0 / (sa.c + sb.c - common) >= {JACCARD_THRESHOLD}
+FROM cand
+JOIN sharr a ON doc_a = a.doc_id
+JOIN sharr b ON doc_b = b.doc_id
+WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
 """
 
 
 @register(
     "dedup_minhash_lsh",
     _MINHASH_LSH_SQL,
-    doc="near-dup at scale: MinHash(16) → LSH(8 bands × 2 rows) candidate "
-    "generation → exact-Jaccard verification at 0.6. The md5-based "
-    "signature makes the whole pipeline oracle-reproducible in DuckDB; "
-    "minhash_signature_xxhash64 is the cheaper production variant.",
+    doc="near-dup at scale: map-side MinHash(16) → LSH(8 bands × 2 rows) "
+    "candidate join → map-side exact-Jaccard verification at 0.6. The "
+    "md5-based signature makes the whole pipeline oracle-reproducible in "
+    "DuckDB; minhash_signature_xxhash64 is the cheaper production variant.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    sh = exploded_shingles(_docs(spark, sf_dir))
-    sig = minhash_signature_md5(sh)
+    sharr = shingled_docs(_docs(spark, sf_dir))
+    sig = minhash_signature_md5(sharr)
     cand = lsh_candidate_pairs(sig)
-    verified = _jaccard_pairs(sh, JACCARD_THRESHOLD)
-    # verification = semi-join of candidates against exact-Jaccard pairs
-    return cand.join(verified, ["doc_a", "doc_b"], "left_semi")
+    return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -278,21 +306,21 @@ def dedup_minhash_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def simhash64(sh: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: for each bit j, sum ±1 over shingle hashes;
-    bit j of the fingerprint = sign of the sum.
+def simhash64(sharr: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc, **map-side**: hash each shingle once
+    (transform), then for each bit j fold ±1 contributions with
+    ``aggregate``; bit j of the fingerprint = sign of the sum."""
+    hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
 
-    One groupBy over exploded shingles computing 64 conditional sums —
-    a single shuffle, all codegen.
-    """
-    h = F.xxhash64("s")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    def bit_sum(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"b{j}")
-        for j in range(64)
-    ]
-    sums = sh.groupBy("doc_id").agg(*bit_sums)
+
+    sums = sharr.select("doc_id", *[bit_sum(j) for j in range(64)])
     fingerprint = None
     for j in range(64):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
@@ -311,8 +339,7 @@ def simhash64(sh: DataFrame) -> DataFrame:
     "chunks identical), candidates verified by exact popcount.",
 )
 def dedup_simhash(spark, sf_dir):
-    sh = exploded_shingles(_docs(spark, sf_dir))
-    fp = simhash64(sh)
+    fp = simhash64(shingled_docs(_docs(spark, sf_dir)))
     # chunk LSH: 4 chunks of 16 bits; hamming ≤ 3 guarantees ≥1 equal chunk
     chunks = fp.select(
         "doc_id",
