@@ -1,0 +1,83 @@
+"""Sources/sinks coverage (SURVEY.md §2.1): CSV latin-1 round-trip (S2/S3),
+table sink full-rebuild (S5/S11), database creation (S6), country seed
+build with composed ALTER semantics (S7-S10), and the SQL-API surface
+(temp-view registry, S12)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.sources.country_seed import (
+    COUNTRY_ROWS,
+    build_country_seed,
+)
+from data_pipeline_4_online_retail_spark.sources.fixtures import raw_invoices_fixture
+from data_pipeline_4_online_retail_spark.sources.io import read_csv, write_csv
+from data_pipeline_4_online_retail_spark.sources.schemas import RAW_INVOICES
+
+
+def test_csv_roundtrip_latin1(spark, tmp_path):
+    """S2/S3: header CSV write + schema-first latin-1 read preserves rows
+    (the reference's iso-8859-1 loader, dags/online_retail.py:36)."""
+    src = raw_invoices_fixture(spark)
+    path = str(tmp_path / "raw.csv")
+    write_csv(src, path, single_file=True)
+    back = read_csv(spark, path, RAW_INVOICES)
+    # file sources surface every column nullable; contract-check name+type
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in RAW_INVOICES.fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_table_sink_full_rebuild(spark, tmp_path):
+    """S5/S11: overwrite saveAsTable == WRITE_TRUNCATE semantics; S6:
+    database creation."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS retail_test")
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    df1.write.mode("overwrite").format("parquet").saveAsTable("retail_test.t")
+    df2 = spark.range(3).withColumnRenamed("id", "v")
+    df2.write.mode("overwrite").format("parquet").saveAsTable("retail_test.t")
+    assert spark.table("retail_test.t").count() == 3  # truncated, not appended
+    spark.sql("DROP TABLE retail_test.t")
+    spark.sql("DROP DATABASE retail_test")
+
+
+def test_country_seed_alter_semantics(spark):
+    """S7-S10: the 239-row INSERT...VALUES LocalRelation composed with
+    DROP COLUMN id/name + RENAME nicename→name
+    (include/table/country.sql:252-259)."""
+    seed = build_country_seed(spark)
+    assert seed.columns == ["iso", "name", "iso3", "numcode", "phonecode"]
+    rows = {r["iso"]: r for r in seed.collect()}
+    assert len(rows) == len(COUNTRY_ROWS)
+    # rename kept the display-case name (nicename), not the uppercase one
+    assert rows["GB"]["name"] == "United Kingdom"
+    # NULL iso3/numcode branch (Antarctica row)
+    assert rows["AQ"]["iso3"] is None and rows["AQ"]["numcode"] is None
+
+
+def test_sql_api_over_catalog_views(spark, catalog):
+    """S12/S13: every catalog table is a temp view; spark.sql and the
+    DataFrame API give identical results over the same registry."""
+    via_sql = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    ).collect()
+    via_df = (
+        catalog.table("customer")
+        .join(
+            catalog.table("nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("n_name")
+        .collect()
+    )
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
