@@ -32,7 +32,7 @@ HEADLINE = [
     "star_fct_invoice_line_value",
     "op_window_group_max",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "sim_topk_bruteforce",
     "text_word_freq",
     "ev_session_window",

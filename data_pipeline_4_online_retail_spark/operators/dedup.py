@@ -56,30 +56,40 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (documents.text is pre-normalized:
-    lowercase, single-space) — an array column, built map-side."""
-    toks = F.split(text, " ")
-    cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams)
-    )
-
-
 def shingled_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles array<string>) — the shared map-side input of the
-    MinHash/SimHash/Jaccard family."""
-    return docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    MinHash/SimHash/Jaccard family: distinct word 3-grams.
+
+    Formulated as ``zip_with`` over the token array and its 1-/2-shifted
+    slices. Two deliberate performance choices:
+    - tokens are materialized in their own projection first — expressions
+      referenced inside higher-order-function lambdas get no common-
+      subexpression elimination, so an inlined ``split(text)`` would
+      re-split the document for every array element (~7× slower measured);
+    - ``zip_with`` walks the arrays positionally instead of per-element
+      ``element_at`` indexing.
+
+    zip_with pads the shorter side with NULLs: the final 1-2 positions
+    produce NULL trigrams (concat guarded by the NULL check) and are
+    filtered, so docs shorter than 3 tokens yield an empty array.
+    """
+    toks_df = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    t2 = F.slice(toks, 2, 2_147_483_000)
+    t3 = F.slice(toks, 3, 2_147_483_000)
+    pairs = F.zip_with(toks, t2, lambda a, b: F.concat_ws(" ", a, b))
+    tris = F.zip_with(
+        pairs,
+        t3,
+        lambda p, c: F.when(c.isNull(), None).otherwise(F.concat_ws(" ", p, c)),
+    )
+    shingles = F.array_distinct(F.filter(tris, lambda x: x.isNotNull()))
+    return toks_df.select("doc_id", shingles.alias("shingles"))
 
 
 def exploded_shingles(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    sharr = shingled_docs(docs)
+    return sharr.select("doc_id", F.explode("shingles").alias("s"))
 
 
 # SQL twins (DuckDB).
@@ -180,16 +190,30 @@ def jaccard_verify_pairs(
     "map-side array intersection.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    # Full-pairwise path: |A∩B| falls out of the shingle join itself
+    # (groupBy-count over colliding pairs) — cheaper than materializing the
+    # huge distinct pair list and re-intersecting arrays.
     docs = _docs(spark, sf_dir)
     sh = exploded_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
-    cand = (
+    common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    return jaccard_verify_pairs(cand, shingled_docs(docs), JACCARD_THRESHOLD)
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("common") / (F.col("sa.c") + F.col("sb.c") - F.col("common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +260,31 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)]))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_long(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band join for long-typed signatures: band hash = xxhash64 over the
+    band's minhash columns (8-byte keys end-to-end, no string building)."""
+    rows = N_HASHES // n_bands
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
             for b in range(n_bands)
         ]
     )
@@ -301,6 +350,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
 
 
+@register(
+    "dedup_minhash_lsh_fast",
+    None,  # xxhash64 has no DuckDB twin → rows-only; equivalence vs the
+    # md5 pipeline is asserted in tests/test_dedup.py
+    doc="near-dup at scale, production variant: xxhash64 MinHash "
+    "signatures (one 8-byte long per hash vs a 32-char md5 string — "
+    "~4× narrower signature, ~10× cheaper hashing), same LSH geometry "
+    "and verification as dedup_minhash_lsh.",
+)
+def dedup_minhash_lsh_fast(spark, sf_dir):
+    sharr = shingled_docs(_docs(spark, sf_dir))
+    sig = minhash_signature_xxhash64(sharr)
+    cand = lsh_candidate_pairs_long(sig)
+    return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash (xxhash64-based; no SQL oracle — pytest-verified)
 # ---------------------------------------------------------------------------
@@ -308,19 +373,24 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 def simhash64(sharr: DataFrame) -> DataFrame:
     """64-bit SimHash per doc, **map-side**: hash each shingle once
-    (transform), then for each bit j fold ±1 contributions with
-    ``aggregate``; bit j of the fingerprint = sign of the sum."""
-    hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    (transform, materialized in its own projection — lambdas get no CSE,
+    so an inlined transform would re-hash every shingle 64×), then for
+    each bit j fold ±1 contributions with ``aggregate``; bit j of the
+    fingerprint = sign of the sum."""
+    hashed = sharr.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes"),
+    )
 
     def bit_sum(j: int):
         return F.aggregate(
-            hashes,
+            F.col("hashes"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"b{j}")
 
-    sums = sharr.select("doc_id", *[bit_sum(j) for j in range(64)])
+    sums = hashed.select("doc_id", *[bit_sum(j) for j in range(64)])
     fingerprint = None
     for j in range(64):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(

@@ -1,0 +1,182 @@
+"""Scalar-function surface beyond the reference's F1-F11 inventory —
+string, date-arithmetic, math, and null-handling families, each as an
+oracle-checked micro-query. All JVM built-ins (whole-stage codegen).
+
+Float policy: only IEEE-exact math functions appear in oracle-checked
+output (sqrt/abs/floor/ceil, integer powers via multiplication);
+transcendentals (ln/exp/sin) are platform-libm-dependent and excluded
+from hash comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir).table(name)
+
+
+@register(
+    "op_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS segment_lower,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, '#', '-') AS name_dashed,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           concat_ws('|', c_mktsegment, c_name) AS joined,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer
+    """,
+    doc="scalar family: string functions (upper/lower/trim/substr/replace/"
+    "length/lpad/regexp_extract/concat_ws/LIKE)",
+)
+def op_string_functions(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+    )
+
+
+@register(
+    "op_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           date_diff('day', TIMESTAMP '2024-01-01 00:00:00', o_orderdate) AS days_since_2024,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm
+    FROM orders
+    """,
+    doc="scalar family: date arithmetic (interval add, datediff, "
+    "date_trunc, last_day, composite period key)",
+)
+def op_date_arithmetic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).cast("long").alias("days_since_2024"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+    )
+
+
+@register(
+    "op_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS dist_from_25,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_quantity AS INT) % 7 AS qty_mod7,
+           greatest(l_quantity, 10.0) AS qty_floor10,
+           least(l_quantity, 40.0) AS qty_cap40,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem
+    """,
+    doc="scalar family: IEEE-exact math (abs/floor/ceil/sqrt/mod/"
+    "greatest/least/sign); transcendentals excluded from hash checks "
+    "(libm-dependent)",
+)
+def op_math_functions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("dist_from_25"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod7"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qty_floor10"),
+        F.least(F.col("l_quantity"), F.lit(40.0)).alias("qty_cap40"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "op_null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_nz,
+           ifnull(NULL, c_custkey) AS key_filled,
+           CAST(c_acctbal IS NOT NULL AS INT) AS bal_present
+    FROM customer
+    """,
+    doc="scalar family: null handling (coalesce/nullif/ifnull/IS NULL "
+    "boolean projection)",
+)
+def op_null_handling(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+        F.when(F.col("c_acctbal").isNull(), 0.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_nz"),
+        F.ifnull(F.lit(None).cast("long"), F.col("c_custkey")).alias("key_filled"),
+        F.col("c_acctbal").isNotNull().cast("int").alias("bal_present"),
+    )
+
+
+@register(
+    "op_agg_cube",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="aggregation extension: CUBE grouping sets (all 4 combinations; "
+    "Catalyst expands to a single Expand + hash aggregate — one shuffle)",
+)
+def op_agg_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "op_agg_approx_distinct",
+    None,  # HLL sketch values differ across engines → rows-only
+    doc="aggregation extension: approx_count_distinct (HyperLogLog++) — "
+    "the 100 TB substitute for exact COUNT(DISTINCT) (no shuffle of "
+    "distinct values, fixed-size sketches merge associatively); "
+    "cross-engine sketches differ so the check is rows-only, and "
+    "tests assert relative error vs the exact count",
+)
+def op_agg_approx_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )

@@ -49,8 +49,21 @@ class Catalog:
         return sorted(self._tables)
 
 
+_CATALOG_CACHE: dict[tuple[int, str], "Catalog"] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
-    """Load every driver test table from ``sf_dir`` into a Catalog."""
+    """Load every driver test table from ``sf_dir`` into a Catalog.
+
+    Memoized per (session, dir): repeated queries share the analyzed scan
+    relations instead of re-listing files and re-reading footers. The
+    ``Catalog.table`` lookup uses its own dict, so two catalogs at
+    different scale factors coexist safely (temp views are a convenience
+    for spark.sql users and reflect the most recent load).
+    """
+    key = (id(spark), sf_dir)
+    if key in _CATALOG_CACHE:
+        return _CATALOG_CACHE[key]
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf removed in a future Spark
@@ -68,4 +81,5 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
                 # DuckDB truncates ns→µs — off-by-1µs hash mismatches.
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
         cat.register(name, df)
+    _CATALOG_CACHE[key] = cat
     return cat

@@ -1,0 +1,119 @@
+"""Scale-design regression tests: the physical plans we rely on at 100 TB
+must actually materialize — partition pruning reaches the scan, bucketed
+joins skip the shuffle, top-k avoids global sorts, scans are
+column-pruned, sketches bound their error.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partition_pruning_reaches_scan(spark, catalog, tmp_path):
+    """A filter on the partition column must prune directories, not rows."""
+    path = str(tmp_path / "events_by_type")
+    catalog.table("events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _formatted(df)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf_line and "click" in pf_line
+    # the filter never appears as a data filter — it's fully partition-level
+    assert df.count() == catalog.table("events").filter(
+        F.col("event_type") == "click"
+    ).count()
+
+
+def test_bucketed_join_skips_shuffle(spark, catalog, tmp_path):
+    """Tables bucketed+sorted on the join key sort-merge-join with no
+    Exchange — the co-located large-large join strategy."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS buckets LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            (
+                catalog.table(name)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(f"buckets.{name}_b")
+            )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("buckets.lineitem_b").join(
+                spark.table("buckets.orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join should not shuffle"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS buckets")
+
+
+def test_flagship_plan_shape(spark):
+    """Flagship report: pruned lineitem scan (3 cols), broadcast dims,
+    TakeOrderedAndProject top-k (no global sort)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["star_report_customer"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan reads only the 3 needed columns
+    for chunk in plan.split("Scan parquet"):
+        if "lineitem.parquet" in chunk:
+            schema_line = [l for l in chunk.splitlines() if "ReadSchema" in l]
+            assert schema_line and schema_line[0].count(":") <= 4, schema_line
+    assert "SortMergeJoin" not in plan  # all dims broadcast at this SF
+
+
+def test_window_topk_avoids_full_sort(spark, catalog):
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject, not Sort+Limit."""
+    df = (
+        catalog.table("orders")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(5)
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_distinct_error_bound(spark, catalog):
+    """HLL++ at rsd=0.02 must land within 5% of the exact count."""
+    o = catalog.table("orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
