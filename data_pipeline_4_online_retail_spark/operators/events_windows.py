@@ -131,3 +131,38 @@ def ev_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "ev_interval_join",
+    """
+    SELECT a.event_id AS lead_event, b.event_id AS follow_event,
+           a.event_type AS lead_type, b.event_type AS follow_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+    """,
+    doc="time-interval (range) join: follow-up events within 60s of a "
+    "lead event for the same user — the batch twin of a watermarked "
+    "stream-stream join. Planned as an equi-join on user_id with the "
+    "time band as a post-join range predicate, so the shuffle stays "
+    "keyed and narrow.",
+)
+def ev_interval_join(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            F.col("a.event_id").alias("lead_event"),
+            F.col("b.event_id").alias("follow_event"),
+            F.col("a.event_type").alias("lead_type"),
+            F.col("b.event_type").alias("follow_type"),
+        )
+    )

@@ -212,3 +212,32 @@ def sim_ann_lsh(spark, sf_dir):
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(TOP_K).select(
         "vec_id", "label"
     )
+
+
+@register(
+    "sim_label_centroids",
+    """
+    SELECT label, dim_idx,
+           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim_idx,
+               unnest(embedding) AS val
+        FROM embeddings) q
+    GROUP BY label, dim_idx
+    """,
+    doc="vector aggregation: per-label centroids (the k-means update step "
+    "/ IVF coarse-quantizer training) — posexplode to (label, dim, val), "
+    "one hash aggregate; exact-decimal sums keep components engine-stable",
+)
+def sim_label_centroids(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "val")
+    )
+    return exploded.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid_val")
+    )

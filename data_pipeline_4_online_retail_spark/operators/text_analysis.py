@@ -226,3 +226,27 @@ def text_word_freq(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(20)
     )
+
+
+@register(
+    "text_tf_df",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df
+    FROM tf JOIN df ON tf.tok = df.tok
+    """,
+    doc="text analysis: per-document term frequency + corpus document "
+    "frequency (the tf-idf core; the idf log transform is applied "
+    "downstream — ln() is libm-dependent and excluded from cross-engine "
+    "hashing). df reuses the tf aggregate: two shuffles total.",
+)
+def text_tf_df(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df, "tok").select("doc_id", "tok", "tf", "df")

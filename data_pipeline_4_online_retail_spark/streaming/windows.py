@@ -116,3 +116,37 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def follow_up_join(
+    lead: DataFrame,
+    follow: DataFrame,
+    *,
+    gap_seconds: int = 60,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner join: follow-up events within ``gap_seconds``
+    of a lead event for the same user (batch twin: ev_interval_join).
+
+    Both sides are watermarked and the join condition time-bounds the
+    buffered state, so Spark can evict rows once the watermark passes
+    lead.ts + gap — without the bound, stream-stream join state grows
+    forever.
+    """
+    a = lead.withWatermark("ts", watermark).alias("a")
+    b = follow.withWatermark("ts", watermark).alias("b")
+    return a.join(
+        b,
+        F.expr(
+            f"""
+            a.user_id = b.user_id AND
+            b.ts > a.ts AND
+            b.ts <= a.ts + interval {gap_seconds} seconds
+            """
+        ),
+    ).select(
+        F.col("a.event_id").alias("lead_event"),
+        F.col("b.event_id").alias("follow_event"),
+        F.col("a.event_type").alias("lead_type"),
+        F.col("b.event_type").alias("follow_type"),
+    )

@@ -121,3 +121,37 @@ def test_stateful_user_sessions(spark, catalog, events_dir):
         .collect()
     }
     assert sess == expected_sessions
+
+
+def test_stream_stream_interval_join_matches_batch(spark, catalog, events_dir):
+    from data_pipeline_4_online_retail_spark.streaming.windows import follow_up_join
+
+    lead = read_events_stream(spark, events_dir)
+    follow = read_events_stream(spark, events_dir)
+    joined = follow_up_join(lead, follow)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table("t_ssjoin")
+
+    e = catalog.table("events")
+    a, b = e.alias("a"), e.alias("b")
+    batch = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            F.col("a.event_id").alias("lead_event"),
+            F.col("b.event_id").alias("follow_event"),
+        )
+    )
+    cols = ["lead_event", "follow_event"]
+    assert _rows(result, cols) == _rows(batch, cols)
