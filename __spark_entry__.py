@@ -34,6 +34,7 @@ import data_pipeline_4_online_retail_spark.operators.text_analysis  # noqa: E402
 import data_pipeline_4_online_retail_spark.operators.events_windows  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.multimodal  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.scalar_functions  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.skew  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 

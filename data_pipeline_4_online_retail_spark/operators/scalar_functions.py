@@ -180,3 +180,26 @@ def op_agg_approx_distinct(spark, sf_dir):
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
     )
+
+
+@register(
+    "op_percentiles_exact",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           quantile_cont(o_totalprice, 0.25) AS p25_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="aggregation extension: exact percentiles (continuous-interpolated "
+    "and discrete). Exact percentile needs a per-group sort — at 100 TB "
+    "prefer approx_percentile (t-digest sketches, mergeable, no sort); "
+    "the linear interpolation runs on identical operands in both engines.",
+)
+def op_percentiles_exact(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25_price"),
+    )

@@ -250,3 +250,37 @@ def text_tf_df(spark, sf_dir):
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(df, "tok").select("doc_id", "tok", "tf", "df")
+
+
+# ---------------------------------------------------------------------------
+# 6. Regex (BPE-ish) tokenization
+# ---------------------------------------------------------------------------
+
+# Pre-tokenizer pattern in the GPT-2 spirit, restricted to constructs RE2
+# (DuckDB) and java.util.regex (Spark) treat identically: letter runs,
+# digit runs, single non-alphanumeric marks.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_regex_tokens",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           regexp_extract_all(text, '{BPE_ISH_PATTERN}')[1] AS first_token
+    FROM documents
+    """,
+    doc="text analysis: BPE-ish regex pre-tokenization (letter runs / "
+    "digit runs / punctuation marks) vs whitespace token counts — the "
+    "token-budget estimator for training-data curation",
+)
+def text_regex_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(_toks()).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
