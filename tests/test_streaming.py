@@ -155,3 +155,42 @@ def test_stream_stream_interval_join_matches_batch(spark, catalog, events_dir):
     )
     cols = ["lead_event", "follow_event"]
     assert _rows(result, cols) == _rows(batch, cols)
+
+
+def test_append_mode_withholds_unfinalized_windows(spark, catalog, events_dir):
+    """Watermark semantics: append mode emits only windows the watermark
+    has passed — the trailing windows stay buffered (the late-data
+    policy's visible half)."""
+    stream = read_events_stream(spark, events_dir)
+    agg = tumbling_counts(stream, watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_append").collect()
+
+    all_windows = (
+        catalog.table("events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .count()
+        .select(F.col("w.start").alias("window_start"))
+        .distinct()
+        .collect()
+    )
+    max_ts = catalog.table("events").agg(F.max("ts")).first()[0]
+    emitted_starts = {r["window_start"] for r in emitted}
+    assert emitted, "append mode should emit finalized windows"
+    assert len(emitted_starts) < len({r["window_start"] for r in all_windows}), (
+        "some trailing windows must be withheld by the watermark"
+    )
+    # nothing emitted may end after the final watermark (max_ts - 30min)
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=30)
+    assert all(
+        ws + datetime.timedelta(minutes=10) <= wm for ws in emitted_starts
+    ), "emitted window past the watermark"
