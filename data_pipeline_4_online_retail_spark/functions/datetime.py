@@ -19,9 +19,11 @@ INVOICE_DATE_FMT = "MM/dd/yyyy hh:mm a"
 
 
 def parse_invoice_datetime(col: str | Column) -> Column:
-    """String → timestamp; unparseable values become NULL (non-ANSI)."""
+    """String → timestamp; unparseable values become NULL regardless of
+    session ANSI mode (try_to_timestamp — the explicit coerce form of
+    pd.to_datetime(errors='coerce'))."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c, INVOICE_DATE_FMT)
+    return F.try_to_timestamp(c, F.lit(INVOICE_DATE_FMT))
 
 
 def format_invoice_datetime(col: str | Column) -> Column:

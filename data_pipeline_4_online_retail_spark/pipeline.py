@@ -89,8 +89,10 @@ def run_retail_pipeline(
     spark: SparkSession, raw_loader=None, country_loader=None
 ) -> Catalog:
     """End-to-end run; defaults to the deterministic parity fixtures."""
+    from data_pipeline_4_online_retail_spark.session import pin_session_semantics
     from data_pipeline_4_online_retail_spark.sources import fixtures
 
+    pin_session_semantics(spark)
     raw_loader = raw_loader or fixtures.raw_invoices_fixture
     country_loader = country_loader or fixtures.country_fixture
     cat = Catalog(spark)

@@ -71,3 +71,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def pin_session_semantics(spark: SparkSession) -> SparkSession:
+    """Pin the engine's semantic contract on an externally-created session
+    (e.g. the driver's): UTC wall-clock timestamps, non-ANSI null-coerce
+    (BigQuery/pandas parity), nanos-parquet readability. All three are
+    runtime-settable; called by every engine entry point so queries behave
+    identically regardless of who built the SparkSession."""
+    for key, val in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # pragma: no cover - conf locked/removed
+            pass
+    return spark

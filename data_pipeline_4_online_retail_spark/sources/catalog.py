@@ -61,13 +61,12 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
     different scale factors coexist safely (temp views are a convenience
     for spark.sql users and reflect the most recent load).
     """
+    from data_pipeline_4_online_retail_spark.session import pin_session_semantics
+
     key = (id(spark), sf_dir)
     if key in _CATALOG_CACHE:
         return _CATALOG_CACHE[key]
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf removed in a future Spark
-        pass
+    pin_session_semantics(spark)
     cat = Catalog(spark)
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
