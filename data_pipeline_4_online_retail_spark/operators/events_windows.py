@@ -166,3 +166,65 @@ def ev_interval_join(spark, sf_dir):
             F.col("b.event_type").alias("follow_type"),
         )
     )
+
+
+@register(
+    "ev_multi_resolution_rollup",
+    """
+    WITH base AS (
+        SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS m1, value FROM events
+    ),
+    r1 AS (
+        SELECT '1m' AS resolution, CAST(to_timestamp(m1) AS TIMESTAMP) AS bucket_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM base GROUP BY m1
+    ),
+    r10 AS (
+        SELECT '10m', CAST(to_timestamp(CAST(floor(epoch(ts)/600) AS BIGINT)*600) AS TIMESTAMP),
+               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        FROM events GROUP BY 2
+    ),
+    r60 AS (
+        SELECT '1h', CAST(to_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600) AS TIMESTAMP),
+               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        FROM events GROUP BY 2
+    )
+    SELECT * FROM r1 UNION ALL SELECT * FROM r10 UNION ALL SELECT * FROM r60
+    """,
+    doc="hypertable-style multi-resolution rollup: 1m/10m/1h time buckets "
+    "in one result. The Spark plan computes the finest (1m) aggregation "
+    "once and re-aggregates it for the coarser tiers — coarse tiers cost "
+    "O(1m-bucket count), not O(events), exactly how a continuous-"
+    "aggregate cascade works at 100 TB (exact-DECIMAL partials re-sum "
+    "losslessly).",
+)
+def ev_multi_resolution_rollup(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    minute = (
+        e.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
+        )
+        .select(F.col("w.start").alias("m1"), "n_events", "_sum")
+    )
+
+    def tier(df, label, seconds):
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp("m1") / seconds).cast("long") * seconds
+        )
+        return df.groupBy(bucket.alias("bucket_start")).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sum").cast("decimal(18,2)").alias("total_value"),
+        ).select(F.lit(label).alias("resolution"), "bucket_start", "n_events", "total_value")
+
+    r1 = minute.select(
+        F.lit("1m").alias("resolution"),
+        F.col("m1").alias("bucket_start"),
+        "n_events",
+        F.col("_sum").cast("decimal(18,2)").alias("total_value"),
+    )
+    return r1.unionByName(tier(minute, "10m", 600)).unionByName(
+        tier(minute, "1h", 3600)
+    )

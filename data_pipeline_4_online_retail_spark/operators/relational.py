@@ -607,3 +607,71 @@ def op_json_extract(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("avg_value"),
     )
+
+
+@register(
+    "op_deterministic_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '20'
+    """,
+    doc="deterministic hash sampling (~1/8 expected: md5 hex < '20'): "
+    "seed-free, engine-reproducible, stable under retries and resumable "
+    "pipelines — the training-data-curation sampling idiom (rand()-based "
+    "sampling is neither cross-engine nor retry-stable)",
+)
+def op_deterministic_sample(spark, sf_dir):
+    d = load_tables(spark, sf_dir).table("documents")
+    return d.filter(F.md5(F.col("doc_id").cast("string")) < "20").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "op_group_topk",
+    """
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+    doc="per-group top-k: rank window + filter — one shuffle on the group "
+    "key; rows beyond k never leave the sort (the distributed GROUP BY "
+    "... LIMIT k per group idiom)",
+)
+def op_group_topk(spark, sf_dir):
+    p = load_tables(spark, sf_dir).table("part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+_SQL_API_QUERY = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "op_sql_api",
+    _SQL_API_QUERY,
+    doc="the spark.sql surface: the identical SQL text runs on Spark (over "
+    "the catalog's temp views) and on DuckDB as its own oracle — the "
+    "dialect-shared subset is engine-portable verbatim",
+)
+def op_sql_api(spark, sf_dir):
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(_SQL_API_QUERY)
