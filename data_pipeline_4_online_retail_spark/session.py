@@ -45,6 +45,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local mode: the driver JVM hosts all executor threads — the 1g
+        # default heap starves 32-way shuffles/sorts. Applied only at JVM
+        # launch; clusters size executors via spark-submit instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # -- semantics pins ------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")

@@ -65,10 +65,17 @@ def main() -> int:
 
     spark = get_spark("oracle-check", shuffle_partitions=8)
 
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):  # spark-written table = directory of parts
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     qs = entrymod.queries()
