@@ -255,16 +255,45 @@ FROM inv INNER JOIN dc ON inv.customer_key_raw = dc.customer_key
 
 
 def fct_invoice_line_value(cat: Catalog) -> DataFrame:
-    """fct_invoice_line_value.sql analogue: keyed fact CTE filtered to
-    quantity > 0, INNER-joined to all three dims (J3/J4/J5 — the joins'
-    implicit drops are part of the contract)."""
+    """fct_invoice_line_value.sql analogue: keyed fact lines with
+    quantity > 0 and the three dims' membership semantics (J3/J4/J5 —
+    the implicit drops are part of the contract).
+
+    Spark-first formulation: the reference joins on *computed md5 keys*;
+    since every surrogate key is a deterministic function of natural
+    columns, joining on the naturals and attaching the md5 keys once in
+    the final projection is result-identical (the DuckDB oracle keeps the
+    literal key-join shape and hash-matches) while joining on 8-byte longs
+    instead of 32-char strings and skipping the dim rebuild sub-plans:
+
+    - J3 (dim_datetime membership) ≡ ``o_orderdate IS NOT NULL``,
+    - J4 (dim_product membership)  ≡ part's own filters, supplied by the
+      join to part,
+    - J5 (dim_invoice membership)  ≡ LEFT SEMI against customer⋈nation on
+      the natural customer key — the reference's null-customer drop.
+
+    The literal join-on-md5 pipeline shape is preserved verbatim in
+    plans/retail.py (parity tier); this is the plan you'd run at 100 TB.
+    """
     li = cat.table("lineitem")
     o = cat.table("orders")
     p = cat.table("part")
-    fct = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
-        .join(p, li.l_partkey == p.p_partkey, "inner")
-        .filter(F.col("l_quantity") > 0)
+    c = cat.table("customer")
+    n = cat.table("nation")
+
+    customers_with_nation = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner"
+    ).select("c_custkey")
+    orders_kept = o.filter(F.col("o_orderdate").isNotNull()).join(
+        customers_with_nation, o.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    part_kept = p.filter(
+        F.col("p_partkey").isNotNull() & (F.col("p_retailprice") > 0)
+    ).select("p_partkey", "p_brand", "p_type")
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .join(orders_kept, li.l_orderkey == orders_kept.o_orderkey, "inner")
+        .join(part_kept, li.l_partkey == part_kept.p_partkey, "inner")
         .select(
             surrogate_key("o_orderkey").alias("invoice_key"),
             surrogate_key(
@@ -274,15 +303,6 @@ def fct_invoice_line_value(cat: Catalog) -> DataFrame:
             F.col("l_quantity").alias("quantity"),
             revenue_col().alias("total_price"),
         )
-    )
-    dt = dim_datetime(cat).select("date_key")
-    dp = dim_product(cat).select("product_key")
-    di = dim_invoice(cat).select("invoice_key")
-    return (
-        fct.join(dt, "date_key", "inner")
-        .join(dp, "product_key", "inner")
-        .join(di, "invoice_key", "inner")
-        .select("invoice_key", "date_key", "product_key", "quantity", "total_price")
     )
 
 
