@@ -206,26 +206,36 @@ WHERE o_orderdate IS NOT NULL
 
 
 def dim_invoice(cat: Catalog) -> DataFrame:
-    """dim_invoice.sql analogue: DISTINCT invoice projection INNER-joined to
-    dim_customer — the join is an implicit semi-filter (J2): orders whose
-    customer fell out of dim_customer are silently dropped."""
+    """dim_invoice.sql analogue: DISTINCT invoice projection with the
+    dim_customer membership semantics (J2's implicit semi-filter: orders
+    whose customer fell out of dim_customer are silently dropped).
+
+    Natural-key formulation: dim_customer's membership set is exactly the
+    customers that survive customer⋈nation, so the reference's
+    join-on-md5 reduces to that same inner join on the natural keys —
+    DISTINCT runs over naturals (8-byte longs + strings, not md5 hex) and
+    both surrogate keys are attached once afterwards. The DuckDB oracle
+    keeps the literal key-join shape and hash-matches.
+    """
     o = cat.table("orders")
     c = cat.table("customer")
     n = cat.table("nation")
-    inv = (
+    inv_nat = (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
         .select(
-            surrogate_key("o_orderkey").alias("invoice_key"),
-            F.col("o_orderkey").alias("invoiceno"),
+            F.col("o_orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("invoicedate"),
-            surrogate_key("o_custkey", "n_name").alias("customer_key_raw"),
+            F.col("o_custkey"),
+            F.col("n_name"),
         )
         .distinct()
     )
-    dc = dim_customer(cat).select("customer_key")
-    return inv.join(dc, inv.customer_key_raw == dc.customer_key, "inner").select(
-        "invoice_key", "invoiceno", "invoicedate", "customer_key"
+    return inv_nat.select(
+        surrogate_key("o_orderkey").alias("invoice_key"),
+        F.col("o_orderkey").alias("invoiceno"),
+        "invoicedate",
+        surrogate_key("o_custkey", "n_name").alias("customer_key"),
     )
 
 

@@ -81,3 +81,31 @@ def test_sql_api_over_catalog_views(spark, catalog):
         .collect()
     )
     assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+
+
+def test_csv_malformed_rows_null_coerce(spark, tmp_path):
+    """Permissive CSV read: type-mismatched cells coerce to NULL instead of
+    failing the load (the same coerce posture as the reference's pandas
+    ingest); DROPMALFORMED discards the row entirely."""
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country\n"
+        '"536365","85123A","OK",6,"12/01/2010 08:26 AM",2.55,17850.0,"United Kingdom"\n'
+        '"536366","85123B","BAD QTY",not_a_number,"12/01/2010 08:26 AM",2.55,17850.0,"United Kingdom"\n'
+    )
+    from data_pipeline_4_online_retail_spark.sources.io import read_csv
+    from data_pipeline_4_online_retail_spark.sources.schemas import RAW_INVOICES
+
+    permissive = read_csv(spark, str(p), RAW_INVOICES).collect()
+    assert len(permissive) == 2
+    bad = [r for r in permissive if r["InvoiceNo"] == "536366"][0]
+    assert bad["Quantity"] is None  # coerced, row kept
+
+    dropped = (
+        spark.read.option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .schema(RAW_INVOICES)
+        .csv(str(p))
+        .collect()
+    )
+    assert [r["InvoiceNo"] for r in dropped] == ["536365"]
