@@ -675,3 +675,62 @@ GROUP BY o_orderpriority
 def op_sql_api(spark, sf_dir):
     load_tables(spark, sf_dir)  # registers temp views
     return spark.sql(_SQL_API_QUERY)
+
+
+@register(
+    "op_from_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS absent
+    FROM events
+    """,
+    doc="nested-data family: from_json into a typed struct + field access "
+    "(missing keys → NULL). The struct parse happens once per row; "
+    "repeated get_json_object calls would re-parse per field.",
+)
+def op_from_json_struct(spark, sf_dir):
+    e = load_tables(spark, sf_dir).table("events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "k INT, missing INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") * 2).alias("k_doubled"),
+        F.col("p.missing").alias("absent"),
+    )
+
+
+@register(
+    "op_array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_val,
+           embedding[len(embedding)] AS last_val,
+           list_sort(embedding)[1] AS min_val,
+           list_sort(embedding)[len(embedding)] AS max_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           list_reverse(embedding)[1] AS reversed_first
+    FROM embeddings
+    """,
+    doc="array family: size/index/sort/filter/reverse over the embedding "
+    "column — all codegen'd array kernels, no UDFs",
+)
+def op_array_functions(spark, sf_dir):
+    e = load_tables(spark, sf_dir).table("embeddings")
+    emb = F.col("embedding")
+    sorted_ = F.array_sort(emb)
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.element_at(emb, F.size(emb)).alias("last_val"),
+        F.element_at(sorted_, 1).alias("min_val"),
+        F.element_at(sorted_, F.size(emb)).alias("max_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.element_at(F.reverse(emb), 1).alias("reversed_first"),
+    )
