@@ -51,10 +51,15 @@ def main() -> None:
     warmup = time.time() - t0
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        t = time.time()
-        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t, 3)
+        runs = []
+        for _ in range(2):  # first run pays one-time broadcast/scan setup
+            t = time.time()
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)  # steady-state
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -70,6 +75,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "warmup_sec": round(warmup, 3),
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
         )

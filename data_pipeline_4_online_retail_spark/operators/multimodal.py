@@ -143,3 +143,81 @@ def mm_binary_metadata(spark, sf_dir):
 def mm_image_features_fake(spark, sf_dir):
     docs = load_tables(spark, sf_dir).table("documents")
     return extract_image_features(documents_as_media(docs), fake=True)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), False),
+        T.StructField("frame_digest", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling: one input row → N frame rows (the video
+    1→N expansion shape). The stub 'decoder' slices the byte stream into
+    fixed windows; a real implementation seeks keyframes with pyav/ffmpeg
+    behind the same batch signature.
+
+    Scale: output is bounded (max_frames per doc), so the stage's fan-out
+    is controlled; downstream per-frame feature extraction parallelizes by
+    repartitioning the frames table.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires pyav/ffmpeg, not present in this "
+            "environment; fake=True slices deterministic byte windows"
+        )
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                for i in range(min(max_frames, max(len(data) // every_n_bytes, 0))):
+                    frame = data[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            frame,
+                            hashlib.md5(frame).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_digest"]
+            )
+
+    return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH frames AS (
+        SELECT doc_id,
+               unnest(range(least(octet_length(encode(text)) // 64, 8))) AS frame_idx,
+               text
+        FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_digest
+    FROM frames
+    """,
+    doc="multimodal: frame-sampling plumbing — 1 media row → N frame rows "
+    "through mapInPandas (stub decoder slices 64-byte windows; the "
+    "oracle re-derives the same windows and digests in SQL). Real "
+    "keyframe decode drops in behind the same batch signature.",
+)
+def mm_frame_sample(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents")
+    frames = sample_frames(documents_as_media(docs), fake=True)
+    return frames.select("doc_id", "frame_idx", "frame_digest")

@@ -189,29 +189,49 @@ def lsh_bucket(col, planes: list[list[float]]):
 @register(
     "sim_ann_lsh",
     None,
-    doc="similarity search: random-hyperplane LSH top-10 — 8 sign bits "
-    "bucket the corpus (~1/256 of candidates scanned); query probes its "
-    "own bucket. Recall vs brute force asserted in tests.",
+    doc="similarity search: multi-table random-hyperplane LSH top-10 — "
+    "L=12 tables of k=6 sign bits each. A neighbor at cosine c matches "
+    "one table with ((1-acos(c)/pi))^k and any of L tables with "
+    "1-(1-p)^L (~0.5 at c=0.4 while scanning ~L/2^k = 19% of the "
+    "corpus); recall and scan fraction are asserted in tests. Single-"
+    "table/high-bit variants trade the same knobs the other way.",
 )
 def sim_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     dim = len(emb.head()["embedding"])
-    planes = _hyperplanes(dim, 8)
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-    qrow = F.broadcast(
-        bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    n_tables, k = 12, 6
+    planes = _hyperplanes(dim, n_tables * k)
+    tables = [planes[t * k : (t + 1) * k] for t in range(n_tables)]
+    buckets = F.array(
+        *[lsh_bucket(F.col("embedding"), tables[t]) for t in range(n_tables)]
+    )
+    entries = emb.select(
+        "vec_id", "label", "embedding",
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+    q_entries = F.broadcast(
+        entries.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("tbl").alias("qtbl"),
+            F.col("bucket").alias("qbucket"),
+            F.col("embedding").alias("qv"),
         )
     )
-    scored = (
-        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(qrow)
-        .filter(F.col("bucket") == F.col("qbucket"))
-        .select("vec_id", "label", cosine_similarity("embedding", "qv").alias("cos"))
+    cand = (
+        entries.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            q_entries,
+            (F.col("tbl") == F.col("qtbl")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .select("vec_id", "label", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
+    )
+    scored = cand.select(
+        "vec_id", "label", cosine_similarity("embedding", "qv").alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(TOP_K).select(
         "vec_id", "label"
     )
+
 
 
 @register(
