@@ -8,11 +8,13 @@ collects to the driver.
 Scale design (what shuffles, and how wide):
 - exact dedup groups by md5(text): the shuffle carries a 32-byte digest,
   never document bodies;
-- MinHash signatures and SimHash fingerprints are **map-side only** —
-  array higher-order functions (``transform``/``array_min``/``aggregate``)
-  over the per-row shingle array, no explode, no groupBy. The only
-  shuffles are (a) the LSH band join, whose rows are
-  (doc_id, band_idx, band_hash) — fixed width regardless of document
+- MinHash signatures are map-side array expressions
+  (``transform``/``array_min`` over the per-row shingle array — no
+  shuffle); SimHash computes its 64 bit-sums through explode +
+  partial-aggregated groupBy (the shuffle carries one 64-long row per
+  doc per partition, and the columnar agg loop beats 64 per-row array
+  folds ~2×). The other shuffles are (a) the LSH band join, whose rows
+  are (doc_id, band_idx, band_hash) — fixed width regardless of document
   size — and (b) candidate verification, which joins the candidate pair
   list (tiny by construction) back to shingle arrays and intersects
   map-side;
@@ -372,25 +374,27 @@ def dedup_minhash_lsh_fast(spark, sf_dir):
 
 
 def simhash64(sharr: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc, **map-side**: hash each shingle once
-    (transform, materialized in its own projection — lambdas get no CSE,
-    so an inlined transform would re-hash every shingle 64×), then for
-    each bit j fold ±1 contributions with ``aggregate``; bit j of the
-    fingerprint = sign of the sum."""
+    """64-bit SimHash per doc: hash each shingle once, then for each bit j
+    sum ±1 contributions; bit j of the fingerprint = sign of the sum.
+
+    Formulated as explode + groupBy(doc_id) with 64 conditional sums:
+    Catalyst's partial aggregation computes the sums map-side, so the
+    shuffle carries one 64-long row per (doc, partition) — effectively
+    map-side at scale, and ~2× faster than 64 per-row array folds
+    (columnar agg loop vs repeated array iteration)."""
     hashed = sharr.select(
         "doc_id",
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes"),
+        F.explode(F.transform(F.col("shingles"), lambda s: F.xxhash64(s))).alias("h"),
     )
-
-    def bit_sum(j: int):
-        return F.aggregate(
-            F.col("hashes"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ).alias(f"b{j}")
-
-    sums = hashed.select("doc_id", *[bit_sum(j) for j in range(64)])
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
     fingerprint = None
     for j in range(64):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
