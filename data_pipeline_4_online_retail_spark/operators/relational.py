@@ -673,7 +673,11 @@ GROUP BY o_orderpriority
     "dialect-shared subset is engine-portable verbatim",
 )
 def op_sql_api(spark, sf_dir):
-    load_tables(spark, sf_dir)  # registers temp views
+    cat = load_tables(spark, sf_dir)
+    # re-register this catalog's view explicitly: the memoized catalog only
+    # registers temp views on first load, so after another scale factor has
+    # been loaded in the same session the global view could point elsewhere
+    cat.table("orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_API_QUERY)
 
 
