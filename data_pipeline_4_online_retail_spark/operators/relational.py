@@ -738,3 +738,59 @@ def op_array_functions(spark, sf_dir):
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
         F.element_at(F.reverse(emb), 1).alias("reversed_first"),
     )
+
+
+@register(
+    "op_table_profile",
+    """
+    SELECT 'doc_id' AS column_name, COUNT(*) AS row_count,
+           COUNT(*) - COUNT(doc_id) AS null_count,
+           COUNT(DISTINCT doc_id) AS distinct_count,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    doc="table profiling: per-column null/distinct/min/max stats in one "
+    "result — the dataset-health report a curation pipeline runs before "
+    "training. Spark computes every column's stats in a single scan "
+    "(one multi-aggregate) and unpivots, rather than one pass per column.",
+)
+def op_table_profile(spark, sf_dir):
+    d = load_tables(spark, sf_dir).table("documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    profiles = [
+        one.select(
+            F.lit(c).alias("column_name"),
+            F.col("row_count"),
+            F.col(f"{c}__nulls").alias("null_count"),
+            F.col(f"{c}__distinct").alias("distinct_count"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = profiles[0]
+    for pdf in profiles[1:]:
+        out = out.unionByName(pdf)
+    return out
