@@ -34,7 +34,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {TUMBLE_SECONDS}) AS BIGINT) * {TUMBLE_SECONDS}) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -51,7 +51,7 @@ def ev_tumbling_window(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
@@ -67,7 +67,7 @@ def ev_tumbling_window(spark, sf_dir):
         SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {HOP_SECONDS}) AS BIGINT) * {HOP_SECONDS} - {HOP_SECONDS}) AS TIMESTAMP), value FROM events
     )
     SELECT window_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM assigned
     GROUP BY 1
     """,
@@ -84,7 +84,7 @@ def ev_hopping_window(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
@@ -95,7 +95,7 @@ def ev_hopping_window(spark, sf_dir):
     "ev_session_window",
     f"""
     WITH ordered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 5 MINUTE OR
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -103,8 +103,11 @@ def ev_hopping_window(spark, sf_dir):
         FROM events
     ),
     sessions AS (
+        -- same deterministic (ts, event_id) ordering as the LAG above:
+        -- rows tied on ts at a session boundary must land on the same
+        -- side of the is_new=1 row in both windows
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM ordered
     )
@@ -177,17 +180,17 @@ def ev_interval_join(spark, sf_dir):
     r1 AS (
         SELECT '1m' AS resolution, CAST(to_timestamp(m1) AS TIMESTAMP) AS bucket_start,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM base GROUP BY m1
     ),
     r10 AS (
         SELECT '10m', CAST(to_timestamp(CAST(floor(epoch(ts)/600) AS BIGINT)*600) AS TIMESTAMP),
-               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         FROM events GROUP BY 2
     ),
     r60 AS (
         SELECT '1h', CAST(to_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600) AS TIMESTAMP),
-               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         FROM events GROUP BY 2
     )
     SELECT * FROM r1 UNION ALL SELECT * FROM r10 UNION ALL SELECT * FROM r60
@@ -216,14 +219,14 @@ def ev_multi_resolution_rollup(spark, sf_dir):
         )
         return df.groupBy(bucket.alias("bucket_start")).agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("_sum").cast("decimal(18,2)").alias("total_value"),
+            F.sum("_sum").cast("decimal(18,2)").cast("double").alias("total_value"),
         ).select(F.lit(label).alias("resolution"), "bucket_start", "n_events", "total_value")
 
     r1 = minute.select(
         F.lit("1m").alias("resolution"),
         F.col("m1").alias("bucket_start"),
         "n_events",
-        F.col("_sum").cast("decimal(18,2)").alias("total_value"),
+        F.col("_sum").cast("decimal(18,2)").cast("double").alias("total_value"),
     )
     return r1.unionByName(tier(minute, "10m", 600)).unionByName(
         tier(minute, "1h", 3600)

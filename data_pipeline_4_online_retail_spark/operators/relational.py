@@ -209,16 +209,18 @@ def op_dedup_row_number(spark, sf_dir):
     "op_window_running_sum",
     """
     SELECT l_orderkey, l_linenumber, l_partkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) OVER (
                PARTITION BY l_orderkey
                ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DECIMAL(18,4)) AS running_revenue
+             AS DECIMAL(18,4)) AS DOUBLE) AS running_revenue
     FROM lineitem
     """,
     doc="window extension: explicit ROWS frame running total. DECIMAL "
     "accumulator (exact, order-stable) over a fully-deterministic sort key "
-    "— (l_orderkey, l_linenumber) alone is NOT unique in this data.",
+    "— (l_orderkey, l_linenumber) alone is NOT unique in this data. "
+    "Final cast to DOUBLE: driver-visible outputs stay pandas-native "
+    "(plans/star.py float discipline).",
 )
 def op_window_running_sum(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -232,9 +234,11 @@ def op_window_running_sum(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        F.sum(rev.cast("decimal(18,4)")).over(w).cast("decimal(18,4)").alias(
-            "running_revenue"
-        ),
+        F.sum(rev.cast("decimal(18,4)"))
+        .over(w)
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("running_revenue"),
     )
 
 
@@ -298,7 +302,7 @@ def op_window_rank(spark, sf_dir):
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
@@ -312,7 +316,7 @@ def op_agg_group_multi(spark, sf_dir):
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(dec).cast("decimal(18,2)").alias("sum_price"),
+        F.sum(dec).cast("decimal(18,2)").cast("double").alias("sum_price"),
         (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
@@ -355,9 +359,9 @@ def op_agg_rollup(spark, sf_dir):
     "op_agg_conditional_pivot",
     """
     SELECT o_orderpriority,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS f_total,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS o_total,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS p_total
+           CAST(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS DOUBLE) AS f_total,
+           CAST(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS DOUBLE) AS o_total,
+           CAST(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS DOUBLE) AS p_total
     FROM orders GROUP BY o_orderpriority
     """,
     doc="aggregation extension: pivot as conditional aggregation "
@@ -371,6 +375,7 @@ def op_agg_conditional_pivot(spark, sf_dir):
         return (
             F.coalesce(F.sum(F.when(F.col("o_orderstatus") == status, dec)), F.lit(0))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias(alias)
         )
 
@@ -590,7 +595,7 @@ def op_datetime_roundtrip(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events GROUP BY event_type
     """,
@@ -658,7 +663,7 @@ def op_group_topk(spark, sf_dir):
 _SQL_API_QUERY = """
 SELECT o_orderpriority,
        COUNT(DISTINCT o_custkey) AS n_customers,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
 GROUP BY o_orderpriority

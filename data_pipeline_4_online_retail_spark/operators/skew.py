@@ -54,7 +54,9 @@ def salted_aggregate(
         )
     )
     return partial.groupBy(key).agg(
-        F.sum("_psum").cast("decimal(18,2)").alias("total_value"),
+        # exact decimal re-aggregation; final cast to double keeps the
+        # driver-visible output pandas-native (plans/star.py discipline)
+        F.sum("_psum").cast("decimal(18,2)").cast("double").alias("total_value"),
         F.sum("_pcnt").alias("n_rows"),
     )
 
@@ -63,7 +65,7 @@ def salted_aggregate(
     "skew_salted_aggregate",
     """
     SELECT o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            COUNT(*) AS n_rows
     FROM orders GROUP BY o_custkey
     """,
@@ -100,7 +102,7 @@ def salted_broadcast_skew_join(
     "skew_salted_join",
     """
     SELECT o_orderkey, o_custkey, c_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY o_orderkey, o_custkey, c_name
     """,
@@ -117,6 +119,6 @@ def skew_salted_join(spark, sf_dir):
     )
     return joined.groupBy("o_orderkey", "o_custkey", "c_name").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total")
     )

@@ -148,13 +148,18 @@ def fct_invoice_line_value(cat: Catalog) -> DataFrame:
         F.col("Quantity").alias("quantity"),
         (F.col("Quantity") * F.col("UnitPrice")).alias("total_price"),
     )
+    # No broadcast hints: dim_invoice/dim_product/dim_datetime all grow
+    # with the data (one row per invoice/product/timestamp), so a forced
+    # broadcast is a guaranteed driver OOM at scale. AQE converts any
+    # runtime-small side to broadcast on its own (star tier policy,
+    # plans/star.py:16-21).
     dt = cat.table("dim_datetime").select("date_key")
     dp = cat.table("dim_product").select("product_key")
     di = cat.table("dim_invoice").select("invoice_key")
     return (
-        fct.join(F.broadcast(dt), "date_key", "inner")
-        .join(F.broadcast(dp), "product_key", "inner")
-        .join(F.broadcast(di), "invoice_key", "inner")
+        fct.join(dt, "date_key", "inner")
+        .join(dp, "product_key", "inner")
+        .join(di, "invoice_key", "inner")
         .select("invoice_key", "date_key", "product_key", "quantity", "total_price")
     )
 
@@ -166,8 +171,8 @@ def report_customer_invoices(cat: Catalog) -> DataFrame:
     di = cat.table("dim_invoice").select("invoice_key", "customer_key")
     dc = cat.table("dim_customer").select("customer_key", "country", "iso")
     return (
-        fct.join(F.broadcast(di), "invoice_key", "inner")
-        .join(F.broadcast(dc), "customer_key", "inner")
+        fct.join(di, "invoice_key", "inner")
+        .join(dc, "customer_key", "inner")
         .groupBy("country", "iso")
         .agg(
             F.count("invoice_key").alias("total_invoices"),
@@ -183,7 +188,7 @@ def report_product_invoices(cat: Catalog) -> DataFrame:
     fct = cat.table("fct_invoice_line_value")
     dp = cat.table("dim_product")
     return (
-        fct.join(F.broadcast(dp), "product_key", "inner")
+        fct.join(dp, "product_key", "inner")
         .groupBy("product_key", "stock_code", "description")
         .agg(F.sum("quantity").alias("total_quantity_sold"))
         .orderBy(F.desc("total_quantity_sold"))
@@ -197,7 +202,7 @@ def report_year_invoices(cat: Catalog) -> DataFrame:
     fct = cat.table("fct_invoice_line_value")
     dt = cat.table("dim_datetime").select("date_key", "year", "month")
     return (
-        fct.join(F.broadcast(dt), "date_key", "inner")
+        fct.join(dt, "date_key", "inner")
         .groupBy("year", "month")
         .agg(
             F.countDistinct("invoice_key").alias("num_invoices"),

@@ -11,7 +11,10 @@ end-to-end differential test of the ported pipeline.
 Money sums cross engines via CAST(...AS DECIMAL(18,2)) of the final
 aggregate — fixture revenues are exact 2-decimal grid points, so the cast
 is stable while the models themselves keep the reference's raw double
-arithmetic.
+arithmetic. The decimal is then cast to DOUBLE (and integer sums to
+BIGINT) so driver-visible outputs stay pandas-native on both engines
+(plans/star.py float discipline — DuckDB DECIMAL/HUGEINT pandas-convert
+asymmetrically vs Spark).
 """
 
 from __future__ import annotations
@@ -157,7 +160,9 @@ def _model_query(table: str, adapter=None):
 
 
 def _dec2(col: str):
-    return F.col(col).cast("decimal(18,2)").alias(col)
+    # decimal(18,2) snaps the double sum to the exact cent grid; the final
+    # double cast keeps the driver-visible column pandas-native
+    return F.col(col).cast("decimal(18,2)").cast("double").alias(col)
 
 
 register(
@@ -198,7 +203,7 @@ register(
     f"""{_PIPELINE_CTE}
 SELECT dc.country, dc.iso,
        COUNT(fi.invoice_key) AS total_invoices,
-       CAST(SUM(fi.total_price) AS DECIMAL(18,2)) AS total_revenue
+       CAST(CAST(SUM(fi.total_price) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
 FROM fct_invoice_line_value fi
 JOIN dim_invoice di ON fi.invoice_key = di.invoice_key
 JOIN dim_customer dc ON di.customer_key = dc.customer_key
@@ -219,7 +224,7 @@ register(
     "retail_report_product_invoices",
     f"""{_PIPELINE_CTE}
 SELECT p.product_key, p.stock_code, p.description,
-       SUM(fi.quantity) AS total_quantity_sold
+       CAST(SUM(fi.quantity) AS BIGINT) AS total_quantity_sold
 FROM fct_invoice_line_value fi
 JOIN dim_product p ON fi.product_key = p.product_key
 GROUP BY p.product_key, p.stock_code, p.description
@@ -234,7 +239,7 @@ register(
     f"""{_PIPELINE_CTE}
 SELECT dt.year, dt.month,
        COUNT(DISTINCT fi.invoice_key) AS num_invoices,
-       CAST(SUM(fi.total_price) AS DECIMAL(18,2)) AS total_revenue
+       CAST(CAST(SUM(fi.total_price) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
 FROM fct_invoice_line_value fi
 JOIN dim_datetime dt ON fi.date_key = dt.date_key
 GROUP BY dt.year, dt.month

@@ -77,9 +77,17 @@ REVENUE = "l_extendedprice * (1 - l_discount)"
 #   for values like x.xx5),
 # - SUM(double) is partition-order-dependent → sum exact DECIMALs instead,
 # - AVG → exact decimal sum cast to double, divided by count (one double
-#   division on identical operands → bit-identical).
+#   division on identical operands → bit-identical),
+# - driver-visible outputs must be pandas-NATIVE types (int64/float64/
+#   string/timestamp): DECIMAL survives Spark→pandas as Decimal objects but
+#   DuckDB→pandas as float64, so any value with a trailing zero in its
+#   scale ('100.50' vs 100.5) hash-mismatches in the driver's
+#   canonicalizer even when the engines agree exactly. Accumulate in
+#   DECIMAL (exact, order-free), then cast the FINAL aggregate to DOUBLE
+#   on both sides — the unscaled values stay < 2^53, so decimal→double is
+#   the same correctly-rounded IEEE value in both engines.
 SUM_REVENUE_SQL = (
-    f"CAST(SUM(CAST({REVENUE} AS DECIMAL(18,4))) AS DECIMAL(18,4))"
+    f"CAST(CAST(SUM(CAST({REVENUE} AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)"
 )
 
 
@@ -88,7 +96,9 @@ def revenue_col() -> F.Column:
 
 
 def sum_revenue_col() -> F.Column:
-    return F.sum(revenue_col().cast("decimal(18,4)")).cast("decimal(18,4)")
+    return (
+        F.sum(revenue_col().cast("decimal(18,4)")).cast("decimal(18,4)").cast("double")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,36 @@ def test_flagship_plan_shape(spark):
     assert "SortMergeJoin" not in plan  # all dims broadcast at this SF
 
 
+def test_retail_pipeline_no_unbounded_broadcast(spark):
+    """With autoBroadcastJoinThreshold=-1, no fact→dim join in the retail
+    tier may plan a BroadcastHashJoin: dim_invoice/dim_product/dim_datetime
+    grow with the data, so an explicit broadcast hint there is a driver OOM
+    at scale. The only permitted broadcast is the bounded country seed
+    (keyed on the country display name)."""
+    from data_pipeline_4_online_retail_spark.pipeline import run_retail_pipeline
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cat = run_retail_pipeline(spark)
+        dim_keys = ("invoice_key", "product_key", "date_key", "customer_key")
+        for table in (
+            "fct_invoice_line_value",
+            "report_customer_invoices",
+            "report_product_invoices",
+            "report_year_invoices",
+        ):
+            plan = _plan(cat.table(table))
+            for line in plan.splitlines():
+                if "BroadcastHashJoin" in line:
+                    assert not any(k in line for k in dim_keys), (table, line)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_window_topk_avoids_full_sort(spark, catalog):
     """ORDER BY + LIMIT plans as TakeOrderedAndProject, not Sort+Limit."""
     df = (

@@ -7,7 +7,14 @@ parquet files, and compares:
 - row count,
 - schema (sorted column names),
 - order-insensitive value hash (per-row canonical string, doubles rounded
-  to 6 significant-stable decimals, rows sorted).
+  to 6 significant-stable decimals, rows sorted),
+- driver-safe output types: DECIMAL (either engine) and DuckDB HUGEINT
+  are flagged as failures even when values match — the driver's pandas
+  canonicalizer converts them asymmetrically (DuckDB DECIMAL→float64 vs
+  Spark DECIMAL→object Decimal; SUM(INT)→HUGEINT), so trailing-zero
+  values hash-mismatch (the r1 star_report_year/op_json_extract class).
+  Accumulate in DECIMAL, cast the final aggregate to DOUBLE/BIGINT on
+  both sides.
 
 Usage:  python tools/oracle_check.py [sf_dir] [query_name ...]
 """
@@ -105,6 +112,25 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
+        from pyspark.sql import types as _T
+
+        bad_spark = [
+            f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, _T.DecimalType)
+        ]
+        if bad_spark:
+            problems.append(f"driver-unsafe Spark DECIMAL output: {bad_spark}")
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            bad_duck = [
+                (cname, ctype)
+                for cname, ctype, *_ in desc
+                if "DECIMAL" in str(ctype).upper() or "HUGEINT" in str(ctype).upper()
+            ]
+            if bad_duck:
+                problems.append(f"driver-unsafe DuckDB output types: {bad_duck}")
+        except Exception:  # noqa: BLE001  (DESCRIBE unsupported → skip audit)
+            pass
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
