@@ -196,7 +196,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # (groupBy-count over colliding pairs) — cheaper than materializing the
     # huge distinct pair list and re-intersecting arrays.
     docs = _docs(spark, sf_dir)
-    sh = exploded_shingles(docs)
+    # three plan branches (self-join a/b + sizes) read the exploded
+    # shingles — persist so shingling runs once
+    sh = exploded_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -252,13 +254,44 @@ def minhash_signature_xxhash64(
     return sharr.select("doc_id", *[h(i) for i in range(n_hashes)])
 
 
+def _sig_hash_count(sig: DataFrame) -> int:
+    """Hash count derived from the signature itself (h0..h{n-1} columns),
+    so banding stays consistent with whatever n_hashes built the
+    signature — not the module default."""
+    n = sum(1 for c in sig.columns if c.startswith("h") and c[1:].isdigit())
+    if n == 0:
+        raise ValueError(f"no h<i> signature columns in {sig.columns}")
+    return n
+
+
+def _band_self_join(banded: DataFrame) -> DataFrame:
+    """Self-join a persisted (doc_id, band_idx, band_hash) table into
+    distinct candidate pairs. The banded table is persisted first: both
+    join branches (and nothing upstream) then read the materialized
+    buckets, so shingling + signatures are computed exactly once per
+    query instead of once per plan branch."""
+    banded = banded.persist()
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Band the signature, bucket-join on (band_idx, band_hash).
 
     Only (doc_id, band_idx, band_hash) shuffles — fixed width regardless of
     document size. Docs sharing ≥1 band become candidates.
     """
-    rows = N_HASHES // n_bands
+    rows = _sig_hash_count(sig) // n_bands
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)]))
@@ -266,24 +299,13 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
         ]
     )
     banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
-    x = banded.alias("x")
-    y = banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _band_self_join(banded)
 
 
 def lsh_candidate_pairs_long(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Band join for long-typed signatures: band hash = xxhash64 over the
     band's minhash columns (8-byte keys end-to-end, no string building)."""
-    rows = N_HASHES // n_bands
+    rows = _sig_hash_count(sig) // n_bands
     bands = F.array(
         *[
             F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
@@ -291,18 +313,7 @@ def lsh_candidate_pairs_long(sig: DataFrame, n_bands: int = N_BANDS) -> DataFram
         ]
     )
     banded = sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
-    x = banded.alias("x")
-    y = banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _band_self_join(banded)
 
 
 _MINHASH_MINS_SQL = ",\n".join(
@@ -346,7 +357,10 @@ WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
     "DuckDB; minhash_signature_xxhash64 is the cheaper production variant.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    sharr = shingled_docs(_docs(spark, sf_dir))
+    # Persist the shingle arrays: they feed the signature once and the
+    # verification join twice; without the cache each plan branch re-reads
+    # documents and re-shingles (4 full scans measured in r1's PLANS.md).
+    sharr = shingled_docs(_docs(spark, sf_dir)).persist()
     sig = minhash_signature_md5(sharr)
     cand = lsh_candidate_pairs(sig)
     return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
@@ -362,7 +376,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     "and verification as dedup_minhash_lsh.",
 )
 def dedup_minhash_lsh_fast(spark, sf_dir):
-    sharr = shingled_docs(_docs(spark, sf_dir))
+    sharr = shingled_docs(_docs(spark, sf_dir)).persist()
     sig = minhash_signature_xxhash64(sharr)
     cand = lsh_candidate_pairs_long(sig)
     return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
@@ -405,35 +419,62 @@ def simhash64(sharr: DataFrame) -> DataFrame:
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+# SimHash candidate banding (Manku et al., WWW'07 block-permutation idea):
+# split the 64-bit fingerprint into 5 chunks (13+13+13+13+12 bits) and key
+# each doc under every pair of chunks — C(5,2) = 10 band keys of ~26 bits.
+# Guarantee: hamming ≤ 3 means the 3 differing bits dirty at most 3 of the
+# 5 chunks, leaving ≥ 2 clean chunks, so at least one of the 10 pair-keys
+# matches. vs the old 4×16-bit single-chunk scheme (hamming ≤ 3 ⇒ ≥ 1
+# clean chunk) the keys are ~26-bit instead of 16-bit: ~2¹⁰× fewer random
+# bucket collisions per band at 2.5× the banded rows — the distinct-pair
+# blowup that dominated r1's 5.9s sf0.1 run collapses.
+SIMHASH_CHUNK_BITS = (13, 13, 13, 13, 12)
+
+
+def _simhash_chunk_cols(col: Column) -> list[Column]:
+    cols, off = [], 0
+    for width in SIMHASH_CHUNK_BITS:
+        cols.append(F.shiftright(col, off).bitwiseAND(F.lit((1 << width) - 1)))
+        off += width
+    return cols
+
+
+def simhash_band_keys(col: Column) -> list[Column]:
+    """One xxhash64 key per chunk-pair; the pair index is folded into the
+    hash so keys from different pairs never collide."""
+    from itertools import combinations
+
+    chunks = _simhash_chunk_cols(col)
+    return [
+        F.xxhash64(chunks[i], chunks[j], F.lit(k))
+        for k, (i, j) in enumerate(combinations(range(len(chunks)), 2))
+    ]
+
+
 @register(
     "dedup_simhash",
     None,  # xxhash64 has no DuckDB equivalent → rows-only check
     doc="near-dup: 64-bit SimHash fingerprints; Hamming-distance ≤ 3 pairs "
-    "via 4×16-bit chunk LSH (pigeonhole: ≤3 differing bits leave ≥1 of 4 "
-    "chunks identical), candidates verified by exact popcount.",
+    "via chunk-pair LSH (5 chunks, C(5,2)=10 ~26-bit band keys; ≤3 "
+    "differing bits leave ≥2 clean chunks ⇒ ≥1 matching pair-key), "
+    "candidates verified by exact popcount.",
 )
 def dedup_simhash(spark, sf_dir):
     fp = simhash64(shingled_docs(_docs(spark, sf_dir)))
-    # chunk LSH: 4 chunks of 16 bits; hamming ≤ 3 guarantees ≥1 equal chunk
-    chunks = fp.select(
+    banded = fp.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    x = chunks.alias("x")
-    y = chunks.alias("y")
+        F.posexplode(F.array(*simhash_band_keys(F.col("simhash")))).alias(
+            "band_idx", "band_key"
+        ),
+    ).persist()
+    x = banded.alias("x")
+    y = banded.alias("y")
     cand = (
         x.join(
             y,
-            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(

@@ -53,6 +53,31 @@ def test_xxhash_minhash_matches_md5_minhash(spark, catalog):
         assert len(xx_pairs) >= 0.5 * len(exact)
 
 
+def test_simhash_banding_finds_all_hamming3_pairs(spark, catalog):
+    """The chunk-pair LSH (5 chunks, C(5,2)=10 band keys) must recover
+    EXACTLY the brute-force hamming ≤ 3 pair set — the pigeonhole
+    guarantee (≤3 dirty bits ⇒ ≥2 clean chunks ⇒ ≥1 matching pair-key)
+    is a completeness proof, not a heuristic."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_simhash,
+        shingled_docs as _sd,
+    )
+
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64(_sd(catalog.table("documents"))).collect()
+    }
+    ids = sorted(fp)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    banded = {(r["doc_a"], r["doc_b"]) for r in dedup_simhash(spark, SF_DIR).collect()}
+    assert banded == brute
+
+
 def test_simhash_is_deterministic_and_near_dups_close(spark, catalog):
     sharr = shingled_docs(catalog.table("documents"))
     fp1 = {r["doc_id"]: r["simhash"] for r in simhash64(sharr).collect()}
