@@ -52,7 +52,8 @@ def test_country_seed_alter_semantics(spark):
     seed = build_country_seed(spark)
     assert seed.columns == ["iso", "name", "iso3", "numcode", "phonecode"]
     rows = {r["iso"]: r for r in seed.collect()}
-    assert len(rows) == len(COUNTRY_ROWS)
+    # full literal parity with the reference's 239-row public ISO list
+    assert len(rows) == len(COUNTRY_ROWS) == 239
     # rename kept the display-case name (nicename), not the uppercase one
     assert rows["GB"]["name"] == "United Kingdom"
     # NULL iso3/numcode branch (Antarctica row)
