@@ -207,6 +207,7 @@ def sample_frames(
                unnest(range(least(octet_length(encode(text)) // 64, 8))) AS frame_idx,
                text
         FROM documents
+        WHERE length(text) = octet_length(encode(text))
     )
     SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
            md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_digest
@@ -215,9 +216,18 @@ def sample_frames(
     doc="multimodal: frame-sampling plumbing — 1 media row → N frame rows "
     "through mapInPandas (stub decoder slices 64-byte windows; the "
     "oracle re-derives the same windows and digests in SQL). Real "
-    "keyframe decode drops in behind the same batch signature.",
+    "keyframe decode drops in behind the same batch signature. Both "
+    "sides restrict to ASCII docs (char length == byte length): the stub "
+    "slices BYTES while SQL substring slices CHARACTERS, and DuckDB has "
+    "no BLOB substring/md5 — on the ASCII subset the two are provably "
+    "identical for any input, instead of accidentally identical on "
+    "ASCII-only fixtures.",
 )
 def mm_frame_sample(spark, sf_dir):
-    docs = load_tables(spark, sf_dir).table("documents")
+    docs = (
+        load_tables(spark, sf_dir)
+        .table("documents")
+        .filter(F.length("text") == F.octet_length("text"))
+    )
     frames = sample_frames(documents_as_media(docs), fake=True)
     return frames.select("doc_id", "frame_idx", "frame_digest")

@@ -526,7 +526,9 @@ def op_set_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return a.exceptAll(b).distinct()
+    # subtract = SQL EXCEPT (distinct) — exceptAll().distinct() is NOT the
+    # same: for a=[x,x], b=[x] it keeps x while EXCEPT drops it
+    return a.subtract(b)
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ logic verification.
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import timedelta
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -43,9 +43,18 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+_GAP_US = int(SESSION_GAP.total_seconds() * 1_000_000)
+
+
 def _update_user_sessions(key, pdf_iter, state: GroupState):
     """State update function: fold this micro-batch's events for one user
-    into (total events, session count, last timestamp)."""
+    into (total events, session count, last timestamp).
+
+    Timestamps stay epoch MICROSECONDS end-to-end inside the state: mixing
+    pandas ``Timestamp.timestamp()`` (naive→UTC) with
+    ``datetime.fromtimestamp`` (epoch→LOCAL tz) shifts ``last`` by the
+    host's UTC offset on any non-UTC executor and misclassifies session
+    boundaries — integer epoch deltas have no timezone at all."""
     import pandas as pd
 
     (user_id,) = key
@@ -54,17 +63,15 @@ def _update_user_sessions(key, pdf_iter, state: GroupState):
     else:
         n_total, n_sessions, last_us = 0, 0, None
 
-    ts_list: list[datetime] = []
+    ts_us_list: list[int] = []
     for pdf in pdf_iter:
-        ts_list.extend(pdf["ts"].tolist())
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ts_us_list.extend(int(v) for v in ts_us)
         n_total += len(pdf)
-    for ts in sorted(ts_list):
-        last = (
-            datetime.fromtimestamp(last_us / 1e6) if last_us is not None else None
-        )
-        if last is None or (ts - last) > SESSION_GAP:
+    for ts_us in sorted(ts_us_list):
+        if last_us is None or (ts_us - last_us) > _GAP_US:
             n_sessions += 1
-        last_us = int(ts.timestamp() * 1e6)
+        last_us = ts_us
 
     state.update((n_total, n_sessions, last_us))
     try:
@@ -79,7 +86,8 @@ def _update_user_sessions(key, pdf_iter, state: GroupState):
                 user_id,
                 n_total,
                 n_sessions,
-                datetime.fromtimestamp(last_us / 1e6) if last_us else None,
+                # naive timestamp from epoch-us, no local-tz conversion
+                pd.Timestamp(last_us, unit="us") if last_us is not None else None,
             )
         ],
         columns=["user_id", "n_events_total", "n_sessions", "last_ts"],
