@@ -26,19 +26,30 @@ def main(argv: list[str] | None = None) -> int:
     from data_pipeline_4_online_retail_spark.pipeline import run_retail_pipeline
     from data_pipeline_4_online_retail_spark.plans.retail import MODELS
     from data_pipeline_4_online_retail_spark.session import get_spark
+    from data_pipeline_4_online_retail_spark.sources.country_seed import (
+        build_country_seed,
+    )
     from data_pipeline_4_online_retail_spark.sources.io import read_csv
     from data_pipeline_4_online_retail_spark.sources.schemas import RAW_INVOICES
 
     spark = get_spark("retail-pipeline-cli")
 
     raw_loader = None
+    country_loader = None
     if args.csv:
         csv_path = args.csv
 
         def raw_loader(s):  # noqa: F811
             return read_csv(s, csv_path, RAW_INVOICES)
 
-    cat = run_retail_pipeline(spark, raw_loader=raw_loader)
+        # real-data mode pairs the CSV with the full 239-row ISO seed (the
+        # reference's country table); fixture mode keeps the small fixture
+        # lookup its oracles inline
+        country_loader = build_country_seed
+
+    cat = run_retail_pipeline(
+        spark, raw_loader=raw_loader, country_loader=country_loader
+    )
 
     os.makedirs(args.out, exist_ok=True)
     for name, _ in MODELS:

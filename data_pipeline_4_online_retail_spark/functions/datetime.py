@@ -16,14 +16,23 @@ from pyspark.sql import functions as F
 
 # BigQuery %m/%d/%Y %I:%M %p  ==  Java MM/dd/yyyy hh:mm a
 INVOICE_DATE_FMT = "MM/dd/yyyy hh:mm a"
+# The raw UCI download uses unpadded 24-hour strings ("12/1/2010 8:26");
+# the reference's pd.to_datetime auto-detects both forms
+# (dags/online_retail.py:38), so parsing tries canonical then raw.
+INVOICE_DATE_FMT_RAW = "M/d/yyyy H:mm"
 
 
 def parse_invoice_datetime(col: str | Column) -> Column:
     """String → timestamp; unparseable values become NULL regardless of
     session ANSI mode (try_to_timestamp — the explicit coerce form of
-    pd.to_datetime(errors='coerce'))."""
+    pd.to_datetime(errors='coerce')). Accepts the canonical AM/PM form
+    and the raw file's 24-hour form; the two are unambiguous (a trailing
+    AM/PM marker fails the 24h pattern and vice versa)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(c, F.lit(INVOICE_DATE_FMT))
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit(INVOICE_DATE_FMT)),
+        F.try_to_timestamp(c, F.lit(INVOICE_DATE_FMT_RAW)),
+    )
 
 
 def format_invoice_datetime(col: str | Column) -> Column:
