@@ -520,3 +520,131 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(cos >= COSINE_THRESHOLD)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Near-dup clustering (pairs → connected components → keeper)
+# ---------------------------------------------------------------------------
+#
+# Pair lists don't deduplicate a corpus by themselves: transitive chains
+# (A≈B, B≈C) must collapse into one cluster with a single kept document.
+# Spark side: iterative min-label propagation over the (small, verified)
+# pair graph — each iteration is one distributed join + aggregate; the
+# driver loop is pure control flow and runs O(cluster diameter) times
+# (near-dup clusters are shallow: diameter rarely exceeds a handful).
+# This is the simplified form of the large-star/small-star connected-
+# components algorithm (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC'14).
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in ``pairs``; cluster_id is the
+    minimum doc_id reachable through the pair graph. Iterates neighbor
+    min-label propagation to a fixpoint (asserted under ``max_iter``)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_ARRAY_CTE.strip()},
+sig AS (SELECT doc_id, {_MINHASH_MINS_SQL} FROM sharr),
+bands AS (SELECT doc_id, {_MINHASH_BANDS_SQL} FROM sig),
+banded AS (
+    SELECT doc_id, band_idx, band_hash FROM bands
+    UNPIVOT (band_hash FOR band_idx IN ({", ".join(f"band{b}" for b in range(N_BANDS))}))
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x JOIN banded y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM cand
+    JOIN sharr a ON doc_a = a.doc_id
+    JOIN sharr b ON doc_b = b.doc_id
+    WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id,
+       CAST(doc_id = MIN(r) AS BOOLEAN) AS is_keeper
+FROM reach GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTERS_SQL,
+    doc="near-dup clustering: the step that actually deduplicates — "
+    "verified MinHash/LSH pairs collapse into connected components via "
+    "iterative min-label propagation (one join+agg per round, "
+    "O(diameter) rounds), and the minimum doc_id of each component is "
+    "elected keeper. The DuckDB oracle recomputes the components as a "
+    "recursive-CTE transitive closure — an independent algorithm "
+    "reaching the same fixpoint.",
+)
+def dedup_clusters(spark, sf_dir):
+    sharr = shingled_docs(_docs(spark, sf_dir)).persist()
+    sig = minhash_signature_md5(sharr)
+    cand = lsh_candidate_pairs(sig)
+    pairs = jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD).persist()
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -53,6 +53,47 @@ def test_xxhash_minhash_matches_md5_minhash(spark, catalog):
         assert len(xx_pairs) >= 0.5 * len(exact)
 
 
+def test_connected_components_fixpoint(spark):
+    """Min-label propagation must collapse transitive chains, triangles,
+    and isolated pairs into their minimum-id components."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_covers_all_paired_docs(spark, catalog):
+    """Every doc appearing in a verified pair gets exactly one cluster
+    row; exactly one keeper per cluster; keeper is the min doc_id."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    pair_docs = set()
+    for a, b in _pairs(dedup_minhash_lsh(spark, SF_DIR)):
+        pair_docs |= {a, b}
+    rows = dedup_clusters(spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in rows} == pair_docs
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == cid == min(
+            r["doc_id"] for r in members
+        )
+
+
 def test_simhash_banding_finds_all_hamming3_pairs(spark, catalog):
     """The chunk-pair LSH (5 chunks, C(5,2)=10 band keys) must recover
     EXACTLY the brute-force hamming ≤ 3 pair set — the pigeonhole
