@@ -99,13 +99,13 @@ _DRIVER_PRIORITY = [
     "star_fct_invoice_line_value",
     "star_report_customer",
     "star_report_product",
-    # dedup + ANN (oracled representatives; dedup_embedding_cosine is the
-    # r1-driver-green O(n²) baseline and cedes its slot to the clustering
-    # step, which is new in r2)
+    # dedup + ANN (oracled representatives; the r1-driver-green O(n²)/
+    # O(pairs) baselines dedup_embedding_cosine + dedup_ngram_jaccard cede
+    # their slots to the r2-new clustering + corpus-apply steps)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_corpus",
     "sim_topk_bruteforce",
     "sim_topk_pandas_udf",
     "sim_ann_ivf",

@@ -589,8 +589,8 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-_CLUSTERS_SQL = f"""
-WITH RECURSIVE {SHINGLES_ARRAY_CTE.strip()},
+_CLUSTERS_CTES = f"""
+{SHINGLES_ARRAY_CTE.strip()},
 sig AS (SELECT doc_id, {_MINHASH_MINS_SQL} FROM sharr),
 bands AS (SELECT doc_id, {_MINHASH_BANDS_SQL} FROM sig),
 banded AS (
@@ -619,10 +619,17 @@ reach(doc_id, r) AS (
     SELECT src, src FROM edges
     UNION
     SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+),
+clusters AS (
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
 )
-SELECT doc_id, MIN(r) AS cluster_id,
-       CAST(doc_id = MIN(r) AS BOOLEAN) AS is_keeper
-FROM reach GROUP BY doc_id
+"""
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES.strip()}
+SELECT doc_id, cluster_id,
+       CAST(doc_id = cluster_id AS BOOLEAN) AS is_keeper
+FROM clusters
 """
 
 
@@ -647,4 +654,34 @@ def dedup_clusters(spark, sf_dir):
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+_CORPUS_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES.strip()}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+"""
+
+
+@register(
+    "dedup_corpus",
+    _CORPUS_SQL,
+    doc="the deduplicated corpus itself — the end product of the dedup "
+    "chain: documents LEFT-ANTI-joined against the non-keeper members of "
+    "every near-dup cluster (docs in no cluster pass through untouched). "
+    "At 100 TB the anti-join's right side is only the non-keeper id list "
+    "(8-byte longs, far smaller than the corpus) — broadcast or "
+    "shuffle-keyed, never the documents themselves.",
+)
+def dedup_corpus(spark, sf_dir):
+    drop = dedup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select(
+        "doc_id"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
     )

@@ -636,6 +636,29 @@ def op_deterministic_sample(spark, sf_dir):
 
 
 @register(
+    "op_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5(concat_ws(':', lang, CAST(doc_id AS VARCHAR)))
+          < CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+    """,
+    doc="deterministic stratified sampling — per-stratum rates via the "
+    "hash threshold (dominant 'en' stratum downsampled to ~12.5%, the "
+    "rest kept at ~50%): the class-rebalancing idiom for training-data "
+    "curation, with the same seed-free retry-stable hash discipline as "
+    "op_deterministic_sample. One scan, no shuffle, no per-stratum "
+    "passes (sampleBy needs fractions known up front; the hash form "
+    "composes with any CASE over the stratum columns).",
+)
+def op_stratified_sample(spark, sf_dir):
+    d = load_tables(spark, sf_dir).table("documents")
+    h = F.md5(F.concat_ws(":", "lang", F.col("doc_id").cast("string")))
+    rate = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
+    return d.filter(h < rate).select("doc_id", "lang")
+
+
+@register(
     "op_group_topk",
     """
     SELECT p_brand, p_partkey, p_retailprice

@@ -284,6 +284,104 @@ def sim_ann_lsh(spark, sf_dir):
 
 
 
+# ---------------------------------------------------------------------------
+# Embedding column ops (normalize / quantize) — the vector-preprocessing
+# steps a training pipeline runs before indexing or storage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_l2_normalize",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+        FROM v
+    )
+    SELECT vec_id, norm, list_transform(v, x -> x / norm) AS unit
+    FROM n
+    """,
+    doc="vector op: L2 normalization — float components widen to double "
+    "(exact), the squared sum reduces in LIST ORDER on both engines "
+    "(order-pinned, so the double sum is bit-identical), sqrt and the "
+    "per-element division are IEEE-deterministic. The norm is "
+    "materialized in its own projection before the transform lambda "
+    "references it (HOF lambdas get no CSE).",
+)
+def emb_l2_normalize(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = v.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+    return n.select(
+        "vec_id",
+        "norm",
+        F.transform("v", lambda x: x / F.col("norm")).alias("unit"),
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM v
+        WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    )
+    SELECT vec_id, scale,
+           list_transform(v, x -> CAST(greatest(least(
+               floor(x * scale + 0.5), 127), -127) AS INT)) AS q
+    FROM s
+    """,
+    doc="vector op: symmetric int8 quantization (scale = 127/amax, "
+    "q = clamp(floor(x*scale + 0.5))) — 4× storage cut before writing an "
+    "embedding table. floor(x+0.5) instead of round(): both engines "
+    "evaluate it identically (round()'s half-way tie-breaking differs), "
+    "and the clamp makes the ±ulp edge at amax explicit. Zero vectors "
+    "are excluded (no defined scale) on both sides.",
+)
+def emb_quantize_int8(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = (
+        v.select(
+            "vec_id",
+            "v",
+            F.array_max(F.transform("v", lambda x: F.abs(x))).alias("amax"),
+        )
+        .filter(F.col("amax") > 0)
+        .select("vec_id", "v", (F.lit(127.0) / F.col("amax")).alias("scale"))
+    )
+    q = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.least(F.floor(x * F.col("scale") + F.lit(0.5)), F.lit(127.0)),
+            F.lit(-127.0),
+        ).cast("int"),
+    )
+    return s.select("vec_id", "scale", q.alias("q"))
+
+
 @register(
     "sim_label_centroids",
     """
