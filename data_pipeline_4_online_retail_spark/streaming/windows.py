@@ -104,6 +104,24 @@ def session_counts(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, *, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Streaming ingestion dedup (batch twin: dedup_exact / DISTINCT):
+    at-least-once sources replay rows, so the first pipeline stage drops
+    any event whose event_id was already seen within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on event_id
+    and evicts entries once the watermark passes — bounded memory at any
+    stream rate, which plain ``dropDuplicates`` (state forever) cannot
+    give. Duplicates arriving later than the watermark are the documented
+    accepted-loss window, the same late-data contract as the windowed
+    aggregations."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain all available input through the streaming plan into a memory
     sink and return the result as a batch DataFrame (test harness)."""

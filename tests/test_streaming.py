@@ -196,6 +196,33 @@ def test_append_mode_withholds_unfinalized_windows(spark, catalog, events_dir):
     ), "emitted window past the watermark"
 
 
+def test_stream_dedup_drops_replayed_events(spark, catalog, tmp_path_factory):
+    """At-least-once ingestion twin: the source directory holds every
+    event TWICE (a full replay); the watermarked stream dedup must emit
+    each event_id exactly once and match the batch distinct."""
+    from data_pipeline_4_online_retail_spark.streaming.windows import (
+        dedup_events_stream,
+    )
+
+    src = tmp_path_factory.mktemp("dedup_src")
+    events = catalog.table("events")
+    events.coalesce(1).write.mode("append").parquet(str(src))
+    events.coalesce(1).write.mode("append").parquet(str(src))  # replay
+
+    stream = dedup_events_stream(read_events_stream(spark, str(src)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_dedup")
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()
+
+
 def test_parquet_sink_checkpoint_resume(spark, catalog, tmp_path_factory):
     """The production sink path: writeStream→parquet with checkpointing is
     exactly-once across restarts — a resumed query processes only files
