@@ -35,6 +35,7 @@ import data_pipeline_4_online_retail_spark.operators.events_windows  # noqa: E40
 import data_pipeline_4_online_retail_spark.operators.multimodal  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.scalar_functions  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.skew  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.curation  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -42,9 +43,12 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # registrations, so the 50 highest-evidence queries go first — the eight
 # retail_* end-to-end reference-parity queries, the four queries whose
 # output types were reworked in round 2, one full block per extension
-# family (text/events/multimodal/skew/scalar), and the star tier. The
-# remaining micro-queries (all driver-green in round 1) follow and stay
-# covered by tools/oracle_check.py.
+# family (text/events/multimodal/skew/scalar/curation), and the round-2
+# additions that have never had a driver row. Queries that were
+# driver-green in round 1 (CORRECTNESS_r01.json) cede their slots — that
+# evidence is already on record — keeping star_report_customer and
+# sim_ann_ivf as cross-round controls. Everything past #50 stays covered
+# by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference-parity e2e differential (plans/retail_oracle.py)
@@ -91,23 +95,24 @@ _DRIVER_PRIORITY = [
     "op_percentiles_exact",
     # similarity: grouped centroids (k-means step)
     "sim_label_centroids",
-    # star tier (r1 driver-green flagships)
-    "star_dim_customer",
-    "star_dim_product",
-    "star_dim_datetime",
-    "star_dim_invoice",
-    "star_fct_invoice_line_value",
-    "star_report_customer",
-    "star_report_product",
-    # dedup + ANN (oracled representatives; the r1-driver-green O(n²)/
-    # O(pairs) baselines dedup_embedding_cosine + dedup_ngram_jaccard cede
-    # their slots to the r2-new clustering + corpus-apply steps)
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    # curation family (r2-new: quality gates, decontamination, PII,
+    # as-of join, split assignment, BM25, sequence packing)
+    "text_quality_filters",
+    "text_contamination",
+    "pii_mask",
+    "ev_asof_join",
+    "text_split_assign",
+    "text_bm25",
+    "text_pack_sequences",
+    # embeddings + sampling (r2-new)
+    "emb_l2_normalize",
+    "emb_quantize_int8",
+    "op_stratified_sample",
+    # dedup clustering + corpus apply (r2-new)
     "dedup_clusters",
     "dedup_corpus",
-    "sim_topk_bruteforce",
-    "sim_topk_pandas_udf",
+    # cross-round controls (r1 driver-green flagships)
+    "star_report_customer",
     "sim_ann_ivf",
 ]
 
