@@ -103,6 +103,7 @@ _DRIVER_PRIORITY = [
     "ev_asof_join",
     "text_split_assign",
     "text_bm25",
+    "text_chunk_windows",
     "text_pack_sequences",
     # embeddings + sampling (r2-new)
     "emb_l2_normalize",
@@ -111,9 +112,8 @@ _DRIVER_PRIORITY = [
     # dedup clustering + corpus apply (r2-new)
     "dedup_clusters",
     "dedup_corpus",
-    # cross-round controls (r1 driver-green flagships)
+    # cross-round control (r1 driver-green flagship)
     "star_report_customer",
-    "sim_ann_ivf",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

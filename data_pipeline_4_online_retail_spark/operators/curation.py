@@ -433,7 +433,75 @@ def text_bm25(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# 7. Sequence packing (next-fit into token budgets)
+# 7. Sliding-window chunking (context windows with stride)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               unnest(range(0, CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                        ELSE 1 + CAST(ceil((len(toks) - {CHUNK_TOKENS}) * 1.0
+                                           / {CHUNK_STRIDE}) AS BIGINT) END))
+                   AS chunk_idx,
+               toks
+        FROM t)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {CHUNK_STRIDE} + 1 AS start_tok,
+           array_to_string(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+               least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens)), ' ')
+               AS chunk_text,
+           least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens)
+               - (chunk_idx * {CHUNK_STRIDE} + 1) + 1 AS chunk_len
+    FROM c
+    """,
+    doc="curation: sliding-window chunking — each document becomes "
+    "overlapping 32-token context windows with a 24-token stride (8-token "
+    "overlap), the standard pretraining chunker. Chunk count is computed "
+    "arithmetically and the windows are token-array slices: explode-based "
+    "fan-out with bounded multiplier, no join, no shuffle — map-side at "
+    "any corpus size. The final (possibly short) window is kept; chunk "
+    "boundaries are deterministic functions of (doc_id, chunk_idx).",
+    tags=("curation",),
+)
+def text_chunk_windows(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        F.lit(1)
+        + F.ceil((n - CHUNK_TOKENS) * F.lit(1.0) / F.lit(CHUNK_STRIDE)).cast("long")
+    )
+    c = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        toks.alias("toks"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    end = F.least(
+        F.col("chunk_idx") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n_tokens")
+    )
+    # slice(arr, start, length) is 1-based like DuckDB list_slice(arr, a, b)
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_tok"),
+        F.array_join(
+            F.slice(F.col("toks"), start, end - start + 1), " "
+        ).alias("chunk_text"),
+        (end - start + 1).alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Sequence packing (next-fit into token budgets)
 # ---------------------------------------------------------------------------
 
 PACK_BUDGET = 512

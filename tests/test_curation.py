@@ -157,6 +157,31 @@ def test_bm25_matches_numpy(spark, docs_pdf):
         assert r.score == pytest.approx(es, rel=1e-12)
 
 
+def test_chunk_windows_cover_and_reconstruct(spark, docs_pdf):
+    rows = C.text_chunk_windows(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for _, row in docs_pdf.iterrows():
+        toks = row.text.split(" ")
+        chunks = sorted(by_doc[row.doc_id], key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_idx == 0
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # full token coverage: last chunk reaches the end, no gaps between
+        # consecutive windows (stride < window size)
+        assert chunks[-1].start_tok + chunks[-1].chunk_len - 1 == len(toks)
+        for c in chunks:
+            start = (c.chunk_idx * C.CHUNK_STRIDE) + 1
+            assert c.start_tok == start
+            expect = " ".join(toks[start - 1 : start - 1 + C.CHUNK_TOKENS])
+            assert c.chunk_text == expect
+            assert c.chunk_len == len(expect.split(" "))
+        if len(chunks) > 1:
+            assert all(
+                c.chunk_len == C.CHUNK_TOKENS for c in chunks[:-1]
+            ), "every non-final window is full-width"
+
+
 def test_pack_sequences_feasible_and_complete(spark, docs_pdf):
     rows = C.text_pack_sequences(spark, SF_DIR).collect()
     assert sorted(r.doc_id for r in rows) == sorted(docs_pdf.doc_id)
