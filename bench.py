@@ -54,7 +54,8 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(2):  # first run pays one-time broadcast/scan setup
+        for _ in range(3):  # first run pays one-time broadcast/scan setup;
+            # min-of-3 damps single-machine scheduling noise
             t = time.time()
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t)
