@@ -409,3 +409,85 @@ def sim_label_centroids(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("centroid_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (Lloyd), k fixed, deterministic init
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _sq_dist_to(centroid: list[float]) -> F.Column:
+    """Squared L2 distance from ``embedding`` to a literal centroid.
+
+    zip_with + a left-to-right aggregate fold: the addition order is the
+    array order, so the double result is reproducible bit-for-bit (the
+    pytest replica folds in the same order)."""
+    lit_vec = F.array(*[F.lit(float(v)) for v in centroid])
+    diffs = F.zip_with("embedding", lit_vec, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _assign_expr(centroids: list[list[float]]) -> F.Column:
+    """cluster_id = argmin over centroid distances, first-min-wins."""
+    dists = F.array(*[_sq_dist_to(c) for c in centroids])
+    # array_position returns the FIRST index of the minimum (1-based),
+    # which makes ties deterministic: lowest cluster id wins.
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+@register(
+    "sim_kmeans",
+    None,  # iterative algorithm — rows-only driver check; exact numpy-free
+    # replica in tests/test_similarity.py::test_kmeans_matches_replica
+    doc="iterative k-means (Lloyd, k=8, 3 iterations) over the embeddings "
+    "table. Deterministic init (the k lowest vec_ids), assignment as a "
+    "codegen'd argmin over k literal-centroid distances (no join, no "
+    "shuffle), update as posexplode + one hash aggregate with exact-"
+    "decimal sums — only k*dim centroid values ever reach the driver, so "
+    "the loop is 100 TB-safe: per iteration one scan + one bounded "
+    "aggregate. The scan is persisted across iterations and unpersisted "
+    "before the final assignment pass.",
+    tags=("similarity", "iterative"),
+)
+def sim_kmeans(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+
+    # deterministic seed: the k lowest vec_ids (bounded driver fetch)
+    seed_rows = e.orderBy("vec_id").limit(KMEANS_K).collect()
+    centroids = [[float(x) for x in r.embedding] for r in seed_rows]
+
+    cached = e.persist()
+    try:
+        for _ in range(KMEANS_ITERS):
+            assigned = cached.select(
+                "embedding", _assign_expr(centroids).alias("cluster_id")
+            )
+            # update step: k*dim rows to the driver (k, dim are constants)
+            rows = (
+                assigned.select(
+                    "cluster_id", F.posexplode("embedding").alias("dim_idx", "val")
+                )
+                .groupBy("cluster_id", "dim_idx")
+                .agg(
+                    (
+                        F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("centroid_val")
+                )
+                .collect()
+            )
+            new_centroids = [list(c) for c in centroids]  # empty clusters keep
+            acc: dict[int, dict[int, float]] = {}
+            for r in rows:
+                acc.setdefault(r.cluster_id, {})[r.dim_idx] = r.centroid_val
+            for cid, dims in acc.items():
+                new_centroids[cid] = [dims[i] for i in range(len(dims))]
+            centroids = new_centroids
+    finally:
+        cached.unpersist()
+
+    # final assignment from the (uncached) source with converged centroids
+    return e.select("vec_id", "label", _assign_expr(centroids).alias("cluster_id"))

@@ -168,3 +168,32 @@ def follow_up_join(
         F.col("a.event_type").alias("lead_type"),
         F.col("b.event_type").alias("follow_type"),
     )
+
+
+def enrich_events_stream(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join (feature lookup): each micro-batch
+    joins the incoming events against a static/batch dimension table.
+
+    Stateless — unlike stream-stream joins no watermark or join state is
+    needed, so output mode is plain append. The static side is re-resolved
+    every micro-batch (slowly-changing dims pick up new snapshots) and
+    broadcast when it fits, which is the 100 TB-safe shape: the stream
+    shard never shuffles, each executor probes a local hash map.
+    """
+    enriched = events_stream.join(
+        F.broadcast(dim), events_stream[stream_key] == dim[dim_key], "left"
+    )
+    return enriched.select(
+        "event_id",
+        "ts",
+        events_stream[stream_key].alias(stream_key),
+        "event_type",
+        "value",
+        dim["c_mktsegment"].alias("segment"),
+    )

@@ -43,3 +43,57 @@ def test_ivf_subset_of_cell(spark, catalog):
         .head()["label"]
     )
     assert out and all(r["label"] == qlabel for r in out)
+
+
+def test_kmeans_matches_exact_replica(spark):
+    """Replays Lloyd k-means in pure Python with the SAME float semantics
+    as the Spark operator: left-to-right double folds for distances,
+    HALF_UP decimal(18,9) sums for the update, first-min-wins argmin —
+    assignments must match exactly, not approximately."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sf = "/root/testdata/sf0.001"
+    from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+    rows = (
+        load_tables(spark, sf)
+        .table("embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def sq_dist(v, c):
+        acc = 0.0
+        for x, y in zip(v, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def assign(v, centroids):
+        d = [sq_dist(v, c) for c in centroids]
+        m = min(d)
+        return d.index(m)
+
+    q = Decimal("1e-9")
+    centroids = [vecs[i] for i in sorted(vecs)[: S.KMEANS_K]]
+    for _ in range(S.KMEANS_ITERS):
+        groups: dict[int, list] = {}
+        for vid in vecs:
+            groups.setdefault(assign(vecs[vid], centroids), []).append(vid)
+        new_c = [list(c) for c in centroids]
+        for cid, members in groups.items():
+            dim = len(centroids[0])
+            comp = []
+            for d in range(dim):
+                s = sum(
+                    (Decimal(vecs[m][d]).quantize(q, rounding=ROUND_HALF_UP))
+                    for m in members
+                )
+                comp.append(float(s) / len(members))
+            new_c[cid] = comp
+        centroids = new_c
+
+    expected = {vid: assign(v, centroids) for vid, v in vecs.items()}
+    got = {r.vec_id: r.cluster_id for r in S.sim_kmeans(spark, sf).collect()}
+    assert got == expected
+    assert len(set(got.values())) > 1

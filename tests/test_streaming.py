@@ -257,3 +257,39 @@ def test_parquet_sink_checkpoint_resume(spark, catalog, tmp_path_factory):
     result = spark.read.parquet(str(out))
     assert result.count() == events.count()  # no dupes, no loss
     assert result.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, catalog, events_dir):
+    """Stream-static join (stateless feature lookup): every event is
+    enriched with the customer dimension's segment; the drained stream
+    must equal the same join run as a batch query, including left-join
+    nulls for user_ids with no dimension row."""
+    from data_pipeline_4_online_retail_spark.streaming.windows import (
+        enrich_events_stream,
+        read_events_stream,
+    )
+
+    dim = catalog.table("customer").select("c_custkey", "c_mktsegment")
+    stream = enrich_events_stream(read_events_stream(spark, events_dir), dim)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")  # stateless join: no aggregation, no watermark
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table("t_enrich")
+
+    ev = catalog.table("events")
+    batch = ev.join(dim, ev.user_id == dim.c_custkey, "left").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        dim["c_mktsegment"].alias("segment"),
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "segment"]
+    assert _rows(result, cols) == _rows(batch, cols)
+    assert result.where(F.col("segment").isNotNull()).count() > 0
