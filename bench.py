@@ -38,6 +38,18 @@ HEADLINE = [
     "ev_session_window",
 ]
 
+# Round-2 curation tier — timed separately (extra_queries) so the headline
+# total stays comparable across rounds.
+EXTRA = [
+    "text_quality_filters",
+    "text_contamination",
+    "text_chunk_windows",
+    "text_pack_sequences",
+    "text_bm25",
+    "ev_asof_join",
+    "sim_kmeans",
+]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -62,6 +74,15 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)  # steady-state
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        runs = []
+        for _ in range(2):
+            t = time.time()
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t)
+        extra[name] = round(min(runs), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -75,6 +96,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "extra_queries": extra,
+                "extra_total_sec": round(sum(extra.values()), 3),
                 "warmup_sec": round(warmup, 3),
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
