@@ -36,6 +36,7 @@ import data_pipeline_4_online_retail_spark.operators.multimodal  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.operators.scalar_functions  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.skew  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.curation  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.warehouse  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -79,10 +80,13 @@ _DRIVER_PRIORITY = [
     "ev_session_window",
     "ev_interval_join",
     "ev_multi_resolution_rollup",
-    # multimodal family
+    # multimodal family (the honest rows-only decode stub
+    # mm_image_features_fake cedes its slot to an oracled query; its
+    # plumbing stays pytest-covered)
     "mm_binary_metadata",
-    "mm_image_features_fake",
     "mm_frame_sample",
+    # warehouse maintenance (r2-new; wh_merge_upsert queues for r3)
+    "wh_scd2_build",
     # skew-mitigation family
     "skew_salted_aggregate",
     "skew_salted_join",

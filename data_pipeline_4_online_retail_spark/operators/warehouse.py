@@ -1,0 +1,152 @@
+"""Warehouse-maintenance operators: MERGE-style upsert and SCD2 history
+build.
+
+The reference's pipeline rebuilds tables wholesale (WRITE_TRUNCATE,
+reference dags/online_retail.py) — these operators cover the incremental
+counterparts a warehouse user reaches for next: MERGE INTO semantics as a
+single full-outer join, and a type-2 slowly-changing-dimension build as a
+gaps-and-islands window pass. Both are pure DataFrame plans (one shuffle
+each) with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+
+# ---------------------------------------------------------------------------
+# MERGE-style upsert
+# ---------------------------------------------------------------------------
+
+# Simulated incremental load: the "existing table" is the even order keys,
+# the "change batch" is the keys divisible by 3 (so the merge exercises
+# matched-update, unmatched-insert, and untouched rows at once).
+
+
+@register(
+    "wh_merge_upsert",
+    """
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+    source AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+    doc="warehouse: MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT "
+    "MATCHED INSERT / untouched keep) expressed as one full-outer join on "
+    "the key with source-wins coalescing — the Spark-native upsert when "
+    "the table format has no transactional MERGE. One shuffle on the "
+    "merge key; AQE handles skewed keys.",
+    tags=("warehouse",),
+)
+def wh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+    action = (
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("s.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+    )
+    return joined.select(
+        F.coalesce("t.o_orderkey", "s.o_orderkey").alias("o_orderkey"),
+        F.coalesce("s.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("s.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+        action.alias("merge_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wh_scd2_build",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(SUM(is_change) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS version_id
+        FROM ordered),
+    versions AS (
+        SELECT user_id, version_id, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, version_id)
+    SELECT user_id, version_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version_id)
+               AS valid_to,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version_id)
+                IS NULL AS INT) AS is_current,
+           n_events
+    FROM versions
+    """,
+    doc="warehouse: type-2 slowly-changing-dimension build from a change "
+    "log — consecutive runs of the tracked attribute (event_type per "
+    "user) become versioned validity intervals [valid_from, valid_to) "
+    "with an is_current flag. Gaps-and-islands: LAG to mark changes, "
+    "running SUM to number runs, one aggregate, LEAD to close intervals. "
+    "Identical deterministic (ts, event_id) tie-break in every window "
+    "(the nondeterministic-oracle lesson from the session-window review). "
+    "Single shuffle on user_id reused by all three window passes.",
+    tags=("warehouse",),
+)
+def wh_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    is_change = F.when(
+        lagged.isNull() | (lagged != F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.withColumn(
+        "version_id",
+        F.sum(is_change).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = runs.groupBy("user_id", "version_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_id")
+    valid_to = F.lead("valid_from").over(wv)
+    return versions.select(
+        "user_id",
+        "version_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+        "n_events",
+    )

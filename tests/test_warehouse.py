@@ -1,0 +1,68 @@
+"""Semantic invariants for the warehouse operators (MERGE upsert, SCD2).
+
+The oracles prove cross-engine equality; these pin the operator contracts:
+merge action completeness, SCD2 interval partitioning with no overlaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.operators import warehouse as W
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_merge_upsert_actions(spark):
+    o = load_tables(spark, SF_DIR).table("orders")
+    keys = {r.o_orderkey for r in o.select("o_orderkey").collect()}
+    target = {k for k in keys if k % 2 == 0}
+    source = {k for k in keys if k % 3 == 0}
+
+    rows = {r.o_orderkey: r for r in W.wh_merge_upsert(spark, SF_DIR).collect()}
+    assert set(rows) == target | source  # union of keys, each exactly once
+    for k, r in rows.items():
+        if k in target and k in source:
+            assert r.merge_action == "update" and r.o_orderstatus == "U"
+        elif k in source:
+            assert r.merge_action == "insert" and r.o_orderstatus == "U"
+        else:
+            assert r.merge_action == "keep" and r.o_orderstatus != "U"
+
+
+def test_scd2_intervals_partition_history(spark):
+    ev = (
+        load_tables(spark, SF_DIR)
+        .table("events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    rows = W.wh_scd2_build(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev_by_user: dict[int, list] = {}
+    for e in ev:
+        ev_by_user.setdefault(e.user_id, []).append(e)
+
+    assert set(by_user) == set(ev_by_user)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version_id)
+        assert [v.version_id for v in vs] == list(range(1, len(vs) + 1))
+        # exactly one open (current) version: the last
+        assert [v.is_current for v in vs] == [0] * (len(vs) - 1) + [1]
+        # intervals chain with no gaps or overlaps
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.valid_from < a.valid_to
+        # adjacent versions always change the tracked attribute
+        for a, b in zip(vs, vs[1:]):
+            assert a.event_type != b.event_type
+        # version count + event counts reconcile with the raw log
+        assert sum(v.n_events for v in vs) == len(ev_by_user[uid])
+        events = sorted(ev_by_user[uid], key=lambda e: (e.ts, e.event_id))
+        changes = 1 + sum(
+            1 for x, y in zip(events, events[1:]) if x.event_type != y.event_type
+        )
+        assert len(vs) == changes
