@@ -576,3 +576,72 @@ def text_pack_sequences(spark, sf_dir):
         _pack_group,
         schema="doc_id bigint, bucket string, bin_idx bigint, pos_in_bin bigint, n_tokens bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Quality-weighted acceptance sampling
+# ---------------------------------------------------------------------------
+
+# Accept doc iff uniform-hash(doc_id) < quality_score: higher-quality
+# documents survive proportionally more often, the decision is stateless /
+# reproducible, and re-running on a grown corpus never flips prior keeps.
+_QUALITY_SQL = """
+        SELECT doc_id,
+               0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' ')))
+             + 0.3 * least((length(text) - (len(string_split(text, ' ')) - 1))
+                           * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0)
+             + 0.3 * least(len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                           * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0)
+                 AS quality_score
+        FROM documents
+"""
+
+
+@register(
+    "text_quality_sample",
+    f"""
+    WITH q AS ({_QUALITY_SQL}),
+    h AS (
+        SELECT doc_id, quality_score,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS hash_frac
+        FROM q)
+    SELECT doc_id, quality_score, hash_frac,
+           CAST(hash_frac < quality_score AS INT) AS sampled
+    FROM h
+    """,
+    doc="curation: quality-weighted acceptance sampling — keep a document "
+    "iff md5-uniform(doc_id) < its quality score, so acceptance "
+    "probability equals quality. Stateless and hash-stable (no RNG state, "
+    "decisions never flip as the corpus grows); division by 2^32 is a "
+    "power of two, so hash_frac is exact and the comparison is "
+    "engine-stable. Map-side only.",
+    tags=("curation",),
+)
+def text_quality_sample(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n
+    awl = (F.length(F.array_join(toks, " ")) - (n - F.lit(1))) * F.lit(1.0) / n
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"))
+    ) * F.lit(1.0) / n
+    score = (
+        F.lit(0.4) * ttr
+        + F.lit(0.3) * F.least(awl / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop * F.lit(5.0), F.lit(1.0))
+    )
+    q = t.select("doc_id", score.alias("quality_score"))
+    hash_frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    h = q.select("doc_id", "quality_score", hash_frac.alias("hash_frac"))
+    return h.select(
+        "doc_id",
+        "quality_score",
+        "hash_frac",
+        (F.col("hash_frac") < F.col("quality_score")).cast("int").alias("sampled"),
+    )

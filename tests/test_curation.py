@@ -208,3 +208,60 @@ def test_pack_sequences_feasible_and_complete(spark, docs_pdf):
         for r in rs:
             if r.pos_in_bin == 0 and r.bin_idx > 0:
                 assert fills[r.bin_idx - 1] + r.n_tokens > C.PACK_BUDGET
+
+
+def test_quality_sample_flag_consistent(spark):
+    rows = C.text_quality_sample(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.hash_frac < 1.0
+        assert r.sampled == int(r.hash_frac < r.quality_score)
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        assert r.hash_frac == h / 4294967296.0  # exact: /2^32 is a pow-2
+    kept = sum(r.sampled for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_pack_group_properties():
+    """Property-based check of the next-fit fold itself (no Spark): every
+    doc packed exactly once in order, bins never exceed the budget unless
+    a single oversized doc owns the bin, and a new bin opens only when the
+    previous bin could not take its first doc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**6),  # doc_id
+                st.integers(min_value=1, max_value=C.PACK_BUDGET * 2),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def check(items):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in items],
+                "bucket": ["x"] * len(items),
+                "n_tokens": [n for _, n in items],
+            }
+        )
+        out = C._pack_group(pdf.sample(frac=1, random_state=0))  # order-proof
+        assert sorted(out.doc_id) == sorted(pdf.doc_id)
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        keys = list(zip(out.bin_idx, out.pos_in_bin))
+        assert keys == sorted(keys)  # doc order == (bin, pos) order
+        fills = out.groupby("bin_idx").n_tokens.sum()
+        sizes = out.groupby("bin_idx").size()
+        for b in fills.index:
+            assert fills[b] <= C.PACK_BUDGET or sizes[b] == 1
+        openers = out[out.pos_in_bin == 0]
+        for _, r in openers.iterrows():
+            if r.bin_idx > 0:
+                assert fills[r.bin_idx - 1] + r.n_tokens > C.PACK_BUDGET
+
+    check()
