@@ -824,3 +824,124 @@ def op_table_profile(spark, sf_dir):
     for pdf in profiles[1:]:
         out = out.unionByName(pdf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Window completeness: RANGE frames, value functions, distribution functions,
+# and GROUPING SETS (late round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_7d_total,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS latest_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="window extension: time-RANGE frame (trailing 7-day spend per "
+    "customer — the frame is value-based, so same-date orders aggregate "
+    "together regardless of row order, making the decimal sum "
+    "deterministic without a full tie-break) plus "
+    "first/last/nth_value over a deterministic ROWS frame. One shuffle "
+    "on o_custkey shared by both window specs.",
+)
+def op_window_range_frame(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    days7 = 7 * 86400
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-days7, 0)
+    )
+    ww = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(wr)
+        .cast("double")
+        .alias("trailing_7d_total"),
+        F.first("o_orderkey").over(ww).alias("first_order"),
+        F.last("o_orderkey").over(ww).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(ww).alias("second_order"),
+    )
+
+
+@register(
+    "op_window_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS bal_quartile,
+           PERCENT_RANK() OVER w AS bal_pct_rank,
+           CUME_DIST() OVER w AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="window extension: distribution functions — ntile quartiles, "
+    "percent_rank ((rank-1)/(n-1): integer-derived, engine-exact), "
+    "cume_dist. Deterministic (c_acctbal, c_custkey) ordering.",
+)
+def op_window_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "op_agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+    doc="aggregation extension: explicit GROUPING SETS with GROUPING() "
+    "flags disambiguating which NULLs are subtotal markers vs data — the "
+    "general form behind the rollup/cube queries. Spark expands the sets "
+    "into one Expand + single hash aggregate (one shuffle).",
+)
+def op_agg_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "total_price",
+        )
+    )
