@@ -419,23 +419,35 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def _sq_dist_to(centroid: list[float]) -> F.Column:
-    """Squared L2 distance from ``embedding`` to a literal centroid.
+def _assign_expr() -> F.Column:
+    """cluster_id = argmin over distances to the ``cents`` column (an
+    array<array<double>> carried by a broadcast 1-row DataFrame).
 
-    zip_with + a left-to-right aggregate fold: the addition order is the
-    array order, so the double result is reproducible bit-for-bit (the
-    pytest replica folds in the same order)."""
-    lit_vec = F.array(*[F.lit(float(v)) for v in centroid])
-    diffs = F.zip_with("embedding", lit_vec, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _assign_expr(centroids: list[list[float]]) -> F.Column:
-    """cluster_id = argmin over centroid distances, first-min-wins."""
-    dists = F.array(*[_sq_dist_to(c) for c in centroids])
+    Squared L2 per centroid is zip_with + a left-to-right aggregate fold:
+    the addition order is the array order, so the double result is
+    reproducible bit-for-bit (the pytest replica folds in the same
+    order). Keeping the centroids in a *data* column rather than literals
+    means every iteration compiles the SAME generated code — the codegen
+    cache hits instead of recompiling a k×dim-literal expression tree
+    per iteration."""
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with("embedding", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
     # array_position returns the FIRST index of the minimum (1-based),
     # which makes ties deterministic: lowest cluster id wins.
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _with_centroids(df, centroids: list[list[float]]):
+    """Cross-join a broadcast single-row (k × dim) centroid table."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
+    return df.crossJoin(F.broadcast(cents))
 
 
 @register(
@@ -444,7 +456,8 @@ def _assign_expr(centroids: list[list[float]]) -> F.Column:
     # replica in tests/test_similarity.py::test_kmeans_matches_replica
     doc="iterative k-means (Lloyd, k=8, 3 iterations) over the embeddings "
     "table. Deterministic init (the k lowest vec_ids), assignment as a "
-    "codegen'd argmin over k literal-centroid distances (no join, no "
+    "codegen'd argmin over distances to a broadcast 1-row centroid table "
+    "(identical generated code every iteration → codegen-cache hit; no "
     "shuffle), update as posexplode + one hash aggregate with exact-"
     "decimal sums — only k*dim centroid values ever reach the driver, so "
     "the loop is 100 TB-safe: per iteration one scan + one bounded "
@@ -462,8 +475,8 @@ def sim_kmeans(spark, sf_dir):
     cached = e.persist()
     try:
         for _ in range(KMEANS_ITERS):
-            assigned = cached.select(
-                "embedding", _assign_expr(centroids).alias("cluster_id")
+            assigned = _with_centroids(cached, centroids).select(
+                "embedding", _assign_expr().alias("cluster_id")
             )
             # update step: k*dim rows to the driver (k, dim are constants)
             rows = (
@@ -490,4 +503,6 @@ def sim_kmeans(spark, sf_dir):
         cached.unpersist()
 
     # final assignment from the (uncached) source with converged centroids
-    return e.select("vec_id", "label", _assign_expr(centroids).alias("cluster_id"))
+    return _with_centroids(e, centroids).select(
+        "vec_id", "label", _assign_expr().alias("cluster_id")
+    )
