@@ -284,3 +284,57 @@ def text_regex_tokens(spark, sf_dir):
         F.size(toks).alias("n_bpe_tokens"),
         F.element_at(toks, 1).alias("first_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. BPE merge-step statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_pair_freqs",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (SELECT regexp_extract_all(word, '.') AS chars FROM w),
+    p AS (SELECT unnest(list_transform(range(1, len(chars)),
+                        i -> chars[i] || chars[i+1])) AS pair
+          FROM c)
+    SELECT pair, COUNT(*) AS freq
+    FROM p GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 50
+    """,
+    doc="text analysis: BPE vocabulary-induction step — corpus-wide "
+    "adjacent symbol-pair frequencies (the statistic that selects the "
+    "next merge in byte-pair-encoding training), top-50 with "
+    "deterministic tie-break. Two bounded explodes (word, char-pair) "
+    "that stay map-side before the partial aggregate; the shuffle "
+    "carries (pair, partial count) — alphabet², not corpus-sized. "
+    "Iterating merge rounds re-runs this with a growing symbol table.",
+)
+def text_bpe_pair_freqs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(_toks()).alias("word"))
+    # chars materialized in a projection first: HOF lambdas get no CSE
+    chars = words.select(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0).alias("chars")
+    )
+    # guard single-char words: sequence(1, 0) counts DOWN in Spark and
+    # element_at(chars, 0) then throws under ANSI
+    pair_arr = F.when(
+        F.size("chars") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("chars") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("chars"), i),
+                F.element_at(F.col("chars"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = chars.select(F.explode(pair_arr).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(50)
+    )

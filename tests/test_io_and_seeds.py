@@ -143,3 +143,30 @@ def test_sql_registered_pandas_udf(spark, catalog):
         .head()["n"]
     )
     assert abs(rows[0]["n"] - expected) < 1e-9
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on an append-style parquet dataset: files written
+    before a column existed read back as NULL for that column under
+    mergeSchema, and the union schema is stable regardless of file
+    order — the contract an incrementally-evolving 100 TB table relies
+    on (new columns land without rewriting old partitions)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id").alias("k"), F.lit("v1").alias("a")
+    ).write.mode("overwrite").parquet(path)
+    spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit("v2").alias("a"), F.lit(7).alias("b")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert sorted(merged.columns) == ["a", "b", "k"]
+    rows = {r.k: r for r in merged.collect()}
+    assert len(rows) == 6
+    for k, r in rows.items():
+        if k < 3:
+            assert r.a == "v1" and r.b is None  # pre-evolution files
+        else:
+            assert r.a == "v2" and r.b == 7
