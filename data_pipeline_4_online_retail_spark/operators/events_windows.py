@@ -231,3 +231,129 @@ def ev_multi_resolution_rollup(spark, sf_dir):
     return r1.unionByName(tier(minute, "10m", 600)).unionByName(
         tier(minute, "1h", 3600)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: funnels and cohort retention (late round-2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_funnel",
+    """
+    WITH s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+                   AS signup_ts
+        FROM events GROUP BY user_id),
+    v AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS view_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+        GROUP BY e.user_id),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.view_ts
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.click_ts
+        GROUP BY e.user_id)
+    SELECT s.user_id, s.signup_ts, v.view_ts, c.click_ts, p.purchase_ts,
+           CASE WHEN p.purchase_ts IS NOT NULL THEN 4
+                WHEN c.click_ts IS NOT NULL THEN 3
+                WHEN v.view_ts IS NOT NULL THEN 2
+                WHEN s.signup_ts IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM s
+    LEFT JOIN v ON s.user_id = v.user_id
+    LEFT JOIN c ON s.user_id = c.user_id
+    LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    doc="product analytics: ordered funnel (signup → view → click → "
+    "purchase) — each stage is the first qualifying event at-or-after "
+    "the previous stage's timestamp; funnel_stage is the furthest stage "
+    "reached. Four aggregations and three joins ALL keyed on user_id, "
+    "so one hash partitioning serves the whole plan (AQE reuses the "
+    "exchanges); no window state, no per-user iteration.",
+    tags=("events", "analytics"),
+)
+def ev_funnel(spark, sf_dir):
+    e = _events(spark, sf_dir)
+
+    def first_at_or_after(df, etype: str, bound_col: str, out: str):
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(df, "user_id")
+            .filter(F.col("ts") >= F.col(bound_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        )
+    )
+    v = first_at_or_after(s, "view", "signup_ts", "view_ts")
+    c = first_at_or_after(v, "click", "view_ts", "click_ts")
+    p = first_at_or_after(c, "purchase", "click_ts", "purchase_ts")
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 4)
+        .when(F.col("click_ts").isNotNull(), 3)
+        .when(F.col("view_ts").isNotNull(), 2)
+        .when(F.col("signup_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "signup_ts", "view_ts", "click_ts", "purchase_ts",
+            stage.alias("funnel_stage"),
+        )
+    )
+
+
+@register(
+    "ev_cohort_retention",
+    """
+    WITH cohort AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS active_day
+        FROM events e)
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.active_day) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="product analytics: cohort retention — users grouped by first-"
+    "activity day, counted on each later day-offset they return. "
+    "Distinct (user, day) pairs first (shuffle bounded by users × days, "
+    "not events), cohort join on user_id, then one aggregate. The "
+    "classic retention-triangle input.",
+    tags=("events", "analytics"),
+)
+def ev_cohort_retention(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

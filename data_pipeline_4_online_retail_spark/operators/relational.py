@@ -945,3 +945,44 @@ def op_agg_grouping_sets(spark, sf_dir):
             "n_orders", "total_price",
         )
     )
+
+
+@register(
+    "op_fuzzy_match_blocked",
+    """
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="entity resolution: blocked fuzzy matching — candidate pairs are "
+    "generated only within a blocking key (p_brand) and kept when edit "
+    "distance <= 2. The block equi-join keeps the shuffle keyed and the "
+    "pair count O(sum of block², not corpus²) — the standard blocking "
+    "discipline; LSH blocking (dedup_minhash_*) is the scale path when "
+    "no natural key exists. a<b canonicalizes pairs.",
+)
+def op_fuzzy_match_blocked(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("a_key"),
+            F.col("b.p_partkey").alias("b_key"),
+            F.col("a.p_name").alias("a_name"),
+            F.col("b.p_name").alias("b_name"),
+            dist.alias("edit_dist"),
+        )
+    )

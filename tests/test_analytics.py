@@ -1,0 +1,54 @@
+"""Invariants for the product-analytics operators (funnel, cohort,
+fuzzy matching)."""
+
+from __future__ import annotations
+
+from data_pipeline_4_online_retail_spark.operators.events_windows import (
+    ev_cohort_retention,
+    ev_funnel,
+)
+from data_pipeline_4_online_retail_spark.operators.relational import (
+    op_fuzzy_match_blocked,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_funnel_stage_chain(spark):
+    rows = ev_funnel(spark, SF_DIR).collect()
+    assert rows
+    seen_stages = set()
+    for r in rows:
+        ts_chain = [r.signup_ts, r.view_ts, r.click_ts, r.purchase_ts]
+        stage = r.funnel_stage
+        seen_stages.add(stage)
+        # stages fill strictly left-to-right: non-null prefix, null suffix
+        assert all(t is not None for t in ts_chain[:stage])
+        assert all(t is None for t in ts_chain[stage:])
+        # each stage happens at-or-after the previous one
+        for a, b in zip(ts_chain, ts_chain[1:]):
+            if a is not None and b is not None:
+                assert a <= b
+    assert max(seen_stages) >= 2  # the fixture funnels past signup
+
+
+def test_cohort_retention_offsets(spark):
+    rows = ev_cohort_retention(spark, SF_DIR).collect()
+    assert rows
+    day0 = {r.cohort_day: r.n_users for r in rows if r.day_offset == 0}
+    assert day0, "every cohort has a day-0 row (first activity)"
+    for r in rows:
+        assert r.day_offset >= 0
+        assert r.n_users > 0
+        # no later offset can exceed its cohort's day-0 population
+        assert r.n_users <= day0[r.cohort_day]
+
+
+def test_fuzzy_match_blocked_symmetric_and_bounded(spark):
+    rows = op_fuzzy_match_blocked(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.a_key < r.b_key  # canonical pair orientation
+        assert 0 <= r.edit_dist <= 2
+        # blocking really held: both sides share the brand
+        assert r.brand is not None
