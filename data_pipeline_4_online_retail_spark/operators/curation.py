@@ -3,7 +3,7 @@ tier a 100 TB pretraining pipeline runs between ingestion and dedup
 (SURVEY.md §2 extensions; reference repo has no analogue — this tier is
 the LLM-data extension the build brief asks for).
 
-Seven operators, each with a DuckDB oracle twin:
+Nine operators, each with a DuckDB oracle twin:
 
 - ``text_quality_filters``  — Gopher/C4-style repetition + length gates
 - ``text_contamination``    — benchmark n-gram overlap (decontamination)
@@ -11,7 +11,9 @@ Seven operators, each with a DuckDB oracle twin:
 - ``ev_asof_join``          — as-of (latest-prior-event) join
 - ``text_split_assign``     — hash-stable train/val/test assignment
 - ``text_bm25``             — BM25 relevance scoring (rational idf)
+- ``text_chunk_windows``    — sliding context windows with stride
 - ``text_pack_sequences``   — next-fit token packing into fixed budgets
+- ``text_quality_sample``   — quality-weighted acceptance sampling
 
 Everything except packing is built-in column expressions (codegen, no
 Python); packing is the one genuinely sequential-per-group step and uses

@@ -293,3 +293,52 @@ def test_stream_static_enrichment_matches_batch(spark, catalog, events_dir):
     cols = ["event_id", "ts", "user_id", "event_type", "value", "segment"]
     assert _rows(result, cols) == _rows(batch, cols)
     assert result.where(F.col("segment").isNotNull()).count() > 0
+
+
+def test_foreachbatch_upsert_sink_converges(spark, catalog, events_dir, tmp_path_factory):
+    """foreachBatch upsert: the target snapshot holds exactly one row per
+    user — the latest event by sequence — and re-running the merge with
+    the same batch is a no-op (idempotent on re-delivery, which is the
+    effective exactly-once contract for keyed sinks)."""
+    from data_pipeline_4_online_retail_spark.streaming.sinks import (
+        start_upsert_sink,
+        upsert_batch,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    base = tmp_path_factory.mktemp("upsert_sink")
+    target, ckpt = str(base / "target"), str(base / "ckpt")
+
+    stream = read_events_stream(spark, events_dir).select(
+        "user_id", "event_type", "ts", F.col("event_id").alias("_seq")
+    )
+    q = start_upsert_sink(stream, target, ckpt, key="user_id")
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window
+
+    ev = catalog.table("events")
+    latest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "event_type", "ts")
+    )
+    got = spark.read.parquet(target)
+    assert _rows(got, ["user_id", "event_type", "ts"]) == _rows(
+        latest, ["user_id", "event_type", "ts"]
+    )
+
+    # re-delivery: merging the same (already applied) batch changes nothing
+    snapshot = spark.read.parquet(target)
+    replay = ev.select("user_id", "event_type", "ts", F.col("event_id").alias("_seq"))
+    merged_again = upsert_batch(snapshot, replay, "user_id")
+    assert _rows(merged_again, ["user_id", "event_type", "ts"]) == _rows(
+        snapshot, ["user_id", "event_type", "ts"]
+    )
