@@ -357,3 +357,46 @@ def ev_cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "ev_resample_fill",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds)
+    SELECT g.user_id, g.day, COALESCE(daily.n_events, 0) AS n_events,
+           CAST(daily.n_events IS NULL AS INT) AS gap_filled
+    FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day
+    """,
+    doc="time series: resample to a dense daily grid — each user's "
+    "[first, last] activity span is expanded with sequence() and "
+    "missing days join as zero-count gap rows (the input regular ML "
+    "feature windows and forecasting expect). The grid explode is "
+    "bounded by span-days per user; the join is keyed (user_id, day) — "
+    "no cross join against a global calendar.",
+    tags=("events", "analytics"),
+)
+def ev_resample_fill(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().cast("int").alias("gap_filled"),
+    )

@@ -52,3 +52,29 @@ def test_fuzzy_match_blocked_symmetric_and_bounded(spark):
         assert 0 <= r.edit_dist <= 2
         # blocking really held: both sides share the brand
         assert r.brand is not None
+
+
+def test_resample_fill_dense_grid(spark):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_resample_fill,
+    )
+
+    rows = ev_resample_fill(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    import datetime as dt
+
+    filled_somewhere = False
+    for uid, rs in by_user.items():
+        days = sorted(r.day for r in rs)
+        span = (days[-1] - days[0]).days + 1
+        assert len(days) == span  # dense: every day in [first, last]
+        assert len(set(days)) == len(days)
+        for r in rs:
+            if r.gap_filled:
+                assert r.n_events == 0
+                filled_somewhere = True
+            else:
+                assert r.n_events > 0
+    assert filled_somewhere, "fixture must exercise the gap-fill path"
