@@ -986,3 +986,34 @@ def op_fuzzy_match_blocked(spark, sf_dir):
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "op_unpivot_melt",
+    """
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+        FROM part) u
+    """,
+    doc="relational completeness: unpivot/melt — wide numeric columns to "
+    "long (key, metric, value) triples via DataFrame.unpivot (Spark "
+    "plans a single Expand over one scan: each input row fans to one "
+    "output row per metric with no join or shuffle; the UNION ALL oracle "
+    "is the semantic spec, not the plan). The inverse of "
+    "op_agg_conditional_pivot.",
+)
+def op_unpivot_melt(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
