@@ -48,6 +48,9 @@ EXTRA = [
     "text_bm25",
     "ev_asof_join",
     "sim_kmeans",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "wh_scd2_build",
 ]
 
 
