@@ -201,3 +201,90 @@ def check_report(cat) -> QualityReport:
     ry = cat.table("report_year_invoices")
     rep.add(min_threshold(ry, "num_invoices", 0, table="report_year_invoices"))
     return rep
+
+
+# ---------------------------------------------------------------------------
+# Curation-tier gate (extension): the same fail-stop pattern applied to
+# the training-data pipeline outputs — run after curation, before export.
+# ---------------------------------------------------------------------------
+
+
+def ratio_between(
+    df: DataFrame, predicate: str, lo: float, hi: float, *, table: str
+) -> CheckResult:
+    """Fraction of rows matching ``predicate`` must lie in [lo, hi] —
+    the alarm shape for rates (contamination %, sampling keep-rate) where
+    both 0% and 100% usually mean an upstream bug, not a clean corpus."""
+    total = df.count()
+    n = df.filter(predicate).count()
+    frac = (n / total) if total else 0.0
+    ok = lo <= frac <= hi
+    return CheckResult(
+        table,
+        f"ratio({predicate}) in [{lo},{hi}]",
+        ok,
+        f"{n}/{total} = {frac:.4f}",
+    )
+
+
+def check_curation(spark, sf_dir: str) -> QualityReport:
+    """Fail-stop gate over the curation operators' outputs:
+
+    - quality filters keep a sane fraction (not everything, not nothing),
+    - contamination stays under an alarm ceiling and n_hits is consistent
+      with the flag,
+    - every document gets exactly one split assignment and one packing
+      slot (conservation),
+    - acceptance sampling's keep-rate stays inside its expected band.
+    """
+    from data_pipeline_4_online_retail_spark.operators import curation as C
+
+    rep = QualityReport()
+
+    qf = C.text_quality_filters(spark, sf_dir)
+    rep.add(ratio_between(qf, "keep = 1", 0.05, 0.95, table="text_quality_filters"))
+    rep.add(
+        failed_rows(
+            qf,
+            "n_tokens <= 0 OR top_unigram_frac < 0 OR top_unigram_frac > 1",
+            table="text_quality_filters",
+        )
+    )
+
+    cont = C.text_contamination(spark, sf_dir)
+    rep.add(ratio_between(cont, "contaminated = 1", 0.0, 0.9, table="text_contamination"))
+    rep.add(
+        failed_rows(
+            cont,
+            "(contaminated = 1 AND n_hits = 0) OR (contaminated = 0 AND n_hits > 0)",
+            table="text_contamination",
+        )
+    )
+
+    docs = C._docs(spark, sf_dir)
+    n_docs = docs.count()
+
+    split = C.text_split_assign(spark, sf_dir)
+    rep.add(
+        CheckResult(
+            "text_split_assign",
+            "one row per document",
+            split.count() == n_docs and split.select("doc_id").distinct().count() == n_docs,
+            f"{split.count()} rows / {n_docs} docs",
+        )
+    )
+
+    packed = C.text_pack_sequences(spark, sf_dir)
+    rep.add(
+        CheckResult(
+            "text_pack_sequences",
+            "conservation: every doc packed exactly once",
+            packed.count() == n_docs
+            and packed.select("doc_id").distinct().count() == n_docs,
+            f"{packed.count()} rows / {n_docs} docs",
+        )
+    )
+
+    samp = C.text_quality_sample(spark, sf_dir)
+    rep.add(ratio_between(samp, "sampled = 1", 0.05, 0.95, table="text_quality_sample"))
+    return rep
