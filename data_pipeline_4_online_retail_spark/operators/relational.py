@@ -1017,3 +1017,36 @@ def op_unpivot_melt(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "op_pivot_native",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="relational completeness: native groupBy().pivot() with an "
+    "explicit value list (no extra distinct-scan job, deterministic "
+    "column set — the form you use at scale; unlisted statuses are "
+    "dropped, matching the oracle's CASE buckets). Spark compiles it to "
+    "the same single hash aggregate as the manual conditional pivot "
+    "(op_agg_conditional_pivot); this registers the operator surface "
+    "itself.",
+)
+def op_pivot_native(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )

@@ -170,3 +170,21 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
             assert r.a == "v1" and r.b is None  # pre-evolution files
         else:
             assert r.a == "v2" and r.b == 7
+
+
+def test_json_and_orc_source_roundtrip(spark, catalog, tmp_path):
+    """Source-format breadth: the same relation round-trips through
+    JSON-lines (schema-on-read with an explicit schema — no inference
+    job) and ORC, value-identical to the parquet original."""
+    ev = catalog.table("events").select("event_id", "user_id", "event_type", "value")
+
+    jpath = str(tmp_path / "events_json")
+    ev.write.mode("overwrite").json(jpath)
+    jback = spark.read.schema(ev.schema).json(jpath)
+    assert sorted(map(tuple, jback.collect())) == sorted(map(tuple, ev.collect()))
+
+    opath = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(opath)
+    oback = spark.read.orc(opath)
+    assert oback.schema == ev.schema
+    assert sorted(map(tuple, oback.collect())) == sorted(map(tuple, ev.collect()))
