@@ -40,84 +40,74 @@ import data_pipeline_4_online_retail_spark.operators.warehouse  # noqa: E402,F40
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering: the driver correctness-checks the FIRST 50
-# registrations, so the 50 highest-evidence queries go first — the eight
-# retail_* end-to-end reference-parity queries, the four queries whose
-# output types were reworked in round 2, one full block per extension
-# family (text/events/multimodal/skew/scalar/curation), and the round-2
-# additions that have never had a driver row. Queries that were
-# driver-green in round 1 (CORRECTNESS_r01.json) cede their slots — that
-# evidence is already on record — keeping star_report_customer and
-# sim_ann_ivf as cross-round controls. Everything past #50 stays covered
-# by tools/oracle_check.py (the driver-identical local replica).
+# Driver-visible ordering, round 3: the driver correctness-checks the
+# FIRST 50 registrations. Slots go to (a) the 15 queries with no driver
+# row in r1 ∪ r2 (late round-2 additions past the 50-query window —
+# after this round r1 ∪ r2 ∪ r3 covers all 110 registrations, with
+# sim_kmeans / mm_image_features_fake / op_agg_approx_distinct +
+# dedup_minhash_lsh_fast / dedup_simhash / sim_ann_lsh as the six honest
+# rows-only checks), (b) the 3 r2 reds re-verified after their
+# canonicalizer-interface fixes (op_math_functions type casts; emb_*
+# exploded outputs), (c) the dedup family, re-verified because its cache
+# lifecycle changed this round, and (d) cross-round controls + round-1
+# greens not seen since r1. Everything past #50 stays covered by
+# tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # reference-parity e2e differential (plans/retail_oracle.py)
-    "retail_dim_customer",
-    "retail_dim_datetime",
-    "retail_dim_product",
-    "retail_dim_invoice",
-    "retail_fct_invoice_line_value",
-    "retail_report_customer_invoices",
-    "retail_report_product_invoices",
-    "retail_report_year_invoices",
-    # round-2 output-type reworks (r1 hash_match:false)
-    "star_report_year",
-    "op_window_running_sum",
-    "op_agg_conditional_pivot",
-    "op_json_extract",
-    # text-analysis family
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_word_freq",
-    "text_tf_df",
-    "text_regex_tokens",
-    # event-time window family (streaming batch twins)
-    "ev_tumbling_window",
-    "ev_hopping_window",
-    "ev_session_window",
-    "ev_interval_join",
-    "ev_multi_resolution_rollup",
-    # multimodal family (the honest rows-only decode stub
-    # mm_image_features_fake cedes its slot to an oracled query; its
-    # plumbing stays pytest-covered)
-    "mm_binary_metadata",
-    "mm_frame_sample",
-    # warehouse maintenance (r2-new; wh_merge_upsert queues for r3)
-    "wh_scd2_build",
-    # skew-mitigation family
-    "skew_salted_aggregate",
-    "skew_salted_join",
-    # scalar-function families
-    "op_string_functions",
-    "op_date_arithmetic",
+    # (a) the 15 queries with no driver row in r1 ∪ r2
+    "op_window_range_frame",
+    "op_window_distribution",
+    "op_agg_grouping_sets",
+    "op_fuzzy_match_blocked",
+    "op_unpivot_melt",
+    "op_pivot_native",
+    "sim_kmeans",
+    "text_bpe_pair_freqs",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "ev_resample_fill",
+    "mm_image_features_fake",
+    "op_agg_approx_distinct",
+    "text_quality_sample",
+    "wh_merge_upsert",
+    # (b) r2 reds, fixed this round
     "op_math_functions",
-    "op_null_handling",
-    "op_agg_cube",
-    "op_percentiles_exact",
-    # similarity: grouped centroids (k-means step)
-    "sim_label_centroids",
-    # curation family (r2-new: quality gates, decontamination, PII,
-    # as-of join, split assignment, BM25, sequence packing)
-    "text_quality_filters",
-    "text_contamination",
-    "pii_mask",
-    "ev_asof_join",
-    "text_split_assign",
-    "text_bm25",
-    "text_chunk_windows",
-    "text_pack_sequences",
-    # embeddings + sampling (r2-new)
     "emb_l2_normalize",
     "emb_quantize_int8",
-    "op_stratified_sample",
-    # dedup clustering + corpus apply (r2-new)
+    # (c) dedup family — cache lifecycle reworked this round
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_corpus",
-    # cross-round control (r1 driver-green flagship)
+    "dedup_embedding_cosine",
+    # (d) cross-round controls + r1-only greens for freshness
     "star_report_customer",
+    "retail_fct_invoice_line_value",
+    "sim_ann_ivf",
+    "sim_label_centroids",
+    "sim_topk_bruteforce",
+    "star_dim_customer",
+    "star_dim_datetime",
+    "star_dim_product",
+    "star_dim_invoice",
+    "star_fct_invoice_line_value",
+    "star_report_product",
+    "op_agg_count_distinct",
+    "op_agg_group_multi",
+    "op_agg_rollup",
+    "op_array_functions",
+    "op_conditional_case",
+    "op_datetime_roundtrip",
+    "op_dedup_row_number",
+    "op_join_anti",
+    "op_join_range",
+    "op_join_semi",
+    "op_set_except",
+    "op_set_intersect",
+    "op_set_union",
+    "op_surrogate_key",
+    "op_window_lead_lag",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

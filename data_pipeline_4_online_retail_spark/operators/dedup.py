@@ -54,6 +54,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cache lifecycle. The dedup builders persist large intermediates
+# (exploded shingles, shingle arrays, banded signatures, edge lists) so
+# each is computed once per query instead of once per plan branch. Those
+# handles used to go out of scope still-cached: repeated invocations in
+# one session (bench min-of-N, 110-query sweeps) accumulated blocks until
+# LRU eviction pressured executor storage. Every persist now goes through
+# ``_persist`` (tracked in _RETAINED), and each registered builder starts
+# by releasing the PREVIOUS invocation's caches — at any moment at most
+# one dedup query's intermediates are cached, with no extra
+# materialization jobs on the hot path. Correctness never depends on a
+# cache: an unpersisted frame recomputes through its full lineage.
+# ---------------------------------------------------------------------------
+
+_RETAINED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() + track for scoped release."""
+    out = df.persist()
+    _RETAINED.append(out)
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every tracked dedup cache. Called at each registered
+    builder's entry (scoping caches to one query) and available to long
+    sessions that want to drop the last query's blocks too."""
+    while _RETAINED:
+        _RETAINED.pop().unpersist()
+
+
+# ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------
 
@@ -195,10 +227,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # Full-pairwise path: |A∩B| falls out of the shingle join itself
     # (groupBy-count over colliding pairs) — cheaper than materializing the
     # huge distinct pair list and re-intersecting arrays.
+    release_caches()  # drop the previous dedup query's cached blocks
     docs = _docs(spark, sf_dir)
     # three plan branches (self-join a/b + sizes) read the exploded
     # shingles — persist so shingling runs once
-    sh = exploded_shingles(docs).persist()
+    sh = exploded_shingles(docs)
+    sh = _persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -269,8 +303,9 @@ def _band_self_join(banded: DataFrame) -> DataFrame:
     distinct candidate pairs. The banded table is persisted first: both
     join branches (and nothing upstream) then read the materialized
     buckets, so shingling + signatures are computed exactly once per
-    query instead of once per plan branch."""
-    banded = banded.persist()
+    query instead of once per plan branch (cache scoped to the query via
+    ``_persist``/``release_caches``)."""
+    banded = _persist(banded)
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -360,7 +395,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     # Persist the shingle arrays: they feed the signature once and the
     # verification join twice; without the cache each plan branch re-reads
     # documents and re-shingles (4 full scans measured in r1's PLANS.md).
-    sharr = shingled_docs(_docs(spark, sf_dir)).persist()
+    release_caches()
+    sharr = _persist(shingled_docs(_docs(spark, sf_dir)))
     sig = minhash_signature_md5(sharr)
     cand = lsh_candidate_pairs(sig)
     return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
@@ -376,7 +412,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     "and verification as dedup_minhash_lsh.",
 )
 def dedup_minhash_lsh_fast(spark, sf_dir):
-    sharr = shingled_docs(_docs(spark, sf_dir)).persist()
+    release_caches()
+    sharr = _persist(shingled_docs(_docs(spark, sf_dir)))
     sig = minhash_signature_xxhash64(sharr)
     cand = lsh_candidate_pairs_long(sig)
     return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
@@ -460,14 +497,17 @@ def simhash_band_keys(col: Column) -> list[Column]:
     "candidates verified by exact popcount.",
 )
 def dedup_simhash(spark, sf_dir):
+    release_caches()
     fp = simhash64(shingled_docs(_docs(spark, sf_dir)))
-    banded = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.array(*simhash_band_keys(F.col("simhash")))).alias(
-            "band_idx", "band_key"
-        ),
-    ).persist()
+    banded = _persist(
+        fp.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(F.array(*simhash_band_keys(F.col("simhash")))).alias(
+                "band_idx", "band_key"
+            ),
+        )
+    )
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (
@@ -543,13 +583,12 @@ def connected_components(
     """(doc_id, cluster_id) for every doc in ``pairs``; cluster_id is the
     minimum doc_id reachable through the pair graph. Iterates neighbor
     min-label propagation to a fixpoint (asserted under ``max_iter``)."""
-    edges = (
+    edges = _persist(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -586,6 +625,10 @@ def connected_components(
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
+    # per-iteration old labels are unpersisted in-loop; the survivors
+    # (edges + final labels, already materialized by the fixpoint count)
+    # are tracked for scoped release at the next dedup query's entry
+    _RETAINED.append(labels)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -645,11 +688,12 @@ FROM clusters
     "reaching the same fixpoint.",
 )
 def dedup_clusters(spark, sf_dir):
-    sharr = shingled_docs(_docs(spark, sf_dir)).persist()
+    release_caches()
+    sharr = _persist(shingled_docs(_docs(spark, sf_dir)))
     sig = minhash_signature_md5(sharr)
     cand = lsh_candidate_pairs(sig)
-    pairs = jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD).persist()
-    cc = connected_components(pairs)
+    pairs = _persist(jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD))
+    cc = connected_components(pairs)  # labels materialized by its fixpoint
     return cc.select(
         "doc_id",
         "cluster_id",

@@ -69,17 +69,42 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_batch(content_bytes: bytes, *, fake: bool) -> tuple[int, int, float]:
-    """STUB decoder. Real implementation: PIL/libvips decode → (w, h, luma).
+def _pil_available() -> bool:
+    """Runtime probe for a real image decoder. Re-confirmed absent in this
+    container (no PIL/cv2/ffmpeg, r3 probe); if the environment ever
+    gains Pillow, ``decode_image_batch(..., fake=False)`` starts working
+    with no code change."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    ``fake=True`` derives a deterministic pseudo-decode from the bytes so
-    the distributed plumbing is testable without image libraries.
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_batch(content_bytes: bytes, *, fake: bool) -> tuple[int, int, float]:
+    """Image decode → (width, height, mean luma).
+
+    ``fake=False`` uses Pillow when importable (probed at call time);
+    otherwise raises — the container has no image libraries, so the
+    honest default path is the deterministic ``fake=True`` pseudo-decode,
+    which keeps the distributed plumbing testable.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/libvips, not present in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
+        if not _pil_available():
+            raise NotImplementedError(
+                "image decoding requires PIL/libvips, not present in this "
+                "environment; pass fake=True for the deterministic stub"
+            )
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(content_bytes)) as img:
+            luma_img = img.convert("L")
+            pixels = list(luma_img.getdata())
+            mean_luma = (sum(pixels) / len(pixels)) if pixels else 0.0
+            return img.width, img.height, mean_luma
     n = len(content_bytes)
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)

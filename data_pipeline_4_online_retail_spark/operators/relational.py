@@ -856,11 +856,16 @@ def op_table_profile(spark, sf_dir):
 )
 def op_window_range_frame(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    days7 = 7 * 86400
+    # Order by a tz-FREE day number: o_orderdate is timestamp_ntz (all
+    # values midnight), and unix_timestamp(cast(ntz AS timestamp)) would
+    # route through the session timezone — on a DST host under the
+    # driver's default-tz session, 7-day boundaries shift by ±3600s vs
+    # DuckDB's tz-less INTERVAL 7 DAY. ntz→date is a pure calendar cast,
+    # and unix_date is days since epoch, so the frame is engine-exact.
     wr = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
-        .rangeBetween(-days7, 0)
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-7, 0)
     )
     ww = (
         Window.partitionBy("o_custkey")

@@ -91,19 +91,23 @@ def op_date_arithmetic(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25) AS dist_from_25,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            sqrt(l_quantity) AS qty_sqrt,
            l_quantity * l_quantity AS qty_sq,
            CAST(l_quantity AS INT) % 7 AS qty_mod7,
            greatest(l_quantity, 10.0) AS qty_floor10,
            least(l_quantity, 40.0) AS qty_cap40,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
     doc="scalar family: IEEE-exact math (abs/floor/ceil/sqrt/mod/"
     "greatest/least/sign); transcendentals excluded from hash checks "
-    "(libm-dependent)",
+    "(libm-dependent). Oracle casts pin the cross-engine type pairs: "
+    "DuckDB floor/ceil yield DOUBLE vs Spark's LONG (cast to BIGINT) and "
+    "DuckDB sign yields TINYINT vs Spark signum's DOUBLE (cast to "
+    "DOUBLE) — the driver canonicalizer renders int64 vs float64 "
+    "differently, so dtype pairs must agree per column.",
 )
 def op_math_functions(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")

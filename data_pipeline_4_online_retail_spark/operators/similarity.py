@@ -290,29 +290,15 @@ def sim_ann_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "emb_l2_normalize",
+def emb_l2_normalize_vec(spark, sf_dir):
+    """Array-native L2 normalization: (vec_id, norm, unit array<double>).
+
+    This is the production form (the unit vector stays a column); the
+    registered ``emb_l2_normalize`` query explodes it to scalar rows
+    because the driver's pandas canonicalizer cannot hash list-valued
+    columns (r2 `TypeError: unhashable type: 'list'`). Pytest covers this
+    array form directly.
     """
-    WITH v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    ),
-    n AS (
-        SELECT vec_id, v,
-               sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
-        FROM v
-    )
-    SELECT vec_id, norm, list_transform(v, x -> x / norm) AS unit
-    FROM n
-    """,
-    doc="vector op: L2 normalization — float components widen to double "
-    "(exact), the squared sum reduces in LIST ORDER on both engines "
-    "(order-pinned, so the double sum is bit-identical), sqrt and the "
-    "per-element division are IEEE-deterministic. The norm is "
-    "materialized in its own projection before the transform lambda "
-    "references it (HOF lambdas get no CSE).",
-)
-def emb_l2_normalize(spark, sf_dir):
     e = _emb(spark, sf_dir)
     v = e.select(
         "vec_id",
@@ -333,31 +319,49 @@ def emb_l2_normalize(spark, sf_dir):
 
 
 @register(
-    "emb_quantize_int8",
+    "emb_l2_normalize",
     """
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
-    s AS (
+    n AS (
         SELECT vec_id, v,
-               127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
         FROM v
-        WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    ),
+    u AS (
+        SELECT vec_id, norm, list_transform(v, x -> x / norm) AS unit
+        FROM n
     )
-    SELECT vec_id, scale,
-           list_transform(v, x -> CAST(greatest(least(
-               floor(x * scale + 0.5), 127), -127) AS INT)) AS q
-    FROM s
+    SELECT vec_id, norm,
+           generate_subscripts(unit, 1) - 1 AS dim_idx,
+           unnest(unit) AS unit_val
+    FROM u
     """,
-    doc="vector op: symmetric int8 quantization (scale = 127/amax, "
-    "q = clamp(floor(x*scale + 0.5))) — 4× storage cut before writing an "
-    "embedding table. floor(x+0.5) instead of round(): both engines "
-    "evaluate it identically (round()'s half-way tie-breaking differs), "
-    "and the clamp makes the ±ulp edge at amax explicit. Zero vectors "
-    "are excluded (no defined scale) on both sides.",
+    doc="vector op: L2 normalization — float components widen to double "
+    "(exact), the squared sum reduces in LIST ORDER on both engines "
+    "(order-pinned, so the double sum is bit-identical), sqrt and the "
+    "per-element division are IEEE-deterministic. The norm is "
+    "materialized in its own projection before the transform lambda "
+    "references it (HOF lambdas get no CSE). Output is exploded to "
+    "(vec_id, norm, dim_idx, unit_val) scalar rows — array-valued "
+    "columns crash the driver canonicalizer; the array-native form is "
+    "emb_l2_normalize_vec (pytest-covered).",
 )
-def emb_quantize_int8(spark, sf_dir):
+def emb_l2_normalize(spark, sf_dir):
+    return emb_l2_normalize_vec(spark, sf_dir).select(
+        "vec_id",
+        "norm",
+        F.posexplode("unit").alias("dim_idx", "unit_val"),
+    )
+
+
+def emb_quantize_int8_vec(spark, sf_dir):
+    """Array-native symmetric int8 quantization: (vec_id, scale,
+    q array<int>). Production form; the registered ``emb_quantize_int8``
+    explodes to scalar rows for driver hashability (see
+    emb_l2_normalize_vec). Pytest covers this array form directly."""
     e = _emb(spark, sf_dir)
     v = e.select(
         "vec_id",
@@ -380,6 +384,47 @@ def emb_quantize_int8(spark, sf_dir):
         ).cast("int"),
     )
     return s.select("vec_id", "scale", q.alias("q"))
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM v
+        WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    ),
+    qq AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> CAST(greatest(least(
+                   floor(x * scale + 0.5), 127), -127) AS INT)) AS q
+        FROM s
+    )
+    SELECT vec_id, scale,
+           generate_subscripts(q, 1) - 1 AS dim_idx,
+           unnest(q) AS q_val
+    FROM qq
+    """,
+    doc="vector op: symmetric int8 quantization (scale = 127/amax, "
+    "q = clamp(floor(x*scale + 0.5))) — 4× storage cut before writing an "
+    "embedding table. floor(x+0.5) instead of round(): both engines "
+    "evaluate it identically (round()'s half-way tie-breaking differs), "
+    "and the clamp makes the ±ulp edge at amax explicit. Zero vectors "
+    "are excluded (no defined scale) on both sides. Output exploded to "
+    "(vec_id, scale, dim_idx, q_val) scalar rows for the driver "
+    "canonicalizer; array-native form is emb_quantize_int8_vec.",
+)
+def emb_quantize_int8(spark, sf_dir):
+    return emb_quantize_int8_vec(spark, sf_dir).select(
+        "vec_id",
+        "scale",
+        F.posexplode("q").alias("dim_idx", "q_val"),
+    )
 
 
 @register(

@@ -217,7 +217,17 @@ def ratio_between(
     both 0% and 100% usually mean an upstream bug, not a clean corpus."""
     total = df.count()
     n = df.filter(predicate).count()
-    frac = (n / total) if total else 0.0
+    # An EMPTY table always fails: with lo=0.0 bands (e.g. contamination's
+    # [0.0, 0.9]) a vacuous 0/0 "rate" would pass the gate even though an
+    # upstream bug dropped every row — the opposite of fail-stop.
+    if total == 0:
+        return CheckResult(
+            table,
+            f"ratio({predicate}) in [{lo},{hi}]",
+            False,
+            "0/0 rows — empty input, rate undefined (fail-stop)",
+        )
+    frac = n / total
     ok = lo <= frac <= hi
     return CheckResult(
         table,

@@ -50,8 +50,16 @@ def upsert_batch(snapshot: DataFrame | None, batch: DataFrame, key: str) -> Data
     t = snapshot.alias("t")
     s = latest.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    # Matched keys take the SOURCE row wholesale — per-column coalesce
+    # would let a legitimate NULL in the latest source row be overridden
+    # by a stale non-NULL target value (not latest-wins, and re-delivery
+    # of such a batch would not be idempotent). Only the key column is
+    # coalesced, to cover the target-only branch of the full outer join.
+    use_source = F.col(f"s.{key}").isNotNull()
     cols = [
-        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+        F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias(key)
+        if c == key
+        else F.when(use_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in snapshot.columns
     ]
     return joined.select(*cols)
@@ -66,22 +74,39 @@ def start_upsert_sink(
     query_name: str = "upsert_sink",
 ):
     """writeStream.foreachBatch upsert into a parquet snapshot at
-    ``target_dir``. Atomic swap via write-new-then-rename is simulated
-    with overwrite of a staging dir + replace (sufficient on local/object
-    stores with atomic rename; transactional formats do this natively).
+    ``target_dir``.
+
+    Swap protocol is rename-aside so a VALID snapshot exists at every
+    instant: target → target.old, staging → target, delete target.old.
+    (The previous rmtree-then-rename had a crash window between delete
+    and rename that lost the snapshot permanently — and because the
+    checkpoint already marked earlier batches committed, they would
+    never be replayed.) A crash between the two renames leaves only
+    ``.old``; the next batch (or restart) recovers it before reading.
+    On a transactional table format the same ``foreachBatch`` body
+    becomes the format's native atomic MERGE.
     """
+    old_dir = target_dir + ".old"
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # crash recovery: target missing but .old present → previous run
+        # died between the two renames; restore the valid snapshot.
+        if not os.path.exists(target_dir) and os.path.exists(old_dir):
+            os.rename(old_dir, target_dir)
         snapshot = None
         if os.path.exists(target_dir):
             snapshot = spark.read.parquet(target_dir)
         merged = upsert_batch(snapshot, batch, key)
         staging = target_dir + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
         if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
+            os.rename(target_dir, old_dir)
         os.rename(staging, target_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -116,3 +116,98 @@ def user_session_tracker(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: the stateful twin of operators/events_windows.ev_funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("signup_ts", T.TimestampType(), True),
+        T.StructField("view_ts", T.TimestampType(), True),
+        T.StructField("click_ts", T.TimestampType(), True),
+        T.StructField("purchase_ts", T.TimestampType(), True),
+        T.StructField("funnel_stage", T.IntegerType(), False),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("signup_us", T.LongType(), True),
+        T.StructField("view_us", T.LongType(), True),
+        T.StructField("click_us", T.LongType(), True),
+        T.StructField("purchase_us", T.LongType(), True),
+    ]
+)
+
+# At equal timestamps the earlier funnel stage applies first, matching the
+# batch semantics where each stage's MIN uses ts >= previous stage's ts
+# (inclusive).
+_FUNNEL_STAGE_ORDER = {"signup": 0, "view": 1, "click": 2, "purchase": 3}
+
+
+def _update_funnel(key, pdf_iter, state: GroupState):
+    """One-pass funnel state machine per user: fold this micro-batch's
+    events in (ts, stage) order into the first-qualifying-timestamp chain
+    signup → view → click → purchase.
+
+    Processing events in event-time order makes the fold compute exactly
+    the batch semantics (each stage = MIN qualifying ts at-or-after the
+    previous stage). Cross-batch ordering is the event-time-frontier
+    assumption: an event older than an already-applied later stage cannot
+    retract it — the same contract as watermark-dropped late data in the
+    built-in windows. Timestamps stay epoch-µs inside the state (see
+    _update_user_sessions for why: no local-tz round trips)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        s_us, v_us, c_us, p_us = state.get
+    else:
+        s_us, v_us, c_us, p_us = None, None, None, None
+
+    evs: list[tuple[int, int]] = []
+    for pdf in pdf_iter:
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        for t, etype in zip(ts_us, pdf["event_type"]):
+            order = _FUNNEL_STAGE_ORDER.get(etype)
+            if order is not None:
+                evs.append((int(t), order))
+    for t, order in sorted(evs):
+        if order == 0 and s_us is None:
+            s_us = t
+        elif order == 1 and s_us is not None and v_us is None and t >= s_us:
+            v_us = t
+        elif order == 2 and v_us is not None and c_us is None and t >= v_us:
+            c_us = t
+        elif order == 3 and c_us is not None and p_us is None and t >= c_us:
+            p_us = t
+
+    state.update((s_us, v_us, c_us, p_us))
+    stage = 4 if p_us else 3 if c_us else 2 if v_us else 1 if s_us else 0
+
+    def _ts(us):
+        return pd.Timestamp(us, unit="us") if us is not None else None
+
+    yield pd.DataFrame(
+        [(user_id, _ts(s_us), _ts(v_us), _ts(c_us), _ts(p_us), stage)],
+        columns=[
+            "user_id", "signup_ts", "view_ts", "click_ts", "purchase_ts",
+            "funnel_stage",
+        ],
+    )
+
+
+def funnel_tracker(events_stream: DataFrame) -> DataFrame:
+    """Streaming funnel over (user_id, event_type, ts): emits each user's
+    current funnel row every micro-batch; state is 4 longs per user, so
+    the state store scales to billions of keys partitioned by user_id."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -97,3 +97,35 @@ def test_kmeans_matches_exact_replica(spark):
     got = {r.vec_id: r.cluster_id for r in S.sim_kmeans(spark, sf).collect()}
     assert got == expected
     assert len(set(got.values())) > 1
+
+
+def test_emb_vec_forms_match_exploded(spark):
+    """The array-native builders (emb_*_vec) and the driver-facing
+    exploded forms must carry identical values; the exploded row count is
+    exactly n_vectors x dim."""
+    vec = {
+        (r.vec_id, i): (r.norm, u)
+        for r in S.emb_l2_normalize_vec(spark, SF_DIR).collect()
+        for i, u in enumerate(r.unit)
+    }
+    flat = {
+        (r.vec_id, r.dim_idx): (r.norm, r.unit_val)
+        for r in S.emb_l2_normalize(spark, SF_DIR).collect()
+    }
+    assert vec == flat and vec
+
+    qvec = {
+        (r.vec_id, i): (r.scale, q)
+        for r in S.emb_quantize_int8_vec(spark, SF_DIR).collect()
+        for i, q in enumerate(r.q)
+    }
+    qflat = {
+        (r.vec_id, r.dim_idx): (r.scale, r.q_val)
+        for r in S.emb_quantize_int8(spark, SF_DIR).collect()
+    }
+    assert qvec == qflat and qvec
+    # unit vectors actually have norm 1 (within float tolerance)
+    for r in S.emb_l2_normalize_vec(spark, SF_DIR).limit(50).collect():
+        assert abs(sum(u * u for u in r.unit) - 1.0) < 1e-9
+    # quantized components are clamped int8-symmetric
+    assert all(-127 <= v[1] <= 127 for v in qvec.values())

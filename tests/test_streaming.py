@@ -342,3 +342,150 @@ def test_foreachbatch_upsert_sink_converges(spark, catalog, events_dir, tmp_path
     assert _rows(merged_again, ["user_id", "event_type", "ts"]) == _rows(
         snapshot, ["user_id", "event_type", "ts"]
     )
+
+
+def test_upsert_batch_null_overwrites_stale_value(spark):
+    """Latest-wins means WHOLESALE: a legitimate NULL in the newest source
+    row must overwrite a non-NULL target value (per-column coalesce would
+    silently resurrect the stale value and break re-delivery idempotence
+    for such rows)."""
+    from data_pipeline_4_online_retail_spark.streaming.sinks import upsert_batch
+
+    snapshot = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20)], "k INT, name STRING, v INT"
+    )
+    batch = spark.createDataFrame(
+        [(1, None, 11, 5), (3, "carol", 30, 5)],
+        "k INT, name STRING, v INT, _seq INT",
+    )
+    got = {r.k: (r.name, r.v) for r in upsert_batch(snapshot, batch, "k").collect()}
+    assert got == {1: (None, 11), 2: ("bob", 20), 3: ("carol", 30)}
+    # idempotent: re-applying the same batch changes nothing
+    merged = upsert_batch(snapshot, batch, "k")
+    again = {
+        r.k: (r.name, r.v)
+        for r in upsert_batch(
+            merged, batch, "k"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_upsert_sink_swap_recovers_from_crash_window(spark, tmp_path_factory):
+    """Rename-aside swap: if a run dies between 'target -> target.old' and
+    'staging -> target', the next batch restores .old — a valid snapshot
+    exists at every instant and no committed batch is lost."""
+    import os
+
+    from data_pipeline_4_online_retail_spark.streaming.sinks import start_upsert_sink
+
+    base = tmp_path_factory.mktemp("swap_crash")
+    src, target, ckpt = str(base / "src"), str(base / "target"), str(base / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k INT, val STRING, _seq INT"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k INT, val STRING, _seq INT").parquet(src)
+    q = start_upsert_sink(stream, target, ckpt, key="k")
+    q.awaitTermination()
+
+    # simulate the crash window: target renamed aside, replacement never landed
+    os.rename(target, target + ".old")
+    assert not os.path.exists(target)
+
+    spark.createDataFrame([(2, "b2", 3)], "k INT, val STRING, _seq INT").write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema("k INT, val STRING, _seq INT").parquet(src)
+    q2 = start_upsert_sink(stream2, target, ckpt, key="k")
+    q2.awaitTermination()
+
+    got = {r.k: r.val for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b2"}
+    assert not os.path.exists(target + ".old")
+
+
+def test_ratio_between_empty_table_fails(spark):
+    """A 0-row input must FAIL the rate gate even when the band includes
+    0.0 — an upstream bug that drops all rows is exactly what fail-stop
+    exists to catch."""
+    from data_pipeline_4_online_retail_spark.quality import ratio_between
+
+    empty = spark.createDataFrame([], "x INT")
+    res = ratio_between(empty, "x > 0", 0.0, 0.9, table="t")
+    assert not res.passed
+    some = spark.createDataFrame([(1,), (2,)], "x INT")
+    assert ratio_between(some, "x > 0", 0.9, 1.0, table="t").passed
+
+
+def test_funnel_stream_matches_batch(spark, catalog, tmp_path_factory):
+    """Stateful streaming funnel == the oracle-checked batch ev_funnel,
+    with events delivered over MULTIPLE micro-batches in event-time order
+    (maxFilesPerTrigger=1 over ts-split files) so cross-batch state
+    carry-over is actually exercised."""
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_funnel,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.stateful import (
+        funnel_tracker,
+    )
+
+    src = str(tmp_path_factory.mktemp("funnel_stream"))
+    ev = catalog.table("events").select("user_id", "event_type", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    # three ts-ordered files → three micro-batches
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= F.lit(bounds[i]))
+            & (
+                F.col("ts") <= F.lit(bounds[i + 1])
+                if i == 2
+                else F.col("ts") < F.lit(bounds[i + 1])
+            )
+        )
+        part.coalesce(1).write.parquet(f"{src}/b{i}")
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{src}/b*/part-*.parquet"))
+    assert len(files) == 3
+
+    stream = (
+        spark.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        funnel_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode emits one row per user per touched batch; funnel state
+    # only progresses, so the max-stage row is the final state
+    out = spark.table("t_funnel")
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "funnel_stage", "signup_ts", "view_ts", "click_ts", "purchase_ts"
+                )
+            ).alias("s")
+        )
+        .select(
+            "user_id", "s.signup_ts", "s.view_ts", "s.click_ts", "s.purchase_ts",
+            "s.funnel_stage",
+        )
+    )
+    cols = [
+        "user_id", "signup_ts", "view_ts", "click_ts", "purchase_ts", "funnel_stage"
+    ]
+    batch = ev_funnel(spark, "/root/testdata/sf0.001")
+    assert _rows(final, cols) == _rows(batch, cols)
+    # the funnel actually has depth in this fixture
+    assert batch.filter("funnel_stage >= 2").count() > 0

@@ -8,13 +8,23 @@ parquet files, and compares:
 - schema (sorted column names),
 - order-insensitive value hash (per-row canonical string, doubles rounded
   to 6 significant-stable decimals, rows sorted),
-- driver-safe output types: DECIMAL (either engine) and DuckDB HUGEINT
-  are flagged as failures even when values match — the driver's pandas
-  canonicalizer converts them asymmetrically (DuckDB DECIMAL→float64 vs
-  Spark DECIMAL→object Decimal; SUM(INT)→HUGEINT), so trailing-zero
-  values hash-mismatch (the r1 star_report_year/op_json_extract class).
-  Accumulate in DECIMAL, cast the final aggregate to DOUBLE/BIGINT on
-  both sides.
+- driver-safe output types, three audit classes (each reproduces a real
+  driver failure even when *values* match):
+  1. DECIMAL (either engine) / DuckDB HUGEINT — the driver's pandas
+     canonicalizer converts them asymmetrically (DuckDB DECIMAL→float64
+     vs Spark DECIMAL→object Decimal; SUM(INT)→HUGEINT), so
+     trailing-zero values hash-mismatch (r1 star_report_year class).
+     Accumulate in DECIMAL, cast the final aggregate to DOUBLE/BIGINT on
+     both sides.
+  2. Per-column integer-vs-float dtype asymmetry between the engines —
+     both types can be individually safe, but pandas renders int64
+     ``90000`` vs float64 ``90000.0`` (r2 op_math_functions class:
+     DuckDB floor/ceil→DOUBLE vs Spark→LONG, DuckDB sign→TINYINT vs
+     signum→DOUBLE). Cast one side so the int/float *class* agrees.
+  3. Array/map/struct output columns on either engine — the driver
+     canonicalizer calls pandas hashing on column values, and Python
+     lists are unhashable (r2 emb_l2_normalize class: ``TypeError:
+     unhashable type: 'list'``). Explode to scalar rows or serialize.
 
 Usage:  python tools/oracle_check.py [sf_dir] [query_name ...]
 """
@@ -36,6 +46,46 @@ ONLY = set(sys.argv[2:])
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def spark_type_class(dt) -> str:
+    """Bucket a Spark DataType into the driver-canonicalizer classes."""
+    from pyspark.sql import types as _T
+
+    if isinstance(dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)):
+        return "int"
+    if isinstance(dt, (_T.FloatType, _T.DoubleType)):
+        return "float"
+    if isinstance(dt, (_T.ArrayType, _T.MapType, _T.StructType)):
+        return "nested"
+    return "other"
+
+
+def duck_type_class(t: str) -> str:
+    """Bucket a DuckDB type string into the driver-canonicalizer classes."""
+    t = t.upper()
+    if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "ARRAY")):
+        return "nested"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    return "other"
+
+
+def dtype_pair_problems(
+    spark_classes: dict[str, str], duck_classes: dict[str, str]
+) -> list[str]:
+    """The r2 op_math_functions bug class: per-column int-vs-float
+    asymmetry between engines — both types individually driver-safe, but
+    pandas renders int64 ``90000`` vs float64 ``90000.0``."""
+    return [
+        f"{c}: spark={spark_classes[c]} duck={duck_classes[c]}"
+        for c in spark_classes
+        if c in duck_classes
+        and {spark_classes[c], duck_classes[c]} == {"int", "float"}
+    ]
 
 
 def canon(v) -> str:
@@ -114,14 +164,22 @@ def main() -> int:
         problems = []
         from pyspark.sql import types as _T
 
+        spark_classes = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
         bad_spark = [
             f.name for f in sdf.schema.fields
             if isinstance(f.dataType, _T.DecimalType)
         ]
         if bad_spark:
             problems.append(f"driver-unsafe Spark DECIMAL output: {bad_spark}")
+        nested_spark = [c for c, k in spark_classes.items() if k == "nested"]
+        if nested_spark:
+            problems.append(
+                f"driver-unsafe Spark array/map/struct output: {nested_spark} "
+                "(pandas canonicalizer cannot hash lists — explode or serialize)"
+            )
         try:
             desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            duck_classes = {cname: duck_type_class(str(ctype)) for cname, ctype, *_ in desc}
             bad_duck = [
                 (cname, ctype)
                 for cname, ctype, *_ in desc
@@ -129,6 +187,18 @@ def main() -> int:
             ]
             if bad_duck:
                 problems.append(f"driver-unsafe DuckDB output types: {bad_duck}")
+            nested_duck = [c for c, k in duck_classes.items() if k == "nested"]
+            if nested_duck:
+                problems.append(
+                    f"driver-unsafe DuckDB nested output: {nested_duck}"
+                )
+            asym = dtype_pair_problems(spark_classes, duck_classes)
+            if asym:
+                problems.append(
+                    "driver-unsafe int/float dtype asymmetry "
+                    + "; ".join(asym)
+                    + " (cast one side so the class matches)"
+                )
         except Exception:  # noqa: BLE001  (DESCRIBE unsupported → skip audit)
             pass
         if len(s_rows) != len(d_rows):
