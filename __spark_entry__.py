@@ -43,7 +43,7 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # Driver-visible ordering, round 3: the driver correctness-checks the
 # FIRST 50 registrations. Slots go to (a) the 15 queries with no driver
 # row in r1 ∪ r2 (late round-2 additions past the 50-query window —
-# after this round r1 ∪ r2 ∪ r3 covers all 110 registrations, with
+# after this round r1 ∪ r2 ∪ r3 covers every registration, with
 # sim_kmeans / mm_image_features_fake / op_agg_approx_distinct +
 # dedup_minhash_lsh_fast / dedup_simhash / sim_ann_lsh as the six honest
 # rows-only checks), (b) the 3 r2 reds re-verified after their
@@ -103,11 +103,13 @@ _DRIVER_PRIORITY = [
     "op_join_anti",
     "op_join_range",
     "op_join_semi",
-    "op_set_except",
-    "op_set_intersect",
-    "op_set_union",
-    "op_surrogate_key",
     "op_window_lead_lag",
+    # (e) r3-new operators — first driver evidence this round (the four
+    # r1-green set/surrogate fillers they displace keep their r1 rows)
+    "text_repetition_stats",
+    "text_mixture_sample",
+    "text_shard_assign",
+    "dedup_incremental",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -35,6 +35,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_pipeline_4_online_retail_spark.plans.registry import register
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
@@ -646,4 +647,105 @@ def text_quality_sample(spark, sf_dir):
         "quality_score",
         "hash_frac",
         (F.col("hash_frac") < F.col("quality_score")).cast("int").alias("sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Source-mixture rebalancing + training-export shard assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_mixture_sample",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_s,
+               MIN(COUNT(*)) OVER () AS min_n
+        FROM documents GROUP BY source),
+    rated AS (
+        SELECT d.doc_id, d.source,
+               CAST(c.min_n AS BIGINT) * 1.0 / c.n_s AS keep_rate,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS hash_frac
+        FROM documents d JOIN counts c ON d.source = c.source)
+    SELECT doc_id, source, keep_rate,
+           CAST(hash_frac < keep_rate AS INT) AS sampled
+    FROM rated
+    """,
+    doc="curation: source-mixture rebalancing — every source downsamples "
+    "to the smallest source's row count (keep_rate_s = min_t n_t / n_s), "
+    "yielding a uniform source mixture; the per-document decision is "
+    "md5-uniform(doc_id) < keep_rate, so it is stateless, hash-stable "
+    "(decisions never flip as the corpus grows) and exactly reproducible "
+    "cross-engine (single integer-derived division; /2^32 is exact). At "
+    "100 TB the per-source counts are a tiny aggregate broadcast back "
+    "onto the corpus scan — the sampling itself is map-side, no shuffle "
+    "of document rows. Generalizes to arbitrary target weights w_s by "
+    "replacing min_n with min_t(n_t / w_t) * w_s.",
+    tags=("curation",),
+)
+def text_mixture_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    min_n = counts.agg(F.min("n_s").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        (F.col("min_n").cast("long") * F.lit(1.0) / F.col("n_s")).alias(
+            "keep_rate"
+        ),
+    )
+    hash_frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "keep_rate",
+            (hash_frac < F.col("keep_rate")).cast("int").alias("sampled"),
+        )
+    )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "text_shard_assign",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS d,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {N_SHARDS} AS shard_id
+        FROM documents)
+    SELECT doc_id, CAST(shard_id AS INT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY d)
+                AS BIGINT) AS shard_pos
+    FROM h
+    """,
+    doc="curation: training-export shard assignment + deterministic "
+    "global shuffle — shard_id = md5-hash(doc_id) mod N, position within "
+    "the shard = rank by the full digest. Together these give every doc "
+    "a stable (shard, offset) address whose ORDER IS the shuffled "
+    "training order: hash-ordering is the standard reproducible "
+    "alternative to a stateful RNG permutation. One shuffle keyed by "
+    "shard_id; the per-shard sort is the sort a training-data writer "
+    "performs anyway. At 100 TB, N_SHARDS scales with output file "
+    "targets and the digest sort stays within-shard (no global sort).",
+    tags=("curation",),
+)
+def text_shard_assign(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % N_SHARDS
+    )
+    h = d.select("doc_id", digest.alias("d"), shard.cast("int").alias("shard_id"))
+    w = Window.partitionBy("shard_id").orderBy("d")
+    return h.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
     )

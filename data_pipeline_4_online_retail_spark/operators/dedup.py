@@ -729,3 +729,81 @@ def dedup_corpus(spark, sf_dir):
         .join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Incremental dedup: new batch vs the existing corpus index
+# ---------------------------------------------------------------------------
+
+# Deterministic, sf-independent split of the fixture: every 5th doc plays
+# the "newly crawled batch", the rest the already-indexed corpus.
+_INCR_NEW = "doc_id % 5 = 0"
+_INCR_IDX = "doc_id % 5 != 0"
+
+_INCR_SQL = f"""
+WITH {SHINGLES_ARRAY_CTE.strip()},
+sig AS (SELECT doc_id, {_MINHASH_MINS_SQL} FROM sharr),
+bands AS (SELECT doc_id, {_MINHASH_BANDS_SQL} FROM sig),
+banded AS (
+    SELECT doc_id, band_idx, band_hash FROM bands
+    UNPIVOT (band_hash FOR band_idx IN ({", ".join(f"band{b}" for b in range(N_BANDS))}))
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+    FROM banded n JOIN banded i
+      ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+    WHERE n.{_INCR_NEW} AND i.{_INCR_IDX}
+)
+SELECT doc_a AS doc_id, doc_b AS dup_of
+FROM cand
+JOIN sharr a ON doc_a = a.doc_id
+JOIN sharr b ON doc_b = b.doc_id
+WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_incremental",
+    _INCR_SQL,
+    doc="incremental dedup: the production shape — a NEW batch of "
+    "documents is checked against the EXISTING corpus's LSH index "
+    "instead of re-deduplicating the whole corpus. The new docs' band "
+    "keys probe the corpus buckets (an asymmetric band join keyed "
+    "(band_idx, band_hash)); candidates verify by exact Jaccard. At "
+    "100 TB the corpus side is a STORED bucket table (computed once, "
+    "appended as batches commit), so per-batch cost is "
+    "O(batch + collisions), never O(corpus): only the fixture recomputes "
+    "it here because the index has nowhere to persist between driver "
+    "runs. Emits (doc_id, dup_of) for new docs that duplicate an "
+    "indexed document.",
+)
+def dedup_incremental(spark, sf_dir):
+    release_caches()
+    docs = _docs(spark, sf_dir)
+    sharr = _persist(shingled_docs(docs))
+    sig = minhash_signature_md5(sharr)
+    rows = _sig_hash_count(sig) // N_BANDS
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)]))
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = _persist(
+        sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    )
+    new_b = banded.filter(F.expr(_INCR_NEW)).alias("n")
+    idx_b = banded.filter(F.expr(_INCR_IDX)).alias("i")
+    cand = (
+        new_b.join(
+            idx_b,
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_hash") == F.col("i.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
+    return verified.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of")
+    )

@@ -338,3 +338,112 @@ def text_bpe_pair_freqs(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. Repetition statistics (the Gopher/C4 repetition-rule family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
+    wstat AS (
+        SELECT doc_id,
+               SUM(c) AS n_words,
+               COUNT(*) AS n_distinct_words,
+               MAX(c) AS top_word_count
+        FROM wc GROUP BY doc_id),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t), 1)),
+                      i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks WHERE len(t) >= 2),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM big GROUP BY doc_id, gram),
+    gstat AS (
+        SELECT doc_id,
+               SUM(c) AS n_2grams,
+               COUNT(*) AS n_distinct_2grams,
+               MAX(c) AS top_2gram_count
+        FROM gc GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           CAST(w.n_words - w.n_distinct_words AS BIGINT) * 1.0 / w.n_words
+               AS dup_word_frac,
+           CAST(w.top_word_count AS BIGINT) * 1.0 / w.n_words AS top_word_frac,
+           CAST(g.n_2grams AS BIGINT) AS n_2grams,
+           CAST(g.n_2grams - g.n_distinct_2grams AS BIGINT) * 1.0 / g.n_2grams
+               AS dup_2gram_frac,
+           CAST(g.top_2gram_count AS BIGINT) * 1.0 / g.n_2grams
+               AS top_2gram_frac
+    FROM wstat w LEFT JOIN gstat g ON w.doc_id = g.doc_id
+    """,
+    doc="text analysis: within-document repetition statistics — the "
+    "published Gopher/C4 repetition-rule family (Rae et al. 2021 §A1.1, "
+    "adapted to word/2-gram units since this corpus has no line "
+    "structure): duplicate-word fraction, most-frequent-word fraction, "
+    "duplicate-2-gram fraction, most-frequent-2-gram fraction. High "
+    "values flag boilerplate/spam for the quality gate. Two explodes "
+    "whose shuffles are keyed (doc_id, gram) then doc_id — per-document "
+    "state only, no corpus-wide structures, so the operator is "
+    "embarrassingly data-parallel at 100 TB. Single integer-derived "
+    "divisions keep every fraction engine-exact.",
+    tags=("text",),
+)
+def text_repetition_stats(spark, sf_dir):
+    toks_df = _docs(spark, sf_dir).select("doc_id", _toks().alias("t"))
+    w = toks_df.select("doc_id", F.explode("t").alias("tok"))
+    wc = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wstat = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_word_count"),
+    )
+    # adjacent 2-grams via the positional zip (see shingled_docs for why
+    # the token array is materialized before the lambda references it)
+    grams = F.filter(
+        F.zip_with(
+            F.col("t"),
+            F.slice(F.col("t"), 2, 2_147_483_000),
+            lambda a, b: F.when(b.isNull(), None).otherwise(
+                F.concat_ws(" ", a, b)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    big = (
+        toks_df.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    gc = big.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gstat = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"),
+        F.count(F.lit(1)).alias("n_distinct_2grams"),
+        F.max("c").alias("top_2gram_count"),
+    )
+    return wstat.join(gstat, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (
+            (F.col("n_words") - F.col("n_distinct_words")).cast("long")
+            * F.lit(1.0)
+            / F.col("n_words")
+        ).alias("dup_word_frac"),
+        (
+            F.col("top_word_count").cast("long") * F.lit(1.0) / F.col("n_words")
+        ).alias("top_word_frac"),
+        F.col("n_2grams").cast("long").alias("n_2grams"),
+        (
+            (F.col("n_2grams") - F.col("n_distinct_2grams")).cast("long")
+            * F.lit(1.0)
+            / F.col("n_2grams")
+        ).alias("dup_2gram_frac"),
+        (
+            F.col("top_2gram_count").cast("long") * F.lit(1.0) / F.col("n_2grams")
+        ).alias("top_2gram_frac"),
+    )

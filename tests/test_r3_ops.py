@@ -1,0 +1,104 @@
+"""Semantic invariants for the round-3 operators: repetition statistics,
+source-mixture rebalancing, shard assignment, incremental dedup."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_repetition_stats_match_python_replica(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        text_repetition_stats,
+    )
+
+    got = {r.doc_id: r for r in text_repetition_stats(spark, SF_DIR).collect()}
+    docs = {r.doc_id: r.text for r in catalog.table("documents").collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in list(docs.items())[:50]:
+        words = text.split(" ")
+        grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        r = got[doc_id]
+        assert r.n_words == len(words)
+        assert abs(r.dup_word_frac - (len(words) - len(set(words))) / len(words)) < 1e-12
+        assert abs(r.top_word_frac - Counter(words).most_common(1)[0][1] / len(words)) < 1e-12
+        if len(words) >= 2:
+            assert r.n_2grams == len(grams)
+            assert (
+                abs(r.dup_2gram_frac - (len(grams) - len(set(grams))) / len(grams))
+                < 1e-12
+            )
+            assert (
+                abs(r.top_2gram_frac - Counter(grams).most_common(1)[0][1] / len(grams))
+                < 1e-12
+            )
+
+
+def test_mixture_sample_balances_sources(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        text_mixture_sample,
+    )
+
+    out = text_mixture_sample(spark, SF_DIR)
+    counts = {
+        r.source: r.n for r in catalog.table("documents")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    min_n = min(counts.values())
+    rates = {r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()}
+    for s, n in counts.items():
+        assert abs(rates[s] - min_n / n) < 1e-12
+    # the smallest source keeps everything; rerun is deterministic
+    smallest = min(counts, key=counts.get)
+    kept = out.filter(F.col("source") == smallest)
+    assert kept.count() == kept.filter("sampled = 1").count()
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in text_mixture_sample(spark, SF_DIR).collect())
+    assert a == b
+
+
+def test_shard_assign_positions_are_dense_and_stable(spark):
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        N_SHARDS,
+        text_shard_assign,
+    )
+
+    rows = text_shard_assign(spark, SF_DIR).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard_id < N_SHARDS
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    # every shard's positions are exactly 1..n (a dense, gap-free export order)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # hash-stable: same (doc -> shard, pos) on recomputation
+    again = {r.doc_id: (r.shard_id, r.shard_pos) for r in text_shard_assign(spark, SF_DIR).collect()}
+    assert {r.doc_id: (r.shard_id, r.shard_pos) for r in rows} == again
+
+
+def test_incremental_dedup_agrees_with_full_dedup(spark):
+    """Incremental output == the full-corpus LSH pair list restricted to
+    (new-batch doc, indexed doc) pairs — probing the stored index finds
+    exactly what a full re-dedup would for those docs."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_minhash_lsh,
+    )
+
+    incr = {
+        (r.doc_id, r.dup_of) for r in dedup_incremental(spark, SF_DIR).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    expected = set()
+    for a, b in full:
+        # full dedup emits a<b; incremental emits (new, indexed) either way
+        if a % 5 == 0 and b % 5 != 0:
+            expected.add((a, b))
+        if b % 5 == 0 and a % 5 != 0:
+            expected.add((b, a))
+    assert incr == expected
