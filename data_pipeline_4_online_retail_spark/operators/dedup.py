@@ -807,3 +807,44 @@ def dedup_incremental(spark, sf_dir):
     return verified.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of")
     )
+
+
+@register(
+    "dedup_incremental_fast",
+    None,  # xxhash64 signatures have no DuckDB twin → rows-only; pair-set
+    # equivalence vs the md5 variant is asserted in tests/test_r3_ops.py
+    doc="incremental dedup, production variant: xxhash64 MinHash "
+    "signatures and 8-byte band keys (same ~4x narrower / ~10x cheaper "
+    "hashing trade as dedup_minhash_lsh_fast) probing the corpus "
+    "buckets. Same geometry and verification as dedup_incremental.",
+)
+def dedup_incremental_fast(spark, sf_dir):
+    release_caches()
+    docs = _docs(spark, sf_dir)
+    sharr = _persist(shingled_docs(docs))
+    sig = minhash_signature_xxhash64(sharr)
+    rows = _sig_hash_count(sig) // N_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = _persist(
+        sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    )
+    new_b = banded.filter(F.expr(_INCR_NEW)).alias("n")
+    idx_b = banded.filter(F.expr(_INCR_IDX)).alias("i")
+    cand = (
+        new_b.join(
+            idx_b,
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_hash") == F.col("i.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
+    return verified.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of")
+    )

@@ -256,3 +256,167 @@ def mm_frame_sample(spark, sf_dir):
     )
     frames = sample_frames(documents_as_media(docs), fake=True)
     return frames.select("doc_id", "frame_idx", "frame_digest")
+
+
+# ---------------------------------------------------------------------------
+# Audio plumbing: byte stream → fixed-rate sample windows → per-window stats
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 64  # samples (bytes) per analysis window
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sum_amp", T.LongType(), False),
+        T.StructField("peak_amp", T.IntegerType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+    ]
+)
+
+
+def extract_audio_windows(
+    media: DataFrame, *, window: int = AUDIO_WINDOW, fake: bool = True
+) -> DataFrame:
+    """mapInPandas audio feature extraction: one media row → one row per
+    fixed-size sample window with amplitude statistics (sum, peak, energy
+    as sum-of-squares) — the windowed-feature shape every audio pipeline
+    (VAD, loudness filtering, CLAP-style embedding prep) starts from.
+
+    The stub 'decoder' treats the raw bytes as u8 PCM samples; a real
+    implementation decodes the codec (pyav/soundfile) behind the same
+    batch signature. Stats stay integers so the JVM-side oracle twin
+    (mm_audio_window_stats) can cross-check them exactly.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires pyav/soundfile, not present in this "
+            "environment; fake=True interprets bytes as u8 samples"
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                for i in range(0, len(data), window):
+                    w = data[i : i + window]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i // window,
+                            len(w),
+                            sum(w),
+                            max(w) if w else 0,
+                            sum(b * b for b in w),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "window_idx", "n_samples", "sum_amp",
+                    "peak_amp", "sum_sq",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+@register(
+    "mm_audio_window_stats",
+    f"""
+    WITH ascii_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) = octet_length(encode(text))
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(CAST(ceil(length(text) * 1.0 / {AUDIO_WINDOW})
+                                 AS BIGINT))) AS window_idx,
+               text
+        FROM ascii_docs
+    ),
+    amps AS (
+        SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+               list_transform(
+                   regexp_extract_all(
+                       substring(text, CAST(window_idx * {AUDIO_WINDOW} + 1 AS INT),
+                                 {AUDIO_WINDOW}), '.'),
+                   c -> ascii(c)) AS a
+        FROM wins
+    )
+    SELECT doc_id, window_idx,
+           CAST(len(a) AS INT) AS n_samples,
+           CAST(list_sum(a) AS BIGINT) AS sum_amp,
+           CAST(list_max(a) AS INT) AS peak_amp,
+           CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS sum_sq
+    FROM amps
+    """,
+    doc="multimodal: audio windowed-amplitude statistics computed "
+    "JVM-side over the binary column — the oracle-checked twin of the "
+    "mapInPandas extractor (extract_audio_windows; pytest asserts both "
+    "paths emit identical rows). Restricted to ASCII docs for the same "
+    "reason as mm_frame_sample: bytes == characters there, so the SQL "
+    "character windows provably equal the byte windows. Map-side only "
+    "(explode bounded by len/window); integer stats are engine-exact.",
+)
+def mm_audio_window_stats(spark, sf_dir):
+    docs = (
+        load_tables(spark, sf_dir)
+        .table("documents")
+        .filter(F.length("text") == F.octet_length("text"))
+    )
+    n_wins = F.ceil(F.length("text") * F.lit(1.0) / AUDIO_WINDOW).cast("int")
+    wins = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), n_wins - 1)).alias("_p", "window_idx"),
+    ).select(
+        "doc_id",
+        F.col("window_idx").cast("int").alias("window_idx"),
+        F.col("text").substr(
+            F.col("window_idx") * AUDIO_WINDOW + 1, F.lit(AUDIO_WINDOW)
+        ).alias("win"),
+    )
+    # amplitude array materialized in its own projection before the
+    # aggregates reference it (HOF lambdas get no CSE)
+    amps = wins.select(
+        "doc_id",
+        "window_idx",
+        F.transform(
+            F.sequence(F.lit(1), F.length("win")),
+            lambda i: F.ascii(F.col("win").substr(i, F.lit(1))),
+        ).alias("a"),
+    )
+    return amps.select(
+        "doc_id",
+        "window_idx",
+        F.size("a").alias("n_samples"),
+        F.aggregate("a", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_amp"
+        ),
+        F.array_max("a").alias("peak_amp"),
+        F.aggregate(
+            "a", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("sum_sq"),
+    )
+
+
+@register(
+    "mm_audio_features_fake",
+    None,  # python-side stub decode → rows-only; the JVM twin above is
+    # the oracle path and pytest asserts row-level equality
+    doc="multimodal: mapInPandas audio windowing plumbing over the "
+    "binary column (stub u8-sample decoder; real codec decode drops in "
+    "behind the same batch signature)",
+)
+def mm_audio_features_fake(spark, sf_dir):
+    docs = (
+        load_tables(spark, sf_dir)
+        .table("documents")
+        .filter(F.length("text") == F.octet_length("text"))
+    )
+    return extract_audio_windows(documents_as_media(docs), fake=True)

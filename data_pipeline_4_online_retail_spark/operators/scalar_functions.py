@@ -207,3 +207,23 @@ def op_percentiles_exact(spark, sf_dir):
         F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
         F.expr("percentile(o_totalprice, 0.25)").alias("p25_price"),
     )
+
+
+@register(
+    "op_percentiles_approx",
+    None,  # approx sketch boundaries are implementation-defined → rows-only;
+    # tests assert rank error vs op_percentiles_exact
+    doc="aggregation extension: approx_percentile (Greenwald-Khanna / "
+    "t-digest-style mergeable sketch, accuracy 10000) — the 100 TB "
+    "substitute for exact percentiles: no per-group sort, fixed-size "
+    "partial sketches merge associatively map-side. Rows-only (sketch "
+    "boundaries are engine-specific); pytest bounds the rank error "
+    "against the exact percentiles.",
+)
+def op_percentiles_approx(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_price"),
+        F.percentile_approx("o_totalprice", 0.25, 10000).alias("p25_price"),
+    )

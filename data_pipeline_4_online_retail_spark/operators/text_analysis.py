@@ -447,3 +447,62 @@ def text_repetition_stats(spark, sf_dir):
             F.col("top_2gram_count").cast("long") * F.lit(1.0) / F.col("n_2grams")
         ).alias("top_2gram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Corpus-LM scoring (the CCNet-style perplexity quality filter)
+# ---------------------------------------------------------------------------
+
+
+def _doc_bigrams(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair, multiplicity
+    preserved (unlike the shingle path, which deduplicates)."""
+    pairs = F.filter(
+        F.zip_with(
+            F.col("t"),
+            F.slice(F.col("t"), 2, 2_147_483_000),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s.getField("w2").isNotNull(),
+    )
+    return toks_df.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+
+
+@register(
+    "text_lm_score",
+    None,  # log2 is libm-dependent → rows-only; pytest replays the exact
+    # model in pure Python and bounds the relative error
+    doc="text analysis: corpus-bigram language-model scoring — the "
+    "perplexity-style quality filter of CCNet/CC-Net-descended pipelines "
+    "(Wenzek et al. 2020): train MLE bigram probabilities on the corpus "
+    "itself (P(w2|w1) = C(w1,w2) / C(w1·), prefix-count normalized so "
+    "probabilities sum to 1), score every document by its per-bigram "
+    "cross-entropy, and emit perplexity = 2^ce. Outlier-high perplexity "
+    "flags gibberish; outlier-low flags boilerplate. Scale: the count "
+    "tables are vocab-bounded (never corpus-bounded) and merge "
+    "map-side; scoring is one join keyed (w1,w2) + one doc_id "
+    "aggregate. Rows-only: log2 is libm-dependent, so pytest replays "
+    "the model bit-for-bit in Python instead of a SQL oracle.",
+    tags=("text",),
+)
+def text_lm_score(spark, sf_dir):
+    toks_df = _docs(spark, sf_dir).select("doc_id", _toks().alias("t"))
+    dg = _doc_bigrams(toks_df)
+    c2 = dg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", (F.col("c2") * F.lit(1.0) / F.col("c1")).alias("p")
+    )
+    scored = dg.join(probs, ["w1", "w2"])
+    ce = (F.sum(-F.log2("p")) / F.count(F.lit(1))).alias("cross_entropy")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        ce,
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "cross_entropy",
+        F.pow(F.lit(2.0), F.col("cross_entropy")).alias("perplexity"),
+    )

@@ -211,3 +211,71 @@ def funnel_tracker(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming cohort tracking: the stateful twin of ev_cohort_retention
+# ---------------------------------------------------------------------------
+
+COHORT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("cohort_day", T.DateType(), False),
+        T.StructField("day_offsets", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+COHORT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("days", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _update_cohort(key, pdf_iter, state: GroupState):
+    """Per-user activity-day accumulator: state is the distinct set of
+    epoch-day numbers the user was active on; the cohort day is its
+    minimum, the retention offsets are day - cohort_day. Epoch-day ints
+    end-to-end (see _update_user_sessions for the no-local-tz rule);
+    under the pinned-UTC session they equal `CAST(ts AS DATE)`. Unlike
+    the funnel, day-set union is commutative — late or out-of-order
+    events can only grow the set, never retract, so stream == batch
+    holds under ANY delivery order."""
+    import pandas as pd
+
+    (user_id,) = key
+    days: set[int] = set(state.get[0]) if state.exists else set()
+    for pdf in pdf_iter:
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        days.update(int(t) // _US_PER_DAY for t in ts_us)
+
+    ordered = sorted(days)
+    state.update((ordered,))
+    cohort = ordered[0]
+    yield pd.DataFrame(
+        [
+            (
+                user_id,
+                pd.Timestamp(cohort * 86_400, unit="s").date(),
+                [d - cohort for d in ordered],
+            )
+        ],
+        columns=["user_id", "cohort_day", "day_offsets"],
+    )
+
+
+def cohort_tracker(events_stream: DataFrame) -> DataFrame:
+    """Streaming cohort/retention input over (user_id, ts): each
+    micro-batch emits every touched user's (cohort day, retention
+    offsets); the retention triangle is one aggregation over the latest
+    state per user. State is one int per distinct active day per user —
+    bounded by the observation span, partitioned by user_id."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_cohort,
+        outputStructType=COHORT_OUTPUT_SCHEMA,
+        stateStructType=COHORT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

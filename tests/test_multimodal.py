@@ -31,3 +31,29 @@ def test_media_schema_shape(spark, catalog):
     fields = {f.name: f.dataType.simpleString() for f in media.schema.fields}
     assert fields["content"] == "binary"
     assert fields["media_meta"].startswith("struct<mime:string,width:int")
+
+
+def test_audio_mapinpandas_equals_jvm_twin(spark):
+    """The Arrow/mapInPandas audio extractor and the JVM-side HOF twin
+    must emit identical window rows — on ASCII docs bytes == characters,
+    so the two computations are provably over the same samples."""
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        mm_audio_features_fake,
+        mm_audio_window_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    arrow = sorted(tuple(r) for r in mm_audio_features_fake(spark, sf).collect())
+    jvm = sorted(tuple(r) for r in mm_audio_window_stats(spark, sf).collect())
+    assert arrow == jvm and arrow
+
+
+def test_audio_decode_guard(spark):
+    import pytest as _pytest
+
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        extract_audio_windows,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        extract_audio_windows(None, fake=False)

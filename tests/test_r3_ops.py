@@ -102,3 +102,76 @@ def test_incremental_dedup_agrees_with_full_dedup(spark):
         if b % 5 == 0 and a % 5 != 0:
             expected.add((b, a))
     assert incr == expected
+
+
+def test_incremental_fast_equals_md5_variant(spark):
+    """The xxhash64 production variant finds the same verified duplicate
+    pairs as the md5-oracled variant (verification is exact Jaccard, so
+    only candidate RECALL could differ; at this geometry both recover
+    the full pair set)."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_fast,
+    )
+
+    md5_pairs = {
+        (r.doc_id, r.dup_of) for r in dedup_incremental(spark, SF_DIR).collect()
+    }
+    fast_pairs = {
+        (r.doc_id, r.dup_of)
+        for r in dedup_incremental_fast(spark, SF_DIR).collect()
+    }
+    assert fast_pairs == md5_pairs and md5_pairs
+
+
+def test_lm_score_matches_python_replica(spark, catalog):
+    """Pure-Python replay of the corpus-bigram model: same MLE
+    probabilities (prefix-count normalization), same per-doc
+    cross-entropy, tolerance only for libm log2 differences."""
+    import math
+    from collections import Counter
+
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        text_lm_score,
+    )
+
+    docs = {r.doc_id: r.text.split(" ") for r in catalog.table("documents").collect()}
+    c2: Counter = Counter()
+    for words in docs.values():
+        c2.update(zip(words, words[1:]))
+    c1: Counter = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+
+    got = {r.doc_id: r for r in text_lm_score(spark, SF_DIR).collect()}
+    assert set(got) == {d for d, w in docs.items() if len(w) >= 2}
+    for doc_id, words in list(docs.items())[:100]:
+        grams = list(zip(words, words[1:]))
+        if not grams:
+            continue
+        ce = sum(-math.log2(c2[g] / c1[g[0]]) for g in grams) / len(grams)
+        r = got[doc_id]
+        assert r.n_bigrams == len(grams)
+        assert abs(r.cross_entropy - ce) < 1e-9 * max(1.0, abs(ce))
+        assert abs(r.perplexity - 2.0**ce) < 1e-9 * max(1.0, 2.0**ce)
+    # model sanity: probabilities normalize, so ce > 0 for any doc with
+    # more than one distinct continuation
+    assert all(r.cross_entropy >= 0 for r in got.values())
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """The sketch percentiles must land within a tight relative band of
+    the exact ones at accuracy=10000 (rank error <= 1/accuracy, which at
+    this group size means near-exact)."""
+    from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+        op_percentiles_approx,
+        op_percentiles_exact,
+    )
+
+    exact = {r.o_orderpriority: r for r in op_percentiles_exact(spark, SF_DIR).collect()}
+    approx = {r.o_orderpriority: r for r in op_percentiles_approx(spark, SF_DIR).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for c in ("median_price", "p90_price", "p25_price"):
+            e, a = getattr(exact[k], c), getattr(approx[k], c)
+            assert abs(a - e) / e < 0.02, (k, c, e, a)

@@ -489,3 +489,60 @@ def test_funnel_stream_matches_batch(spark, catalog, tmp_path_factory):
     assert _rows(final, cols) == _rows(batch, cols)
     # the funnel actually has depth in this fixture
     assert batch.filter("funnel_stage >= 2").count() > 0
+
+
+def test_cohort_stream_matches_batch(spark, catalog, tmp_path_factory):
+    """Stateful streaming cohort tracker == batch ev_cohort_retention,
+    with events split across micro-batches in REVERSE time order — the
+    day-set union is commutative, so unlike the funnel this twin must
+    converge under any delivery order."""
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_cohort_retention,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.stateful import (
+        cohort_tracker,
+    )
+
+    src = str(tmp_path_factory.mktemp("cohort_stream"))
+    ev = catalog.table("events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    mid = lo + (hi - lo) / 2
+    # later half written FIRST → arrives in batch 1, earlier half in batch 2
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.parquet(f"{src}/b0")
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        cohort_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_cohort")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # latest state per user = the row with the largest day set
+    out = spark.table("t_cohort")
+    final = (
+        out.withColumn("n", F.size("day_offsets"))
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "cohort_day", "day_offsets")).alias("s"))
+        .select("user_id", "s.cohort_day", "s.day_offsets")
+    )
+    triangle = (
+        final.select(
+            "user_id", "cohort_day", F.explode("day_offsets").alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    batch = ev_cohort_retention(spark, "/root/testdata/sf0.001").select(
+        "cohort_day", F.col("day_offset").cast("int").alias("day_offset"), "n_users"
+    )
+    cols = ["cohort_day", "day_offset", "n_users"]
+    assert _rows(triangle, cols) == _rows(batch, cols)
