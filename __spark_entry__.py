@@ -42,16 +42,16 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 # Driver-visible ordering, round 3: the driver correctness-checks the
 # FIRST 50 registrations. Slots go to (a) the 15 queries with no driver
-# row in r1 ∪ r2 (late round-2 additions past the 50-query window —
-# after this round r1 ∪ r2 ∪ r3 covers every registration, with
-# sim_kmeans / mm_image_features_fake / op_agg_approx_distinct +
-# dedup_minhash_lsh_fast / dedup_simhash / sim_ann_lsh as the six honest
-# rows-only checks), (b) the 3 r2 reds re-verified after their
-# canonicalizer-interface fixes (op_math_functions type casts; emb_*
-# exploded outputs), (c) the dedup family, re-verified because its cache
-# lifecycle changed this round, and (d) cross-round controls + round-1
-# greens not seen since r1. Everything past #50 stays covered by
-# tools/oracle_check.py (the driver-identical local replica).
+# row in r1 ∪ r2 (late round-2 additions past the 50-query window),
+# (b) the 3 r2 reds re-verified after their canonicalizer-interface
+# fixes (op_math_functions type casts; emb_* exploded outputs), (c) the
+# dedup family, re-verified because its cache lifecycle changed this
+# round, (d) cross-round controls + round-1 greens not seen since r1,
+# and (e) every r3-new registration — including the rows-only ones,
+# which the driver records as `no_oracle` + spark_rows evidence. After
+# this round r1 ∪ r2 ∪ r3 covers ALL registrations. Everything past #50
+# stays covered by tools/oracle_check.py (the driver-identical local
+# replica).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # (a) the 15 queries with no driver row in r1 ∪ r2
@@ -87,10 +87,6 @@ _DRIVER_PRIORITY = [
     "sim_ann_ivf",
     "sim_label_centroids",
     "sim_topk_bruteforce",
-    "star_dim_customer",
-    "star_dim_datetime",
-    "star_dim_product",
-    "star_dim_invoice",
     "star_fct_invoice_line_value",
     "star_report_product",
     "op_agg_count_distinct",
@@ -103,13 +99,18 @@ _DRIVER_PRIORITY = [
     "op_join_anti",
     "op_join_range",
     "op_join_semi",
-    "op_window_lead_lag",
-    # (e) r3-new operators — first driver evidence this round (the four
-    # r1-green set/surrogate fillers they displace keep their r1 rows)
+    # (e) r3-new operators — first driver evidence this round (the
+    # r1-green star_dim_* / op_window_lead_lag fillers they displace
+    # keep their r1 rows; star dims stay pytest + replica covered)
     "text_repetition_stats",
     "text_mixture_sample",
     "text_shard_assign",
     "dedup_incremental",
+    "dedup_incremental_fast",
+    "mm_audio_window_stats",
+    "mm_audio_features_fake",
+    "text_lm_score",
+    "op_percentiles_approx",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
