@@ -7,6 +7,17 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 Each query materializes fully through the ``noop`` sink (no output cost,
 no driver collect). Timings include plan + execution, excluding the shared
 SparkSession/catalog warmup (reported separately inside the JSON).
+
+Fault-isolated: every query (and the scale10 block) runs under its own
+try/except — a failing query lands in ``"errors"`` with its exception
+text and the JSON line is ALWAYS emitted. One broken query must never
+destroy the round's other timings (it did in r3).
+
+The ``scale10`` block replicates the sf data 10x with shifted keys
+(tools/make_scale10.py), re-times the headline set there, and reports
+per-query 10x/1x ratios — a sub-linear-or-linear ratio is the
+scale-probe evidence that the plan survives growth. Cached under
+/tmp/scale10_<sf>; set SPARK_GRAFT_SCALE10=0 to skip.
 """
 
 from __future__ import annotations
@@ -15,6 +26,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -53,60 +65,128 @@ EXTRA = [
     "wh_scd2_build",
 ]
 
+SCALE10_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _run(qs, name, spark, sf_dir, n_runs, errors):
+    """Time one query min-of-n; on failure record the error and return None."""
+    runs = []
+    for _ in range(n_runs):
+        t = time.time()
+        try:
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 — bench must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return None
+        runs.append(time.time() - t)
+    return runs
+
+
+def _scale10_dir(spark, errors):
+    """Return a ready 10x replica dir, building it if absent."""
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    out = os.environ.get("SPARK_GRAFT_SCALE10_DIR", f"/tmp/scale10_{sf_tag}")
+    done = all(
+        os.path.exists(os.path.join(out, f"{t}.parquet", "_SUCCESS"))
+        for t in SCALE10_TABLES
+    )
+    if done:
+        return out
+    from tools.make_scale10 import build
+
+    build(spark, SF_DIR, out, 10, quiet=True)
+    return out
+
 
 def main() -> None:
-    spark = get_spark("bench")
-    qs = entry.queries()
-
-    t0 = time.time()
-    # warmup: JVM + parquet footers + first-job overhead on a trivial query
-    qs["op_order_by_full"](spark, SF_DIR).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    warmup = time.time() - t0
-
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(3):  # first run pays one-time broadcast/scan setup;
-            # min-of-3 damps single-machine scheduling noise
-            t = time.time()
-            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            runs.append(time.time() - t)
-        cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs), 3)  # steady-state
-
-    extra: dict[str, float] = {}
-    for name in EXTRA:
-        runs = []
-        for _ in range(2):
-            t = time.time()
-            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            runs.append(time.time() - t)
-        extra[name] = round(min(runs), 3)
-
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result: dict = {
+        "metric": "headline_queries_total_sec",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": None,
+        "errors": {},
+    }
+    errors: dict[str, str] = result["errors"]
     try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "extra_queries": extra,
-                "extra_total_sec": round(sum(extra.values()), 3),
-                "warmup_sec": round(warmup, 3),
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-            }
-        )
-    )
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            result["sf"] = float(sf)
+        except ValueError:
+            result["sf"] = sf
+
+        spark = get_spark("bench")
+        qs = entry.queries()
+
+        t0 = time.time()
+        # warmup: JVM + parquet footers + first-job overhead on a trivial query
+        try:
+            qs["op_order_by_full"](spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:500]
+        result["warmup_sec"] = round(time.time() - t0, 3)
+
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in HEADLINE:
+            runs = _run(qs, name, spark, SF_DIR, 3, errors)
+            if runs is None:
+                continue
+            # first run pays one-time broadcast/scan setup; min-of-3 damps
+            # single-machine scheduling noise
+            cold[name] = round(runs[0], 3)
+            timings[name] = round(min(runs), 3)  # steady-state
+        result["queries"] = timings
+        result["value"] = round(sum(timings.values()), 3)
+        result["cold_total_sec"] = round(sum(cold.values()), 3)
+
+        extra: dict[str, float] = {}
+        for name in EXTRA:
+            runs = _run(qs, name, spark, SF_DIR, 2, errors)
+            if runs is not None:
+                extra[name] = round(min(runs), 3)
+        result["extra_queries"] = extra
+        result["extra_total_sec"] = round(sum(extra.values()), 3)
+
+        # --- scale10 probe: same headline plans at 10x the rows ---------
+        if os.environ.get("SPARK_GRAFT_SCALE10", "1") != "0":
+            try:
+                t0 = time.time()
+                dir10 = _scale10_dir(spark, errors)
+                result["scale10_build_sec"] = round(time.time() - t0, 3)
+                s10: dict[str, float] = {}
+                for name in HEADLINE:
+                    if name in errors:
+                        continue
+                    runs = _run(qs, name, spark, dir10, 2, errors)
+                    if runs is not None:
+                        s10[name] = round(min(runs), 3)
+                result["scale10_queries"] = s10
+                result["scale10_total_sec"] = round(sum(s10.values()), 3)
+                result["scale10_ratio"] = {
+                    n: round(s10[n] / timings[n], 2)
+                    for n in s10
+                    if timings.get(n, 0) > 0
+                }
+                if timings and s10:
+                    common = [n for n in s10 if n in timings]
+                    result["scale10_total_ratio"] = round(
+                        sum(s10[n] for n in common)
+                        / max(sum(timings[n] for n in common), 1e-9),
+                        2,
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errors["_scale10"] = f"{type(exc).__name__}: {exc}"[:500]
+
+        result["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    except Exception:  # noqa: BLE001 — emit whatever we have, plus the trace
+        errors["_harness"] = traceback.format_exc()[-1000:]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -302,7 +302,13 @@ def ev_asof_join(spark, sf_dir):
             "user_id",
             F.col("ts").alias("click_ts"),
             "last_error_ts",
-            (F.unix_micros("ts") - F.unix_micros("last_error_ts")).alias("gap_us"),
+            # cast-first keeps this NTZ-tolerant: unix_micros accepts only
+            # TIMESTAMP, and ts can arrive NTZ if a caller bypasses the
+            # catalog's normalization (UTC session, so the cast is exact).
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("last_error_ts").cast("timestamp"))
+            ).alias("gap_us"),
         )
     )
 

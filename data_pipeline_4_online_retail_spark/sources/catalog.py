@@ -79,6 +79,15 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
                 # exceed double's 53-bit mantissa and would round, while
                 # DuckDB truncates ns→µs — off-by-1µs hash mismatches.
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        # The parquet files have shipped ts in two physical shapes so far:
+        # nanos-as-long (handled above) and timestamp[us] without the UTC
+        # flag, which pyspark >= 4 reads as TIMESTAMP_NTZ. NTZ breaks any
+        # TIMESTAMP-only function downstream (unix_micros, to_utc_timestamp),
+        # so normalize every NTZ column; the session timezone is pinned to
+        # UTC, making the cast wall-clock-exact and DuckDB-stable.
+        for field in df.schema.fields:
+            if isinstance(field.dataType, T.TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
         cat.register(name, df)
     _CATALOG_CACHE[key] = cat
     return cat

@@ -64,36 +64,47 @@ SHIFTS = {
 }
 
 
-def main() -> None:
-    spark = get_spark("make-scale10")
+def build(spark, src: str = SRC, out: str = OUT, n: int = N, quiet: bool = False) -> str:
+    """Write the n-times replica of ``src`` under ``out``; returns ``out``.
+
+    Importable (bench.py's scale10 block calls this in-process on the
+    already-warm session); the CLI entrypoint below is a thin wrapper.
+    """
     # the catalog loader handles events' TIMESTAMP(NANOS) column; the
     # replica is written with plain microsecond timestamps
-    cat = load_tables(spark, SRC)
+    cat = load_tables(spark, src)
     spans = {
         dom: cat.table(tbl).agg(F.max(col).cast("long")).head()[0] + 1
         for dom, (tbl, col) in DOMAINS.items()
     }
     for tbl in ("region", "nation"):
-        cat.table(tbl).write.mode("overwrite").parquet(f"{OUT}/{tbl}.parquet")
+        cat.table(tbl).write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
     for tbl, shifts in SHIFTS.items():
-        src = cat.table(tbl)
+        src_df = cat.table(tbl)
         copies = []
-        for i in range(N):
-            df = src
+        for i in range(n):
+            df = src_df
             for col, dom in shifts.items():
                 shifted = (F.col(col).cast("long") + F.lit(i * spans[dom]))
-                df = df.withColumn(col, shifted.cast(src.schema[col].dataType))
+                df = df.withColumn(col, shifted.cast(src_df.schema[col].dataType))
             if tbl == "documents" and i > 0:
                 df = df.withColumn(
                     "text", F.regexp_replace("text", " ", f" c{i}")
                 ).withColumn("n_chars", F.length("text"))
             copies.append(df)
-        out = copies[0]
+        out_df = copies[0]
         for c in copies[1:]:
-            out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{OUT}/{tbl}.parquet")
-        print(f"{tbl}: {N}x written")
-    print(f"scale probe data at {OUT}")
+            out_df = out_df.unionByName(c)
+        out_df.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+        if not quiet:
+            print(f"{tbl}: {n}x written")
+    if not quiet:
+        print(f"scale probe data at {out}")
+    return out
+
+
+def main() -> None:
+    build(get_spark("make-scale10"), SRC, OUT, N)
 
 
 if __name__ == "__main__":
