@@ -172,14 +172,56 @@ def op_agg_cube(spark, sf_dir):
 
 @register(
     "op_agg_approx_distinct",
-    None,  # HLL sketch values differ across engines → rows-only
+    """
+    SELECT o_orderstatus, exact_customers,
+           CAST(abs(approx_customers - exact_customers)
+                <= 0.05 * exact_customers AS INT) AS within_bound
+    FROM (SELECT o_orderstatus,
+                 COUNT(DISTINCT o_custkey) AS exact_customers,
+                 approx_count_distinct(o_custkey) AS approx_customers
+          FROM orders GROUP BY o_orderstatus)
+    """,
     doc="aggregation extension: approx_count_distinct (HyperLogLog++) — "
     "the 100 TB substitute for exact COUNT(DISTINCT) (no shuffle of "
-    "distinct values, fixed-size sketches merge associatively); "
-    "cross-engine sketches differ so the check is rows-only, and "
-    "tests assert relative error vs the exact count",
+    "distinct values, fixed-size sketches merge associatively). "
+    "Cross-engine sketch VALUES differ, so the hash-checked contract is "
+    "a bounded-error assertion: each engine compares its own sketch to "
+    "its own exact count and emits within_bound = |approx-exact| <= 5% "
+    "(Spark rsd=0.02 → 5% ≈ 2.5σ; DuckDB HLL σ ≈ 1.6%). A sketch "
+    "drifting out of bound flips the flag and reds the driver row. "
+    "Raw-sketch twin: op_agg_approx_distinct_raw (rows-only).",
 )
 def op_agg_approx_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "op_agg_approx_distinct_raw",
+    None,  # HLL sketch values differ across engines → rows-only
+    doc="aggregation extension: the production form of "
+    "op_agg_approx_distinct — emits the raw HLL estimate (no exact-count "
+    "shuffle alongside). Rows-only by necessity; the bounded twin above "
+    "is the hash-checked correctness evidence, and pytest asserts "
+    "relative error vs the exact count.",
+)
+def op_agg_approx_distinct_raw(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
@@ -211,16 +253,65 @@ def op_percentiles_exact(spark, sf_dir):
 
 @register(
     "op_percentiles_approx",
-    None,  # approx sketch boundaries are implementation-defined → rows-only;
-    # tests assert rank error vs op_percentiles_exact
-    doc="aggregation extension: approx_percentile (Greenwald-Khanna / "
-    "t-digest-style mergeable sketch, accuracy 10000) — the 100 TB "
-    "substitute for exact percentiles: no per-group sort, fixed-size "
-    "partial sketches merge associatively map-side. Rows-only (sketch "
-    "boundaries are engine-specific); pytest bounds the rank error "
-    "against the exact percentiles.",
+    """
+    SELECT o_orderpriority,
+           CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,4)) AS DOUBLE)
+               AS exact_median,
+           CAST(approx_quantile(o_totalprice, 0.5)
+                BETWEEN quantile_cont(o_totalprice, 0.46)
+                    AND quantile_cont(o_totalprice, 0.54) AS INT) AS p50_in_bound,
+           CAST(approx_quantile(o_totalprice, 0.9)
+                BETWEEN quantile_cont(o_totalprice, 0.86)
+                    AND quantile_cont(o_totalprice, 0.94) AS INT) AS p90_in_bound,
+           CAST(approx_quantile(o_totalprice, 0.25)
+                BETWEEN quantile_cont(o_totalprice, 0.21)
+                    AND quantile_cont(o_totalprice, 0.29) AS INT) AS p25_in_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="aggregation extension: approx_percentile (Greenwald-Khanna "
+    "mergeable sketch, accuracy 10000) — the 100 TB substitute for exact "
+    "percentiles: no per-group sort, fixed-size partial sketches merge "
+    "associatively map-side. Sketch VALUES are engine-specific "
+    "(Spark GK vs DuckDB t-digest), so the hash-checked contract is a "
+    "rank-error bound: each engine checks its own approx value lies "
+    "within the exact [q-0.04, q+0.04] quantile window and emits the "
+    "flag; an out-of-bound sketch reds the driver row. exact_median "
+    "rides along as a value-checked column (interpolation parity proven "
+    "by op_percentiles_exact). Raw twin: op_percentiles_approx_raw.",
 )
 def op_percentiles_approx(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def in_bound(q):
+        return (
+            F.percentile_approx("o_totalprice", q, 10000).between(
+                F.expr(f"percentile(o_totalprice, {q - 0.04})"),
+                F.expr(f"percentile(o_totalprice, {q + 0.04})"),
+            )
+        ).cast("int")
+
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)")
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("exact_median"),
+        in_bound(0.5).alias("p50_in_bound"),
+        in_bound(0.9).alias("p90_in_bound"),
+        in_bound(0.25).alias("p25_in_bound"),
+    )
+
+
+@register(
+    "op_percentiles_approx_raw",
+    None,  # approx sketch boundaries are implementation-defined → rows-only;
+    # tests assert rank error vs op_percentiles_exact
+    doc="aggregation extension: the production form of "
+    "op_percentiles_approx — raw sketch quantiles only, no exact "
+    "percentile computed alongside. Rows-only by necessity; the bounded "
+    "twin above is the hash-checked evidence, and pytest bounds the "
+    "rank error against op_percentiles_exact.",
+)
+def op_percentiles_approx_raw(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price"),

@@ -165,11 +165,17 @@ def test_approx_percentiles_within_rank_error(spark):
     this group size means near-exact)."""
     from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
         op_percentiles_approx,
+        op_percentiles_approx_raw,
         op_percentiles_exact,
     )
 
     exact = {r.o_orderpriority: r for r in op_percentiles_exact(spark, SF_DIR).collect()}
-    approx = {r.o_orderpriority: r for r in op_percentiles_approx(spark, SF_DIR).collect()}
+    approx = {
+        r.o_orderpriority: r for r in op_percentiles_approx_raw(spark, SF_DIR).collect()
+    }
+    # the bounded (driver-checked) twin must assert in-bound on the same data
+    for r in op_percentiles_approx(spark, SF_DIR).collect():
+        assert (r.p50_in_bound, r.p90_in_bound, r.p25_in_bound) == (1, 1, 1), r
     assert set(exact) == set(approx)
     for k in exact:
         for c in ("median_price", "p90_price", "p25_price"):
