@@ -58,6 +58,12 @@ def _update_user_sessions(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle past the eviction horizon: drop the state entirely. A user
+        # returning later restarts from zero — the documented trade-off
+        # of bounded state (same contract as watermark-expired windows).
+        state.remove()
+        return
     if state.exists:
         n_total, n_sessions, last_us = state.get
     else:
@@ -148,7 +154,7 @@ FUNNEL_STATE_SCHEMA = T.StructType(
 _FUNNEL_STAGE_ORDER = {"signup": 0, "view": 1, "click": 2, "purchase": 3}
 
 
-def _update_funnel(key, pdf_iter, state: GroupState):
+def _update_funnel(key, pdf_iter, state: GroupState, idle_ms: int | None = None):
     """One-pass funnel state machine per user: fold this micro-batch's
     events in (ts, stage) order into the first-qualifying-timestamp chain
     signup → view → click → purchase.
@@ -159,10 +165,33 @@ def _update_funnel(key, pdf_iter, state: GroupState):
     assumption: an event older than an already-applied later stage cannot
     retract it — the same contract as watermark-dropped late data in the
     built-in windows. Timestamps stay epoch-µs inside the state (see
-    _update_user_sessions for why: no local-tz round trips)."""
+    _update_user_sessions for why: no local-tz round trips).
+
+    With ``idle_ms`` set (evict_idle deployments), a user idle past the
+    horizon gets ONE tombstone row — the final funnel state with
+    ``funnel_stage = -1`` — and the state is removed: the state store
+    stays bounded by the active-user set, not the all-time user set. A
+    returning user restarts the funnel from scratch (the same contract
+    as watermark-expired windows)."""
     import pandas as pd
 
+    def _ts(us):
+        return pd.Timestamp(us, unit="us") if us is not None else None
+
+    _COLS = [
+        "user_id", "signup_ts", "view_ts", "click_ts", "purchase_ts",
+        "funnel_stage",
+    ]
+
     (user_id,) = key
+    if state.hasTimedOut:
+        s_us, v_us, c_us, p_us = state.get if state.exists else (None,) * 4
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, _ts(s_us), _ts(v_us), _ts(c_us), _ts(p_us), -1)],
+            columns=_COLS,
+        )
+        return
     if state.exists:
         s_us, v_us, c_us, p_us = state.get
     else:
@@ -186,24 +215,41 @@ def _update_funnel(key, pdf_iter, state: GroupState):
             p_us = t
 
     state.update((s_us, v_us, c_us, p_us))
+    if idle_ms is not None:
+        state.setTimeoutDuration(idle_ms)
     stage = 4 if p_us else 3 if c_us else 2 if v_us else 1 if s_us else 0
-
-    def _ts(us):
-        return pd.Timestamp(us, unit="us") if us is not None else None
 
     yield pd.DataFrame(
         [(user_id, _ts(s_us), _ts(v_us), _ts(c_us), _ts(p_us), stage)],
-        columns=[
-            "user_id", "signup_ts", "view_ts", "click_ts", "purchase_ts",
-            "funnel_stage",
-        ],
+        columns=_COLS,
     )
 
 
-def funnel_tracker(events_stream: DataFrame) -> DataFrame:
+def funnel_tracker(
+    events_stream: DataFrame,
+    *,
+    evict_idle: bool = False,
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
     """Streaming funnel over (user_id, event_type, ts): emits each user's
     current funnel row every micro-batch; state is 4 longs per user, so
-    the state store scales to billions of keys partitioned by user_id."""
+    the state store scales to billions of keys partitioned by user_id.
+
+    ``evict_idle=True`` turns on ProcessingTimeTimeout eviction: users
+    idle past ``idle_timeout_ms`` emit one funnel_stage=-1 tombstone and
+    their state is dropped, bounding the store by the ACTIVE-user set.
+    Leave it off under ``trigger(availableNow=True)`` harnesses — pending
+    timeouts keep drain-style queries alive past input exhaustion."""
+    if evict_idle:
+        import functools
+
+        return events_stream.groupBy("user_id").applyInPandasWithState(
+            functools.partial(_update_funnel, idle_ms=idle_timeout_ms),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     return events_stream.groupBy("user_id").applyInPandasWithState(
         _update_funnel,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,

