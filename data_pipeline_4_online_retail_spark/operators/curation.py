@@ -755,3 +755,195 @@ def text_shard_assign(spark, sf_dir):
         "shard_id",
         F.row_number().over(w).cast("long").alias("shard_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Temperature-scaled multilingual sampling (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_temperature_sample",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9)) AS s
+        FROM documents GROUP BY lang),
+    scaled AS (
+        SELECT lang, n_docs, s,
+               SUM(s) OVER () AS denom,
+               SUM(n_docs) OVER () AS n_total
+        FROM counts)
+    SELECT lang, n_docs,
+           CAST(s AS DOUBLE) / CAST(denom AS DOUBLE) AS sample_prob,
+           (CAST(s AS DOUBLE) / CAST(denom AS DOUBLE))
+               * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS boost
+    FROM scaled
+    """,
+    doc="curation: temperature-scaled multilingual sampling weights "
+    "(XLM-R / mT5 style, alpha = 0.5): q_l = n_l^alpha / sum_m n_m^alpha "
+    "upweights low-resource languages; boost = q_l / p_l is the "
+    "expected-epochs multiplier the sampler applies per document. "
+    "alpha = 0.5 is deliberate: sqrt is an IEEE-correctly-rounded "
+    "primitive (pow is libm-dependent), and the sqrt terms are "
+    "stabilized to DECIMAL(18,9) before the order-sensitive cross-"
+    "language sum, so both engines divide identical operands — the "
+    "output hashes exactly with no rounding slop. One tiny "
+    "groupBy(lang) aggregate + a broadcast-sized window; nothing here "
+    "scales with corpus size except the first count scan.",
+    tags=("curation",),
+)
+def text_temperature_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sqrt(F.count(F.lit(1)).cast("double"))
+        .cast("decimal(18,9)")
+        .alias("s"),
+    )
+    w = Window.partitionBy()
+    scaled = counts.select(
+        "lang",
+        "n_docs",
+        "s",
+        F.sum("s").over(w).alias("denom"),
+        F.sum("n_docs").over(w).alias("n_total"),
+    )
+    q = F.col("s").cast("double") / F.col("denom").cast("double")
+    return scaled.select(
+        "lang",
+        "n_docs",
+        q.alias("sample_prob"),
+        (q * F.col("n_total").cast("double") / F.col("n_docs").cast("double")).alias(
+            "boost"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Repeated-span removal (round 4)
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 10
+
+
+@register(
+    "text_dup_span_removal",
+    f"""
+    WITH spans AS (
+        SELECT doc_id, span.i AS span_id, span.t AS span_text
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(string_split(text, ' ')) / {SPAN_WORDS}.0)
+                                AS INT)),
+                       i -> struct_pack(
+                           i := i,
+                           t := array_to_string(
+                               list_slice(string_split(text, ' '),
+                                          i * {SPAN_WORDS} + 1,
+                                          i * {SPAN_WORDS} + {SPAN_WORDS}), ' '))))
+                       AS span
+            FROM documents)),
+    counted AS (
+        SELECT doc_id, span_id, span_text,
+               COUNT(*) OVER (PARTITION BY span_text) AS c
+        FROM spans)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN c = 1 THEN span_text END, ' '
+                               ORDER BY span_id), '') AS clean_text,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_dropped
+    FROM counted GROUP BY doc_id
+    """,
+    doc="curation: corpus-wide repeated-span removal (the MassiveText / "
+    "C4 'remove duplicated paragraphs' gate, adapted to the fixture's "
+    f"newline-free docs: spans = consecutive {SPAN_WORDS}-word windows). "
+    "Any span text occurring more than once ANYWHERE in the corpus "
+    "(including twice in one document) is dropped from every document, "
+    "and documents are reassembled from their surviving spans in order. "
+    "Spark plan: spans come from slice() over the pre-split token array "
+    "(array ops in codegen — no per-token explode), the global span "
+    "count is one window keyed by span_text (the same single shuffle a "
+    "groupBy+join-back would cost), and reassembly is a per-doc "
+    "sort-free aggregate over (span_id, span_text) structs. At 100 TB "
+    "the span_text shuffle is the dominant exchange; salting is not "
+    "needed because identical spans are exactly what the key collapses.",
+    tags=("curation",),
+)
+def text_dup_span_removal(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(SPAN_WORDS))).cast("int")
+    span_texts = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * SPAN_WORDS + 1, SPAN_WORDS)
+        ),
+    )
+    spans = d.select(
+        "doc_id", F.posexplode(span_texts).alias("span_id", "span_text")
+    )
+    counted = spans.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("span_text"))
+    )
+    kept_struct = F.when(
+        F.col("c") == 1, F.struct("span_id", "span_text")
+    )
+    return counted.groupBy("doc_id").agg(
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["span_text"],
+                ),
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_spans_kept"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_spans_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Per-source document cap (round 4)
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 20
+
+
+@register(
+    "text_source_cap",
+    f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS keep_rank
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= {SOURCE_CAP}
+    """,
+    doc="curation: per-source document cap — keep at most "
+    f"{SOURCE_CAP} documents per source, selected by md5(doc_id) order "
+    "(the per-domain cap every web-scale corpus applies so no single "
+    "domain dominates the mixture; hash order makes the kept set stable "
+    "under corpus growth for the docs already kept... up to cap "
+    "boundary shifts, and needs no RNG state). One row_number window "
+    "per source; at 100 TB a skewed mega-source makes this partition "
+    "hot — the two-phase refinement (per-partition pre-cap to "
+    "cap-per-partition, then exact cap) bounds it, and the salted-agg "
+    "pattern in operators/skew.py is the implemented fallback.",
+    tags=("curation",),
+)
+def text_source_cap(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("keep_rank"))
+    )

@@ -848,3 +848,50 @@ def dedup_incremental_fast(spark, sf_dir):
     return verified.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Semantic dedup within clusters (SemDeDup-style, round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semantic_within_label",
+    f"""
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_THRESHOLD}
+    """,
+    doc="near-dup by embedding, SemDeDup-style (Abbas et al. 2023): "
+    "pairwise cosine is computed only WITHIN clusters (the label column "
+    "stands in for the k-means cluster id — sim_kmeans produces one), "
+    "so the all-pairs space shrinks from O(n^2) to O(sum_c n_c^2). "
+    "Spark plan: an equi-join on label (hash-partitioned, co-located) "
+    "with the vec_id inequality + cosine threshold as post-join "
+    "filters — contrast dedup_embedding_cosine, the explicitly-O(n^2) "
+    "verification baseline with no equi-key. At 100 TB the cluster "
+    "count scales with corpus size, keeping per-cluster pair counts "
+    "bounded; a mega-cluster is handled by re-clustering its members "
+    "(recursive SemDeDup), not by salting, since the quadratic term "
+    "is intra-key.",
+    tags=("dedup", "embeddings"),
+)
+def dedup_semantic_within_label(spark, sf_dir):
+    e = load_tables(spark, sf_dir).table("embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+    )

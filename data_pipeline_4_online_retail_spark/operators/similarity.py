@@ -551,3 +551,52 @@ def sim_kmeans(spark, sf_dir):
     return _with_centroids(e, centroids).select(
         "vec_id", "label", _assign_expr().alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (round 4): decorrelate embeddings before quantization/ANN
+# ---------------------------------------------------------------------------
+
+PCA_K = 4
+
+
+@register(
+    "emb_pca_project",
+    None,  # eigenvector sign/order is solver-defined → rows-only;
+    # pytest checks subspace agreement against a numpy replica
+    doc="embeddings: PCA projection to the top-4 principal components "
+    "(pyspark.ml.feature.PCA over array_to_vector'd float arrays) — the "
+    "decorrelation step ahead of int8 quantization (emb_quantize_int8) "
+    "or IVF cell assignment (sim_ann_ivf): variance concentrates in the "
+    "leading dims, so coarse quantizers spend their budget where the "
+    "data varies. Scale shape: MLlib computes the d x d Gramian with a "
+    "distributed treeAggregate (one pass, map-side partials; d^2 values "
+    "per partition, never row data to the driver) and eigendecomposes "
+    "the tiny d x d matrix driver-side — the same bounded-driver "
+    "pattern as sim_kmeans' k x d centroid fetch. Rows-only: component "
+    "signs and near-degenerate component order are solver-defined; the "
+    "pytest replica checks |projection| agreement per component vs "
+    "numpy.linalg.eigh.",
+    tags=("embeddings",),
+)
+def emb_pca_project(spark, sf_dir):
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_tables(spark, sf_dir).table("embeddings")
+    vecs = e.select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    model = PCA(k=PCA_K, inputCol="v", outputCol="p").fit(vecs)
+    proj = model.transform(vecs).select(
+        "vec_id", "label", vector_to_array("p").alias("pca")
+    )
+    # exploded scalar form (vec_id, component, value) — the same
+    # driver-safe shape the emb_* family settled on in r3
+    return proj.select(
+        "vec_id",
+        "label",
+        F.posexplode("pca").alias("component", "value"),
+    )

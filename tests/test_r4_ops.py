@@ -1,0 +1,163 @@
+"""Round-4 operator tests: temperature sampling, repeated-span removal,
+per-source caps, within-label semantic dedup, PCA projection."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_temperature_sample_math_replica(spark, catalog):
+    """Exact replica: q_l = sqrt(n_l) / sum_m sqrt(n_m), boost = q_l/p_l."""
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        text_temperature_sample,
+    )
+
+    got = {r.lang: r for r in text_temperature_sample(spark, SF_DIR).collect()}
+    counts = {
+        r.lang: r.n
+        for r in catalog.table("documents").groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_total = sum(counts.values())
+    denom = sum(math.sqrt(n) for n in counts.values())
+    assert set(got) == set(counts)
+    for lang, n in counts.items():
+        q = math.sqrt(n) / denom
+        assert got[lang].n_docs == n
+        assert abs(got[lang].sample_prob - q) < 1e-9
+        assert abs(got[lang].boost - q * n_total / n) < 1e-9
+    # probabilities normalize; low-resource langs get boosted above 1
+    assert abs(sum(r.sample_prob for r in got.values()) - 1.0) < 1e-9
+    rarest = min(counts, key=counts.get)
+    commonest = max(counts, key=counts.get)
+    if counts[rarest] < counts[commonest]:
+        assert got[rarest].boost > 1.0 > got[commonest].boost
+
+
+def test_dup_span_removal_properties(spark, catalog):
+    """Kept+dropped spans = ceil(n_tokens/10) per doc; clean_text is the
+    in-order concatenation of that doc's globally-unique spans; at least
+    one span is dropped corpus-wide (the fixture's small vocabulary
+    guarantees repeated 10-grams)."""
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        SPAN_WORDS,
+        text_dup_span_removal,
+    )
+
+    out = {r.doc_id: r for r in text_dup_span_removal(spark, SF_DIR).collect()}
+    docs = {
+        r.doc_id: r.text for r in catalog.table("documents").collect()
+    }
+    assert set(out) == set(docs)
+    assert sum(r.n_spans_dropped for r in out.values()) > 0
+    # python replica of the global span count
+    from collections import Counter
+
+    span_count: Counter = Counter()
+    spans_by_doc = {}
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        spans = [
+            " ".join(toks[i : i + SPAN_WORDS])
+            for i in range(0, len(toks), SPAN_WORDS)
+        ]
+        spans_by_doc[doc_id] = spans
+        span_count.update(spans)
+    for doc_id, spans in spans_by_doc.items():
+        kept = [s for s in spans if span_count[s] == 1]
+        r = out[doc_id]
+        assert r.n_spans_kept == len(kept), doc_id
+        assert r.n_spans_dropped == len(spans) - len(kept), doc_id
+        assert r.clean_text == " ".join(kept), doc_id
+
+
+def test_source_cap_bounds_and_determinism(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        SOURCE_CAP,
+        text_source_cap,
+    )
+
+    out = text_source_cap(spark, SF_DIR)
+    per_source = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r.source: r.n
+        for r in catalog.table("documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, n in per_source.items():
+        assert n == min(SOURCE_CAP, totals[src]), src
+    # deterministic: two runs produce the identical kept set
+    a = sorted((r.doc_id, r.keep_rank) for r in out.collect())
+    b = sorted((r.doc_id, r.keep_rank) for r in text_source_cap(spark, SF_DIR).collect())
+    assert a == b
+
+
+def test_semantic_within_label_is_restricted_cosine_dedup(spark, catalog):
+    """Within-label pairs == the O(n^2) baseline's pairs filtered to
+    same-label — and the plan must be an equi-join on label (co-located
+    hash/merge join), never a nested-loop cross product."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_semantic_within_label,
+    )
+
+    got = sorted(
+        (r.vec_a, r.vec_b)
+        for r in dedup_semantic_within_label(spark, SF_DIR).collect()
+    )
+    labels = {
+        r.vec_id: r.label for r in catalog.table("embeddings").collect()
+    }
+    baseline = sorted(
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine(spark, SF_DIR).collect()
+        if labels[r.vec_a] == labels[r.vec_b]
+    )
+    assert got == baseline
+    plan = dedup_semantic_within_label(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pca_matches_numpy_eigh(spark, catalog):
+    """MLlib PCA == numpy covariance eigendecomposition, up to per-
+    component sign: eigenvalue spectrum agrees, and each component's
+    projection matches after sign alignment."""
+    from data_pipeline_4_online_retail_spark.operators.similarity import (
+        PCA_K,
+        emb_pca_project,
+    )
+
+    rows = catalog.table("embeddings").select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    W = evecs[:, order]  # d x k
+    expected = X @ W  # MLlib projects UNcentered rows onto components
+
+    got = emb_pca_project(spark, SF_DIR).collect()
+    proj = np.zeros((len(ids), PCA_K))
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in got:
+        proj[idx[r.vec_id], r.component] = r.value
+
+    # eigenvalues must be distinct for a stable component order
+    lam = evals[order]
+    assert np.all(np.diff(lam) < -1e-9)
+    for k in range(PCA_K):
+        a, b = proj[:, k], expected[:, k]
+        sign = 1.0 if abs(a @ b) == a @ b else -1.0
+        assert np.allclose(a, sign * b, atol=1e-6), f"component {k}"
