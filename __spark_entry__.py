@@ -40,77 +40,72 @@ import data_pipeline_4_online_retail_spark.operators.warehouse  # noqa: E402,F40
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 3: the driver correctness-checks the
-# FIRST 50 registrations. Slots go to (a) the 15 queries with no driver
-# row in r1 ∪ r2 (late round-2 additions past the 50-query window),
-# (b) the 3 r2 reds re-verified after their canonicalizer-interface
-# fixes (op_math_functions type casts; emb_* exploded outputs), (c) the
-# dedup family, re-verified because its cache lifecycle changed this
-# round, (d) cross-round controls + round-1 greens not seen since r1,
-# and (e) every r3-new registration — including the rows-only ones,
-# which the driver records as `no_oracle` + spark_rows evidence. After
-# this round r1 ∪ r2 ∪ r3 covers ALL registrations. Everything past #50
-# stays covered by tools/oracle_check.py (the driver-identical local
-# replica).
+# Driver-visible ordering, round 4: the driver correctness-checks the
+# FIRST 50 registrations. Slots go to (a) every r4-new registration,
+# (b) the 3 queries whose code changed this round — ev_asof_join (the
+# r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
+# sketches (upgraded from rows-only to bounded within_bound oracles),
+# (c) ~5 cross-round controls, and (d) the stalest driver rows: all 27
+# queries whose latest row is r1, plus the 8 oldest r2 rows. Union over
+# r1..r4 keeps every registration covered; everything past #50 stays
+# covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) the 15 queries with no driver row in r1 ∪ r2
-    "op_window_range_frame",
-    "op_window_distribution",
-    "op_agg_grouping_sets",
-    "op_fuzzy_match_blocked",
-    "op_unpivot_melt",
-    "op_pivot_native",
-    "sim_kmeans",
-    "text_bpe_pair_freqs",
-    "ev_funnel",
-    "ev_cohort_retention",
-    "ev_resample_fill",
-    "mm_image_features_fake",
+    # (a) r4-new operators — first driver evidence this round
+    "text_temperature_sample",
+    "text_dup_span_removal",
+    "text_source_cap",
+    "dedup_semantic_within_label",
+    "emb_pca_project",
+    "op_agg_approx_distinct_raw",
+    "op_percentiles_approx_raw",
+    # (b) changed code paths re-verified
+    "ev_asof_join",
     "op_agg_approx_distinct",
-    "text_quality_sample",
-    "wh_merge_upsert",
-    # (b) r2 reds, fixed this round
-    "op_math_functions",
-    "emb_l2_normalize",
-    "emb_quantize_int8",
-    # (c) dedup family — cache lifecycle reworked this round
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_corpus",
-    "dedup_embedding_cosine",
-    # (d) cross-round controls + r1-only greens for freshness
-    "star_report_customer",
-    "retail_fct_invoice_line_value",
-    "sim_ann_ivf",
-    "sim_label_centroids",
-    "sim_topk_bruteforce",
-    "star_fct_invoice_line_value",
-    "star_report_product",
-    "op_agg_count_distinct",
-    "op_agg_group_multi",
-    "op_agg_rollup",
-    "op_array_functions",
-    "op_conditional_case",
-    "op_datetime_roundtrip",
-    "op_dedup_row_number",
-    "op_join_anti",
-    "op_join_range",
-    "op_join_semi",
-    # (e) r3-new operators — first driver evidence this round (the
-    # r1-green star_dim_* / op_window_lead_lag fillers they displace
-    # keep their r1 rows; star dims stay pytest + replica covered)
-    "text_repetition_stats",
-    "text_mixture_sample",
-    "text_shard_assign",
-    "dedup_incremental",
-    "dedup_incremental_fast",
-    "mm_audio_window_stats",
-    "mm_audio_features_fake",
-    "text_lm_score",
     "op_percentiles_approx",
+    # (c) cross-round controls
+    "star_report_customer",
+    "star_fct_invoice_line_value",
+    "retail_fct_invoice_line_value",
+    "dedup_exact",
+    "sim_ann_ivf",
+    # (d1) all 27 queries whose only driver row is r1
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "op_derived_arithmetic",
+    "op_deterministic_sample",
+    "op_distinct_projection",
+    "op_filter_predicates",
+    "op_from_json_struct",
+    "op_group_topk",
+    "op_order_by_full",
+    "op_project_alias",
+    "op_quality_metrics",
+    "op_set_except",
+    "op_set_intersect",
+    "op_set_union",
+    "op_sql_api",
+    "op_surrogate_key",
+    "op_table_profile",
+    "op_topk",
+    "op_window_group_max",
+    "op_window_lead_lag",
+    "op_window_rank",
+    "sim_ann_lsh",
+    "sim_topk_pandas_udf",
+    "star_dim_customer",
+    "star_dim_datetime",
+    "star_dim_invoice",
+    "star_dim_product",
+    # (d2) the 8 oldest r2 rows (bench headliners + events/mm families)
+    "ev_session_window",
+    "text_word_freq",
+    "ev_interval_join",
+    "ev_tumbling_window",
+    "ev_hopping_window",
+    "ev_multi_resolution_rollup",
+    "mm_binary_metadata",
+    "mm_frame_sample",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
