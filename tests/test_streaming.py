@@ -613,3 +613,86 @@ def test_funnel_idle_state_eviction(spark, tmp_path_factory):
         assert len(glob.glob(f"{src}/b1/part-*.parquet")) == 1
     finally:
         q.stop()
+
+
+def test_streaming_incremental_dedup_matches_full_corpus(
+    spark, catalog, tmp_path_factory
+):
+    """Streaming LSH dedup over a persistent index == the full-corpus
+    batch LSH pair set, re-oriented by arrival order: documents arrive in
+    three doc_id-range micro-batches; every verified near-dup pair must
+    be reported exactly once, as (later-arriving doc, earlier doc) —
+    within a batch, (larger id, smaller id)."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_minhash_lsh_fast,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.dedup import (
+        start_streaming_dedup,
+        IncrementalDedupIndex,
+    )
+
+    base = tmp_path_factory.mktemp("stream_dedup")
+    src, index_dir, ckpt = str(base / "src"), str(base / "idx"), str(base / "ckpt")
+
+    docs = catalog.table("documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).head()[0]
+    cuts = [0, max_id // 3, 2 * max_id // 3, max_id + 1]
+    batch_of = {}
+    for i in range(3):
+        part = docs.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        part.coalesce(1).write.parquet(f"{src}/b{i}")
+        for r in part.select("doc_id").collect():
+            batch_of[r.doc_id] = i
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = start_streaming_dedup(stream, index_dir, ckpt)
+    q.awaitTermination()
+
+    got = sorted(
+        (r.doc_id, r.dup_of)
+        for r in IncrementalDedupIndex(spark, index_dir).duplicates().collect()
+    )
+    # ground truth: full-corpus production LSH pairs, re-oriented
+    full = dedup_minhash_lsh_fast(spark, "/root/testdata/sf0.001").collect()
+    expected = set()
+    for r in full:
+        a, b = r.doc_a, r.doc_b
+        # later batch reports the dup; same batch → larger id reports
+        if (batch_of[a], a) > (batch_of[b], b):
+            expected.add((a, b))
+        else:
+            expected.add((b, a))
+    assert got == sorted(expected)
+    assert len(got) > 0  # the fixture has near-dups; the test is not vacuous
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, catalog, tmp_path_factory):
+    """foreachBatch redelivery: re-processing the same batch_id must
+    overwrite, not double-append — dups and index stores stay identical."""
+    from data_pipeline_4_online_retail_spark.streaming.dedup import (
+        IncrementalDedupIndex,
+    )
+
+    idx = IncrementalDedupIndex(
+        spark, str(tmp_path_factory.mktemp("replay_idx"))
+    )
+    docs = catalog.table("documents").select("doc_id", "text")
+    b0 = docs.filter("doc_id < 200")
+    b1 = docs.filter("doc_id >= 200")
+    idx.process_batch(b0, 0)
+    idx.process_batch(b1, 1)
+    before = sorted((r.doc_id, r.dup_of) for r in idx.duplicates().collect())
+    n_buckets = idx._read("buckets", "doc_id LONG, band_idx INT, band_hash LONG").count()
+    idx.process_batch(b1, 1)  # redelivery of the last batch
+    after = sorted((r.doc_id, r.dup_of) for r in idx.duplicates().collect())
+    assert after == before
+    assert (
+        idx._read("buckets", "doc_id LONG, band_idx INT, band_hash LONG").count()
+        == n_buckets
+    )
