@@ -3,7 +3,7 @@ tier a 100 TB pretraining pipeline runs between ingestion and dedup
 (SURVEY.md §2 extensions; reference repo has no analogue — this tier is
 the LLM-data extension the build brief asks for).
 
-Nine operators, each with a DuckDB oracle twin:
+Curation operators, each with a DuckDB oracle twin:
 
 - ``text_quality_filters``  — Gopher/C4-style repetition + length gates
 - ``text_contamination``    — benchmark n-gram overlap (decontamination)
@@ -14,6 +14,11 @@ Nine operators, each with a DuckDB oracle twin:
 - ``text_chunk_windows``    — sliding context windows with stride
 - ``text_pack_sequences``   — next-fit token packing into fixed budgets
 - ``text_quality_sample``   — quality-weighted acceptance sampling
+- ``text_mixture_sample``   — source-mixture rebalancing (r3)
+- ``text_shard_assign``     — shard + deterministic shuffle (r3)
+- ``text_temperature_sample`` — alpha=0.5 language upweighting (r4)
+- ``text_dup_span_removal`` — corpus-wide repeated-span removal (r4)
+- ``text_source_cap``       — per-source document caps (r4)
 
 Everything except packing is built-in column expressions (codegen, no
 Python); packing is the one genuinely sequential-per-group step and uses

@@ -75,3 +75,44 @@ def write_csv(df: DataFrame, path: str, *, header: bool = True, single_file: boo
     coalesces to one partition — only for small exports."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", header).csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_file_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(bytes / target_file_mb) files; returns the file count written.
+
+    The operational pain this solves at 100 TB: streaming sinks and
+    per-batch appends (e.g. the incremental dedup index) accumulate
+    thousands of KB-sized files, and scan planning starts to cost more
+    than scanning. One repartition to the byte-budgeted file count fixes
+    listing, footer, and scheduler overhead in a single pass.
+
+    ``sort_within_by`` optionally sorts WITHIN each output file
+    (sortWithinPartitions — no global sort) so parquet row-group min/max
+    stats become selective for those columns: compaction doubles as the
+    data-layout pass that makes later predicate pushdown actually skip
+    row groups.
+    """
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for root, _, files in _os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

@@ -188,3 +188,30 @@ def test_json_and_orc_source_roundtrip(spark, catalog, tmp_path):
     oback = spark.read.orc(opath)
     assert oback.schema == ev.schema
     assert sorted(map(tuple, oback.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_compact_parquet_reduces_file_count(spark, catalog, tmp_path):
+    """Compaction: a 64-file dataset rewrites into the byte-budgeted file
+    count (1 here), values intact, optional within-file sort applied."""
+    from data_pipeline_4_online_retail_spark.sources.io import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = catalog.table("orders").select("o_orderkey", "o_totalprice")
+    orders.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_mb=512,
+                        sort_within_by=["o_orderkey"])
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n == 1
+    a = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    b = sorted(tuple(r) for r in orders.collect())
+    assert a == b
+    # within-file sort: the single file is globally ordered
+    got = [r.o_orderkey for r in spark.read.parquet(dst).collect()]
+    # parquet preserves write order per file
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(files[0], columns=["o_orderkey"])["o_orderkey"].to_pylist()
+    assert keys == sorted(keys)
