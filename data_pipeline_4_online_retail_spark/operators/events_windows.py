@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_pipeline_4_online_retail_spark.plans.registry import register
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
@@ -399,4 +400,107 @@ def ev_resample_fill(spark, sf_dir):
         "day",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.col("n_events").isNull().cast("int").alias("gap_filled"),
+    )
+
+
+@register(
+    "ev_resample_interpolate",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds),
+    j AS (
+        SELECT g.user_id, g.day, daily.v
+        FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id
+                                   AND g.day = daily.day),
+    f AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+        FROM j)
+    SELECT user_id, day,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE v_prev + (v_next - v_prev)
+                     * (CAST(day - d_prev AS DOUBLE)
+                        / CAST(d_next - d_prev AS DOUBLE)) END AS value_interp,
+           CAST(v IS NULL AS INT) AS interpolated
+    FROM f
+    """,
+    doc="time series: resample to a dense daily grid with LINEAR "
+    "INTERPOLATION of the per-user mean value — the numeric twin of "
+    "ev_resample_fill's zero-count fill (gauge metrics, sensor series, "
+    "feature curves: missing days take the line between the flanking "
+    "known days, v_prev + (v_next - v_prev) * gap_frac). Grid endpoints "
+    "are always known days, so every gap has both flanks. Plan: one "
+    "(user_id, day) aggregate, a bounded per-user sequence() explode, "
+    "and two ordered window passes over the SAME user_id partitioning — "
+    "three shuffles total, none corpus-sized. Daily means use exact "
+    "decimal sums / count (AVG(double) is partition-order-dependent); "
+    "the interpolation arithmetic is written identically in both "
+    "engines, so the doubles hash exactly.",
+    tags=("events", "analytics"),
+)
+def ev_resample_interpolate(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(known_day, ignorenulls=True).over(w_prev).alias("d_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(known_day, ignorenulls=True).over(w_next).alias("d_next"),
+    )
+    gap_frac = F.datediff("day", "d_prev").cast("double") / F.datediff(
+        "d_next", "d_prev"
+    ).cast("double")
+    return f.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * gap_frac)
+        .alias("value_interp"),
+        F.col("v").isNull().cast("int").alias("interpolated"),
     )

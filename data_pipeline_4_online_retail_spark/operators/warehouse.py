@@ -150,3 +150,74 @@ def wh_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().cast("int").alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC extraction, round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wh_snapshot_diff",
+    """
+    WITH v_old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 != 0),
+    v_new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 5 != 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus != n.o_orderstatus
+       OR o.o_totalprice != n.o_totalprice
+    """,
+    doc="warehouse: snapshot diff / CDC extraction — two table versions "
+    "full-outer-joined on the key, emitting only added / removed / "
+    "changed rows (the change feed a downstream incremental consumer "
+    "replays; the inverse of wh_merge_upsert, which APPLIES such a "
+    "feed). The fixture simulates versions with modular key filters so "
+    "all three change classes occur. One shuffle on the key; unchanged "
+    "rows never leave the join — at 100 TB the output is O(churn), not "
+    "O(table).",
+    tags=("warehouse",),
+)
+def wh_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    v_old = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v_new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    old_a, new_a = v_old.alias("o"), v_new.alias("n")
+    joined = old_a.join(
+        new_a, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.col("o.o_orderstatus").alias("old_status"),
+        F.col("n.o_orderstatus").alias("new_status"),
+        change.alias("change_type"),
+    )

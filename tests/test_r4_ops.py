@@ -161,3 +161,64 @@ def test_pca_matches_numpy_eigh(spark, catalog):
         a, b = proj[:, k], expected[:, k]
         sign = 1.0 if abs(a @ b) == a @ b else -1.0
         assert np.allclose(a, sign * b, atol=1e-6), f"component {k}"
+
+
+def test_resample_interpolate_linear_midpoints(spark):
+    """Interpolated days lie on the line between flanking known days, and
+    known days pass through untouched."""
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_resample_interpolate,
+    )
+
+    rows = ev_resample_interpolate(spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_interp = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r.day)
+        known = [(i, r.value_interp) for i, r in enumerate(series) if not r.interpolated]
+        # endpoints are always known
+        assert not series[0].interpolated and not series[-1].interpolated
+        import bisect
+
+        kidx = [i for i, _ in known]
+        for i, r in enumerate(series):
+            if r.interpolated:
+                n_interp += 1
+                j = bisect.bisect_left(kidx, i)
+                i0, v0 = known[j - 1]
+                i1, v1 = known[j]
+                expect = v0 + (v1 - v0) * ((i - i0) / (i1 - i0))
+                assert abs(r.value_interp - expect) < 1e-9
+    assert n_interp > 0  # the fixture actually has gaps
+
+
+def test_snapshot_diff_classes(spark, catalog):
+    """added/removed/changed classes are exactly the modular-filter
+    expectation; unchanged rows never appear."""
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        wh_snapshot_diff,
+    )
+
+    out = list(wh_snapshot_diff(spark, SF_DIR).collect())
+    orders = {
+        r.o_orderkey: r.o_orderstatus
+        for r in catalog.table("orders")
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    }
+    expected = {}
+    for k, status in orders.items():
+        in_old = k % 4 != 0
+        in_new = k % 5 != 0
+        new_status = "X" if k % 3 == 0 else status
+        if in_old and not in_new:
+            expected[k] = "removed"
+        elif in_new and not in_old:
+            expected[k] = "added"
+        elif in_old and in_new and status != new_status:
+            expected[k] = "changed"
+    got = {r.o_orderkey: r.change_type for r in out}
+    assert got == expected
+    assert {"added", "removed", "changed"} <= set(got.values())
