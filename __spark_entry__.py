@@ -46,7 +46,7 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
 # (c) ~5 cross-round controls, and (d) the stalest driver rows: all 27
-# queries whose latest row is r1, plus the 6 oldest r2 rows. Union over
+# queries whose latest row is r1, plus the 5 oldest r2 rows. Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = [
     "op_percentiles_approx_raw",
     "wh_snapshot_diff",
     "ev_resample_interpolate",
+    "text_dup_span_keep_first",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -99,13 +100,12 @@ _DRIVER_PRIORITY = [
     "star_dim_datetime",
     "star_dim_invoice",
     "star_dim_product",
-    # (d2) the 6 oldest r2 rows (bench headliners + events family)
+    # (d2) the 5 oldest r2 rows (bench headliners + events family)
     "ev_session_window",
     "text_word_freq",
     "ev_interval_join",
     "ev_tumbling_window",
     "ev_hopping_window",
-    "ev_multi_resolution_rollup",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -952,3 +952,81 @@ def text_source_cap(spark, sf_dir):
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source", F.col("rn").cast("long").alias("keep_rank"))
     )
+
+
+@register(
+    "text_dup_span_keep_first",
+    f"""
+    WITH spans AS (
+        SELECT doc_id, span.i AS span_id, span.t AS span_text
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(string_split(text, ' ')) / {SPAN_WORDS}.0)
+                                AS INT)),
+                       i -> struct_pack(
+                           i := i,
+                           t := array_to_string(
+                               list_slice(string_split(text, ' '),
+                                          i * {SPAN_WORDS} + 1,
+                                          i * {SPAN_WORDS} + {SPAN_WORDS}), ' '))))
+                       AS span
+            FROM documents)),
+    ranked AS (
+        SELECT doc_id, span_id, span_text,
+               ROW_NUMBER() OVER (PARTITION BY span_text
+                                  ORDER BY doc_id, span_id) AS occ
+        FROM spans)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN occ = 1 THEN span_text END, ' '
+                               ORDER BY span_id), '') AS clean_text,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="curation: repeated-span removal, KEEP-FIRST semantics — the "
+    "faithful C4 behavior: the canonical occurrence of a duplicated "
+    "span (lowest (doc_id, span_id)) survives, every later occurrence "
+    "is dropped. Same plan as text_dup_span_removal with the count "
+    "window replaced by a row_number over (span_text) ordered by "
+    "(doc_id, span_id); the keep-none sibling drops all copies "
+    "(MassiveText's stricter gate). Same single span_text-keyed "
+    "shuffle.",
+    tags=("curation",),
+)
+def text_dup_span_keep_first(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(SPAN_WORDS))).cast("int")
+    span_texts = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * SPAN_WORDS + 1, SPAN_WORDS)
+        ),
+    )
+    spans = d.select(
+        "doc_id", F.posexplode(span_texts).alias("span_id", "span_text")
+    )
+    ranked = spans.withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("span_text").orderBy("doc_id", "span_id")
+        ),
+    )
+    kept_struct = F.when(
+        F.col("occ") == 1, F.struct("span_id", "span_text")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["span_text"],
+                ),
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum((F.col("occ") == 1).cast("long")).alias("n_spans_kept"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_spans_dropped"),
+    )

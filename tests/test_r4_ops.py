@@ -222,3 +222,32 @@ def test_snapshot_diff_classes(spark, catalog):
     got = {r.o_orderkey: r.change_type for r in out}
     assert got == expected
     assert {"added", "removed", "changed"} <= set(got.values())
+
+
+def test_dup_span_keep_first_canonical_copy_survives(spark, catalog):
+    """Keep-first: exactly one occurrence of every distinct span survives
+    corpus-wide, and the survivor is the lowest (doc_id, span_id)."""
+    from collections import Counter
+
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        SPAN_WORDS,
+        text_dup_span_keep_first,
+    )
+
+    out = {r.doc_id: r for r in text_dup_span_keep_first(spark, SF_DIR).collect()}
+    docs = {r.doc_id: r.text for r in catalog.table("documents").collect()}
+    first_owner: dict = {}
+    n_spans_total = 0
+    for doc_id in sorted(docs):
+        toks = docs[doc_id].split(" ")
+        for sid in range(0, len(toks), SPAN_WORDS):
+            s = " ".join(toks[sid : sid + SPAN_WORDS])
+            first_owner.setdefault(s, (doc_id, sid // SPAN_WORDS))
+            n_spans_total += 1
+    kept_total = sum(r.n_spans_kept for r in out.values())
+    assert kept_total == len(first_owner)  # one survivor per distinct span
+    assert sum(r.n_spans_dropped for r in out.values()) == n_spans_total - kept_total
+    # per-doc: kept spans are exactly those whose first owner is this doc
+    own_count = Counter(d for d, _ in first_owner.values())
+    for doc_id, r in out.items():
+        assert r.n_spans_kept == own_count.get(doc_id, 0), doc_id
