@@ -63,6 +63,12 @@ EXTRA = [
     "ev_funnel",
     "ev_cohort_retention",
     "wh_scd2_build",
+    # round-4 additions (extra_total_sec therefore not comparable to r2's;
+    # per-query timings remain comparable)
+    "text_dup_span_removal",
+    "dedup_semantic_within_label",
+    "wh_snapshot_diff",
+    "ev_resample_interpolate",
 ]
 
 SCALE10_TABLES = (
