@@ -600,3 +600,181 @@ def emb_pca_project(spark, sf_dir):
         "label",
         F.posexplode("pca").alias("component", "value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4): PQ codebooks + ADC search
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codes per subspace
+PQ_ITERS = 3
+
+
+def _pq_sub(m: int, sub_dim: int) -> F.Column:
+    return F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim)
+
+
+def _pq_assign_expr(m: int, sub_dim: int) -> F.Column:
+    """argmin code for subspace m against the ``cb`` column (a broadcast
+    array<array<array<double>>> of [M][K][sub_dim] centroids). Same
+    left-to-right fold + first-min-wins determinism as sim_kmeans."""
+    dists = F.transform(
+        F.element_at(F.col("cb"), m + 1),
+        lambda c: F.aggregate(
+            F.zip_with(_pq_sub(m, sub_dim), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _with_codebooks(df: DataFrame, cb: list) -> DataFrame:
+    spark = df.sparkSession
+    cb_df = spark.createDataFrame([(cb,)], "cb: array<array<array<double>>>")
+    return df.crossJoin(F.broadcast(cb_df))
+
+
+def train_pq_codebooks(e: DataFrame, dim: int) -> list:
+    """[M][K][dim/M] codebooks via per-subspace Lloyd, all M subspaces
+    trained in the SAME per-iteration pass: assignment is M argmin
+    expressions over one broadcast codebook table, the update explodes
+    (m, code, dim_idx, val) once and aggregates with exact decimal sums
+    — only M*K*(dim/M) values reach the driver per iteration.
+
+    Deterministic: seeds are the PQ_K lowest vec_ids' subvectors; empty
+    codes keep their previous centroid (same contract as sim_kmeans)."""
+    sub = dim // PQ_M
+    seed_rows = e.orderBy("vec_id").limit(PQ_K).collect()
+    cb = [
+        [
+            [float(x) for x in r.embedding[m * sub : (m + 1) * sub]]
+            for r in seed_rows
+        ]
+        for m in range(PQ_M)
+    ]
+    cached = e.select("vec_id", "embedding").persist()
+    try:
+        for _ in range(PQ_ITERS):
+            assigned = _with_codebooks(cached, cb).select(
+                "embedding",
+                *[_pq_assign_expr(m, sub).alias(f"c{m}") for m in range(PQ_M)],
+            )
+            s1 = assigned.select(
+                F.posexplode(
+                    F.array(*[F.col(f"c{m}") for m in range(PQ_M)])
+                ).alias("m", "code"),
+                "embedding",
+            )
+            s2 = s1.select(
+                "m",
+                "code",
+                F.posexplode(
+                    F.slice("embedding", F.col("m") * sub + 1, F.lit(sub))
+                ).alias("dim_idx", "val"),
+            )
+            rows = (
+                s2.groupBy("m", "code", "dim_idx")
+                .agg(
+                    (
+                        F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("v")
+                )
+                .collect()
+            )
+            new_cb = [[list(c) for c in books] for books in cb]
+            acc: dict = {}
+            for r in rows:
+                acc.setdefault((r.m, r.code), {})[r.dim_idx] = r.v
+            for (m, code), dims in acc.items():
+                new_cb[m][code] = [dims[i] for i in range(len(dims))]
+            cb = new_cb
+    finally:
+        cached.unpersist()
+    return cb
+
+
+@register(
+    "sim_pq_encode",
+    None,  # iterative codebook training → rows-only; bit-exact Python
+    # replica in tests/test_r4_ops.py
+    doc="similarity: product-quantization encoding (PQ 4x16 over 64-dim "
+    "embeddings) — per-subspace Lloyd codebooks (trained in one "
+    "distributed pass per iteration across ALL subspaces), each vector "
+    "compressed to 4 one-byte codes: a 64x memory reduction that makes "
+    "billion-vector ANN indexes RAM-resident (Jegou et al., 'Product "
+    "Quantization for Nearest Neighbor Search', PAMI'11). Output is the "
+    "exploded (vec_id, label, m, code) form. 100 TB shape: training "
+    "touches only M*K*(dim/M) driver values per iteration; encoding is "
+    "one map-side pass against a broadcast codebook.",
+    tags=("similarity", "iterative"),
+)
+def sim_pq_encode(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").head()["embedding"])
+    sub = dim // PQ_M
+    cb = train_pq_codebooks(e, dim)
+    return _with_codebooks(e, cb).select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(*[_pq_assign_expr(m, sub) for m in range(PQ_M)])
+        ).alias("m", "code"),
+    )
+
+
+@register(
+    "sim_ann_pq_adc",
+    None,  # rows-only: recall + distance-replica pytest
+    doc="similarity: ANN search by asymmetric distance computation over "
+    "the PQ codes — the query stays UNquantized; its per-subspace "
+    "distance table to every codebook centroid (M*K doubles) is "
+    "computed driver-side and broadcast, and each candidate's "
+    "approximate L2 is the sum of M table lookups indexed by its codes "
+    "(no per-pair array math at all). Top-k by approximate distance. "
+    "At 100 TB this is the scan that replaces brute force: 4 byte "
+    "lookups + 3 adds per vector, with the table in L1.",
+    tags=("similarity",),
+)
+def sim_ann_pq_adc(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
+    dim = len(q)
+    sub = dim // PQ_M
+    cb = train_pq_codebooks(e, dim)
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    dtab = [
+        [sq(q[m * sub : (m + 1) * sub], cb[m][k]) for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    spark_ = e.sparkSession
+    dt_df = spark_.createDataFrame([(dtab,)], "dt: array<array<double>>")
+    coded = _with_codebooks(e, cb).select(
+        "vec_id",
+        "label",
+        F.array(*[_pq_assign_expr(m, sub) for m in range(PQ_M)]).alias("codes"),
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("dt"), m + 1), F.element_at(F.col("codes"), m + 1) + 1
+        ),
+    )
+    return (
+        coded.crossJoin(F.broadcast(dt_df))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", approx.alias("approx_l2"))
+        .orderBy(F.asc("approx_l2"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
