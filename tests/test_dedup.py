@@ -128,3 +128,56 @@ def test_simhash_is_deterministic_and_near_dups_close(spark, catalog):
     for a, b in _pairs(dedup_ngram_jaccard(spark, SF_DIR)):
         hamming = bin((fp1[a] ^ fp1[b]) & ((1 << 64) - 1)).count("1")
         assert hamming <= 16, (a, b, hamming)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property-based: min-label propagation over random pair graphs ==
+    a pure-Python union-find (cluster id = min doc_id in component).
+    Few examples, tiny graphs — each example is a full Spark fixpoint."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        connected_components,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ).filter(lambda t: t[0] != t[1]),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(edges):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        expected = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a LONG, doc_b LONG"
+        )
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected
+
+    check()
