@@ -46,7 +46,7 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
 # (c) ~5 cross-round controls, and (d) the stalest driver rows: all 27
-# queries whose latest row is r1, plus the 3 oldest r2 rows. Union over
+# queries whose latest row is r1, plus the 2 oldest r2 rows. Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "text_dup_span_keep_first",
     "sim_pq_encode",
     "sim_ann_pq_adc",
+    "text_temperature_resample",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -102,10 +103,9 @@ _DRIVER_PRIORITY = [
     "star_dim_datetime",
     "star_dim_invoice",
     "star_dim_product",
-    # (d2) the 3 oldest r2 rows (bench headliners + events family)
+    # (d2) the 2 oldest r2 rows (bench headliners)
     "ev_session_window",
     "text_word_freq",
-    "ev_interval_join",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -1030,3 +1030,90 @@ def text_dup_span_keep_first(spark, sf_dir):
         F.sum((F.col("occ") == 1).cast("long")).alias("n_spans_kept"),
         F.sum((F.col("occ") > 1).cast("long")).alias("n_spans_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. Temperature-scaled corpus materialization (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_temperature_resample",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,9)) AS s
+        FROM documents GROUP BY lang),
+    scaled AS (
+        SELECT lang, n_docs, s,
+               SUM(s) OVER () AS denom,
+               SUM(n_docs) OVER () AS n_total
+        FROM counts),
+    boosted AS (
+        SELECT lang,
+               (CAST(s AS DOUBLE) / CAST(denom AS DOUBLE))
+                   * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS boost
+        FROM scaled),
+    decided AS (
+        SELECT d.doc_id, d.lang,
+               CAST(floor(b.boost) AS BIGINT)
+               + CAST((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) / 4294967296.0)
+                      < (b.boost - floor(b.boost)) AS BIGINT) AS n_copies
+        FROM documents d JOIN boosted b ON d.lang = b.lang)
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+               AS copy_idx
+    FROM decided
+    """,
+    doc="curation: temperature-scaled corpus MATERIALIZATION — applies "
+    "text_temperature_sample's boost as the per-document repeat count a "
+    "trainer actually consumes: every doc gets floor(boost) copies plus "
+    "one more when md5-uniform(doc_id) < frac(boost) (so boost < 1 "
+    "downsamples high-resource languages, boost > 1 upsamples rare "
+    "ones; expected copy count = boost exactly). Stateless and "
+    "hash-stable like the mixture sampler; the boost doubles are the "
+    "sqrt/decimal-stabilized values proven hash-exact cross-engine. "
+    "Plan: tiny per-lang aggregate broadcast onto the scan, copies via "
+    "a bounded sequence() explode — no shuffle of document rows.",
+    tags=("curation",),
+)
+def text_temperature_resample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sqrt(F.count(F.lit(1)).cast("double"))
+        .cast("decimal(18,9)")
+        .alias("s"),
+    )
+    w = Window.partitionBy()
+    scaled = counts.select(
+        "lang",
+        "n_docs",
+        "s",
+        F.sum("s").over(w).alias("denom"),
+        F.sum("n_docs").over(w).alias("n_total"),
+    )
+    q = F.col("s").cast("double") / F.col("denom").cast("double")
+    boosted = scaled.select(
+        "lang",
+        (q * F.col("n_total").cast("double") / F.col("n_docs").cast("double")).alias(
+            "boost"
+        ),
+    )
+    hash_frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    n_copies = (
+        F.floor("boost").cast("long")
+        + (hash_frac < (F.col("boost") - F.floor("boost"))).cast("long")
+    )
+    decided = d.join(F.broadcast(boosted), "lang").select(
+        "doc_id", "lang", n_copies.alias("n_copies")
+    )
+    return decided.filter(F.col("n_copies") >= 1).select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+            "copy_idx"
+        ),
+    )

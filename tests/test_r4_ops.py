@@ -347,3 +347,49 @@ def test_pq_adc_approximates_true_distance(spark, catalog):
     assert sum(1 for r in out if r.vec_id in top50) >= 4
     median = true_d[ranked[len(ranked) // 2]]
     assert sum(1 for r in out if true_d[r.vec_id] < median) >= 8
+
+
+def test_temperature_resample_copy_counts(spark, catalog):
+    """Exact replica of the copy-count rule: floor(boost) + (md5-frac <
+    frac(boost)); per-language totals match, and the direction is right
+    (rare languages end up relatively upsampled)."""
+    import hashlib
+
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        text_temperature_resample,
+    )
+
+    out = text_temperature_resample(spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.lang for r in catalog.table("documents").collect()
+    }
+    counts: dict = {}
+    for lang in docs.values():
+        counts[lang] = counts.get(lang, 0) + 1
+    n_total = sum(counts.values())
+    denom = sum(math.sqrt(n) for n in counts.values())
+    boost = {
+        lang: (math.sqrt(n) / denom) * n_total / n for lang, n in counts.items()
+    }
+
+    def hash_frac(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+
+    expected: dict = {}
+    for doc_id, lang in docs.items():
+        b = boost[lang]
+        n = int(math.floor(b)) + (1 if hash_frac(doc_id) < b - math.floor(b) else 0)
+        if n >= 1:
+            expected[doc_id] = n
+    got: dict = {}
+    for r in out:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+        assert 1 <= r.copy_idx <= expected[r.doc_id]
+    assert got == expected
+    # direction: the rarest language's copies/doc exceeds the commonest's
+    per_lang: dict = {}
+    for r in out:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    rare = min(counts, key=counts.get)
+    common = max(counts, key=counts.get)
+    assert per_lang[rare] / counts[rare] > per_lang[common] / counts[common]
