@@ -45,8 +45,8 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # (b) the 3 queries whose code changed this round — ev_asof_join (the
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) ~5 cross-round controls, and (d) the stalest driver rows: all 27
-# queries whose latest row is r1, plus the 2 oldest r2 rows. Union over
+# (c) 4 cross-round controls, and (d) the stalest driver rows: all 27
+# queries whose latest row is r1. Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -65,6 +65,9 @@ _DRIVER_PRIORITY = [
     "sim_pq_encode",
     "sim_ann_pq_adc",
     "text_temperature_resample",
+    "text_ngram_novelty",
+    "ev_markov_transitions",
+    "ev_anomaly_zscore",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -72,7 +75,6 @@ _DRIVER_PRIORITY = [
     # (c) cross-round controls
     "star_report_customer",
     "star_fct_invoice_line_value",
-    "retail_fct_invoice_line_value",
     "dedup_exact",
     "sim_ann_ivf",
     # (d1) all 27 queries whose only driver row is r1
@@ -103,9 +105,6 @@ _DRIVER_PRIORITY = [
     "star_dim_datetime",
     "star_dim_invoice",
     "star_dim_product",
-    # (d2) the 2 oldest r2 rows (bench headliners)
-    "ev_session_window",
-    "text_word_freq",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -504,3 +504,119 @@ def ev_resample_interpolate(spark, sf_dir):
         .alias("value_interp"),
         F.col("v").isNull().cast("int").alias("interpolated"),
     )
+
+
+@register(
+    "ev_markov_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+    totals AS (
+        SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p_transition
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    """,
+    doc="events: first-order Markov transition matrix over per-user "
+    "event sequences — lead() within (user_id; ts, event_id order) "
+    "pairs each event with its successor, one aggregate counts "
+    "(from, to) transitions, and row-normalization divides by the "
+    "from-state total (integer counts → single exact division; "
+    "hash-stable doubles). The journey-analysis primitive behind "
+    "next-action prediction and funnel-leak diagnosis. Plan: one "
+    "user_id window shuffle + one vocabulary-sized aggregate — the "
+    "transition matrix is |event_types|², never corpus-sized.",
+    tags=("events", "analytics"),
+)
+def ev_markov_transitions(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p_transition"
+        ),
+    )
+
+
+@register(
+    "ev_anomaly_zscore",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT user_id,
+               COUNT(*) AS n_days,
+               CAST(SUM(CAST(n_events AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(n_events AS DECIMAL(18,4))
+                        * CAST(n_events AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        FROM daily GROUP BY user_id)
+    SELECT d.user_id, d.day, d.n_events,
+           (CAST(d.n_events AS DOUBLE) - (s1 / n_days))
+               / sqrt((s2 / n_days) - (s1 / n_days) * (s1 / n_days)) AS zscore,
+           CAST(abs((CAST(d.n_events AS DOUBLE) - (s1 / n_days))
+                / sqrt((s2 / n_days) - (s1 / n_days) * (s1 / n_days))) > 2.0
+                AS INT) AS is_anomaly
+    FROM daily d JOIN stats s ON d.user_id = s.user_id
+    WHERE (s2 / n_days) - (s1 / n_days) * (s1 / n_days) > 0
+    """,
+    doc="events: per-user daily-volume anomaly flags — z-score of each "
+    "day's event count against that user's own history, |z| > 2 flagged "
+    "(the monitoring primitive behind bot/burst detection). Float "
+    "discipline: counts are integers, so sum and sum-of-squares are "
+    "EXACT decimals; the population-variance formula s2/n - (s1/n)^2 is "
+    "then identical IEEE arithmetic in both engines and sqrt is "
+    "correctly rounded — the z-scores hash exactly. Zero-variance users "
+    "(constant daily volume) are excluded rather than emitting NULL/inf. "
+    "Plan: one (user_id, day) aggregate, one user_id aggregate, one "
+    "keyed join — no window over raw events.",
+    tags=("events", "analytics"),
+)
+def ev_anomaly_zscore(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    dec = F.col("n_events").cast("decimal(18,4)")
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = (F.col("s2") / F.col("n_days")) - mean * mean
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(stats, "user_id")
+        .filter(var > 0)
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
+        )
+    )

@@ -506,3 +506,82 @@ def text_lm_score(spark, sf_dir):
         "cross_entropy",
         F.pow(F.lit(2.0), F.col("cross_entropy")).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Novelty scoring (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(toks) >= 3 THEN
+                        list_transform(range(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i+1]
+                                            || ' ' || toks[i+2])
+                   ELSE [] END)) AS g
+        FROM t),
+    owner AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    scored AS (
+        SELECT grams.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN owner.first_doc = grams.doc_id
+                        THEN 1 ELSE 0 END) AS n_novel
+        FROM grams JOIN owner ON grams.g = owner.g
+        GROUP BY grams.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty_frac
+    FROM scored
+    """,
+    doc="text analysis: n-gram novelty scoring — for each document, the "
+    "fraction of its distinct word 3-grams whose FIRST corpus occurrence "
+    "(minimum doc_id) is this document. The data-valuation signal behind "
+    "'does this document add anything': near-zero novelty means the doc "
+    "is reshuffled existing text (complementary to MinHash near-dup, "
+    "which needs pairwise overlap — novelty catches mosaic duplication "
+    "against the WHOLE corpus). Ingestion-order doc_ids make min(doc_id) "
+    "'first seen'. Plan: distinct shingles map-side, one gram-keyed "
+    "aggregate for ownership, one gram-keyed join back, one doc aggregate "
+    "— shuffle rows are (gram, doc_id) pairs only. Docs shorter than 3 "
+    "tokens have no grams and drop out (same contract as the shingle "
+    "family).",
+    tags=("text", "curation"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    toks = F.col("toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+    )
+    grams3 = F.when(
+        F.size(toks) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 2), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = t.select(
+        "doc_id", F.explode(F.array_distinct(grams3)).alias("g")
+    )
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty_frac"
+        ),
+    )

@@ -393,3 +393,91 @@ def test_temperature_resample_copy_counts(spark, catalog):
     rare = min(counts, key=counts.get)
     common = max(counts, key=counts.get)
     assert per_lang[rare] / counts[rare] > per_lang[common] / counts[common]
+
+
+def test_markov_transitions_rows_normalize(spark, catalog):
+    """Each from-state's outgoing probabilities sum to 1; counts replay
+    a pure-Python walk of the per-user (ts, event_id)-ordered streams."""
+    from collections import Counter
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_markov_transitions,
+    )
+
+    out = list(ev_markov_transitions(spark, SF_DIR).collect())
+    by_from: dict = {}
+    for r in out:
+        by_from.setdefault(r.from_type, []).append(r)
+    for rs in by_from.values():
+        assert abs(sum(r.p_transition for r in rs) - 1.0) < 1e-9
+    ev = sorted(
+        catalog.table("events").select("user_id", "ts", "event_id", "event_type").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    expected: Counter = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            expected[(a.event_type, b.event_type)] += 1
+    assert {(r.from_type, r.to_type): r.n for r in out} == dict(expected)
+
+
+def test_anomaly_zscore_replica(spark, catalog):
+    """z-scores replay exactly from per-user daily counts; flags match
+    |z| > 2; zero-variance users are excluded."""
+    import math as m
+    from collections import Counter
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_anomaly_zscore,
+    )
+
+    daily: Counter = Counter()
+    for r in catalog.table("events").select("user_id", F.col("ts").cast("date").alias("day")).collect():
+        daily[(r.user_id, r.day)] += 1
+    by_user: dict = {}
+    for (u, day), n in daily.items():
+        by_user.setdefault(u, {})[day] = n
+    out = {(r.user_id, r.day): r for r in ev_anomaly_zscore(spark, SF_DIR).collect()}
+    n_checked = 0
+    for u, days in by_user.items():
+        ns = list(days.values())
+        mean = sum(ns) / len(ns)
+        var = sum(x * x for x in ns) / len(ns) - mean * mean
+        if var <= 0:
+            assert not any((u, d) in out for d in days)
+            continue
+        for d, n in days.items():
+            r = out[(u, d)]
+            z = (n - mean) / m.sqrt(var)
+            assert abs(r.zscore - z) < 1e-9
+            assert r.is_anomaly == (1 if abs(z) > 2.0 else 0)
+            n_checked += 1
+    assert n_checked > 0 and any(r.is_anomaly for r in out.values())
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, catalog):
+    """novelty_frac in (0, 1]; the lowest doc_id scores exactly 1.0 (all
+    its grams are first-seen); replica agrees on n_novel."""
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        text_ngram_novelty,
+    )
+
+    out = {r.doc_id: r for r in text_ngram_novelty(spark, SF_DIR).collect()}
+    docs = {r.doc_id: r.text.split(" ") for r in catalog.table("documents").collect()}
+    first_seen: dict = {}
+    grams_of: dict = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id]
+        gs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        grams_of[doc_id] = gs
+        for g in gs:
+            first_seen.setdefault(g, doc_id)
+    for doc_id, gs in grams_of.items():
+        if not gs:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        n_novel = sum(1 for g in gs if first_seen[g] == doc_id)
+        assert r.n_grams == len(gs) and r.n_novel == n_novel, doc_id
+        assert 0 < r.novelty_frac <= 1.0 or n_novel == 0
+    assert out[min(docs)].novelty_frac == 1.0
