@@ -910,3 +910,73 @@ def dedup_semantic_within_label(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Containment dedup (round 4)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a AS contained_doc, doc_b AS container_doc,
+           CAST(n_common AS DOUBLE) / CAST(sa.c AS DOUBLE) AS containment
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.c AS DOUBLE)
+              >= {CONTAINMENT_THRESHOLD}
+      AND sa.c < sb.c
+    """,
+    doc="near-dup by CONTAINMENT: |A∩B| / |A| >= 0.9 with |A| < |B| — "
+    "the asymmetric signal Jaccard misses: a short document quoted "
+    "wholesale inside a longer one has low Jaccard (the union is big) "
+    "but containment ~1 (Broder's original resemblance/containment "
+    "pair; the quote-and-expand duplication mode in web corpora). "
+    "Ordered output (contained, container). Same shingle equi-join "
+    "shape as dedup_ngram_jaccard — O(colliding pairs) verification "
+    "baseline; at 100 TB candidates come from the LSH band index and "
+    "only the containment FORMULA changes in verification.",
+    tags=("dedup",),
+)
+def dedup_containment(spark, sf_dir):
+    release_caches()
+    docs = _docs(spark, sf_dir)
+    sh = _persist(exploded_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    containment = F.col("n_common").cast("double") / F.col("sa.c").cast("double")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            (containment >= CONTAINMENT_THRESHOLD)
+            & (F.col("sa.c") < F.col("sb.c"))
+        )
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            containment.alias("containment"),
+        )
+    )
