@@ -116,3 +116,29 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def write_partitioned_incremental(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    dynamic: bool = True,
+) -> None:
+    """Partition-scoped overwrite: with ``dynamic=True`` an overwrite
+    replaces ONLY the partitions present in ``df`` (Spark's
+    ``partitionOverwriteMode=dynamic``), leaving the rest of the table
+    intact — the idempotent daily-batch sink (re-running day D rewrites
+    day D, never truncates history). ``dynamic=False`` is the default
+    Spark STATIC mode, which truncates the whole table first; exposed so
+    tests can pin the difference."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -215,3 +215,49 @@ def test_compact_parquet_reduces_file_count(spark, catalog, tmp_path):
 
     keys = pq.read_table(files[0], columns=["o_orderkey"])["o_orderkey"].to_pylist()
     assert keys == sorted(keys)
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(
+    spark, catalog, tmp_path
+):
+    """The idempotent daily-batch sink: re-writing one partition's batch
+    replaces only that partition under dynamic mode; static mode (the
+    Spark default) truncates everything else — both behaviors pinned."""
+    from data_pipeline_4_online_retail_spark.sources.io import (
+        write_partitioned_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    orders = catalog.table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "by_status")
+    write_partitioned_incremental(
+        orders, path, partition_by=["o_orderstatus"]
+    )
+    statuses = [r.o_orderstatus for r in spark.read.parquet(path)
+                .select("o_orderstatus").distinct().collect()]
+    assert len(statuses) >= 2
+    target = statuses[0]
+    # "corrected re-run" of one partition: half its rows, price doubled
+    batch = orders.filter(
+        (F.col("o_orderstatus") == target) & (F.col("o_orderkey") % 2 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    write_partitioned_incremental(batch, path, partition_by=["o_orderstatus"])
+    after = spark.read.parquet(path)
+    # untouched partitions intact
+    for s in statuses[1:]:
+        assert (
+            after.filter(F.col("o_orderstatus") == s).count()
+            == orders.filter(F.col("o_orderstatus") == s).count()
+        )
+    # target partition fully replaced by the batch
+    assert after.filter(F.col("o_orderstatus") == target).count() == batch.count()
+    # static mode truncates the rest — the default's footgun, pinned
+    write_partitioned_incremental(
+        batch, path, partition_by=["o_orderstatus"], dynamic=False
+    )
+    assert sorted(
+        r.o_orderstatus
+        for r in spark.read.parquet(path).select("o_orderstatus").distinct().collect()
+    ) == [target]
