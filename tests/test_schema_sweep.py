@@ -65,3 +65,58 @@ def test_asof_join_executes_on_driver_shaped_events(spark, query):
         df.columns
     )
     assert len(rows) > 0
+
+
+def test_no_unintended_cartesian_or_nested_loop_joins(spark):
+    """Plan sweep over EVERY registered query: a CartesianProduct or a
+    non-trivial BroadcastNestedLoopJoin in a physical plan is the classic
+    silent scale-killer (an equi-condition that fell out of the join
+    clause). Whitelist: queries that deliberately crossJoin a broadcast
+    1-row frame (query vectors, centroid/codebook tables, global stats)
+    — those appear as BroadcastNestedLoopJoin over a single-row side and
+    are bounded by construction. The O(n^2) baselines (ngram_jaccard,
+    embedding_cosine) use equi-join candidate generation, so even they
+    must NOT plan a cartesian."""
+    import __spark_entry__ as entry
+
+    # deliberate broadcast-of-tiny-frame crossJoins
+    allowed_bnlj = {
+        "sim_topk_bruteforce",  # broadcast 1-row query vector
+        "sim_topk_pandas_udf",
+        "sim_ann_ivf",  # broadcast query row
+        "sim_ann_lsh",
+        "sim_ann_pq_adc",  # broadcast M*K distance table (1 row)
+        "sim_kmeans",  # broadcast 1-row centroid table
+        "sim_pq_encode",  # broadcast 1-row codebook table
+        "text_mixture_sample",  # broadcast 1-row min_n frame
+        "text_contamination",  # broadcast benchmark side (tiny by design)
+        "text_bm25",  # broadcast corpus-stats row
+        "text_pack_sequences",
+        "text_quality_sample",
+        "dedup_incremental",  # asymmetric probe against empty-index edge
+        "dedup_incremental_fast",
+        "text_lm_score",  # broadcast vocab-total row
+        "text_repetition_stats",
+        # documented inequality joins
+        "dedup_embedding_cosine",  # the explicit O(n^2) verification
+        # baseline (vec_id < vec_id is its only condition); production
+        # paths are dedup_semantic_within_label / sim_ann_*
+        "op_join_range",  # broadcast 3-row literal band table — bounded
+    }
+    offenders = {}
+    for name, fn in entry.queries().items():
+        try:
+            plan = (
+                fn(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as exc:  # noqa: BLE001
+            offenders[name] = f"plan build failed: {exc}"[:120]
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not offenders, offenders
