@@ -45,9 +45,10 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # (b) the 3 queries whose code changed this round — ev_asof_join (the
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) 4 cross-round controls, and (d) the stalest driver rows: 26 of the 27
-# r1-only queries (op_order_by_full, the trivial full sort that also
-# serves as bench warmup, keeps its r1 row + local replica). Union over
+# (c) 4 cross-round controls, and (d) the stalest driver rows: 25 of the 27
+# r1-only queries (op_order_by_full and
+# op_project_alias, the two most trivial, keep their r1 rows + the
+# local oracle_check replica). Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -70,6 +71,7 @@ _DRIVER_PRIORITY = [
     "ev_markov_transitions",
     "ev_anomaly_zscore",
     "dedup_containment",
+    "pipeline_curation_e2e",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -88,7 +90,6 @@ _DRIVER_PRIORITY = [
     "op_filter_predicates",
     "op_from_json_struct",
     "op_group_topk",
-    "op_project_alias",
     "op_quality_metrics",
     "op_set_except",
     "op_set_intersect",

@@ -1117,3 +1117,78 @@ def text_temperature_resample(spark, sf_dir):
             "copy_idx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. End-to-end curation pipeline in ONE plan (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_curation_e2e",
+    f"""
+    WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+               FROM documents),
+    gated AS (
+        SELECT doc_id, lang, text, len(toks) AS n_tokens
+        FROM t
+        WHERE len(toks) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+          AND list_max(list_transform(list_distinct(toks),
+                       u -> len(list_filter(toks, x -> x = u))))
+                  * 1.0 / len(toks) <= {MAX_TOP_UNIGRAM_FRAC}),
+    keepers AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keeper_id
+        FROM gated GROUP BY md5(text))
+    SELECT g.doc_id, g.lang, g.n_tokens,
+           CASE WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train'
+                WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <= 'd'
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM gated g JOIN keepers k ON md5(g.text) = k.h AND g.doc_id = k.keeper_id
+    """,
+    doc="curation: the END-TO-END pipeline as ONE Catalyst plan — "
+    "quality gates (token bounds + top-unigram repetition) -> exact "
+    "dedup (md5 keeper per content hash, applied AFTER gating so a "
+    "filtered doc never shadows a kept one) -> hash-stable "
+    "train/val/test assignment — demonstrating that the tier's "
+    "operators compose as DataFrame transformations into a single "
+    "optimized plan: the document scan is shared, the gates run "
+    "map-side inside it, and the only shuffle is the dedup digest "
+    "aggregate. This is the shape a user chains the library's pieces "
+    "into; at 100 TB it is one pass over the corpus plus one "
+    "digest-keyed exchange.",
+    tags=("curation",),
+)
+def pipeline_curation_e2e(spark, sf_dir):
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    top_uni = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    ) * F.lit(1.0) / n
+    gated = t.filter(
+        n.between(MIN_TOKENS, MAX_TOKENS) & (top_uni <= MAX_TOP_UNIGRAM_FRAC)
+    ).select("doc_id", "lang", "text", n.alias("n_tokens"))
+    keepers = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex <= "b", F.lit("train"))
+        .when(first_hex <= "d", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        gated.join(
+            keepers,
+            (F.md5(F.col("text")) == F.col("h"))
+            & (F.col("doc_id") == F.col("keeper_id")),
+        )
+        .select("doc_id", "lang", "n_tokens", split.alias("split"))
+    )
