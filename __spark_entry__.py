@@ -45,10 +45,10 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # (b) the 3 queries whose code changed this round — ev_asof_join (the
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) 4 cross-round controls, and (d) the stalest driver rows: 25 of the 27
-# r1-only queries (op_order_by_full and
-# op_project_alias, the two most trivial, keep their r1 rows + the
-# local oracle_check replica). Union over
+# (c) 4 cross-round controls, and (d) the stalest driver rows: 24 of the 27
+# r1-only queries (op_order_by_full,
+# op_project_alias and op_derived_arithmetic, the three most trivial,
+# keep their r1 rows + the local oracle_check replica). Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "ev_anomaly_zscore",
     "dedup_containment",
     "pipeline_curation_e2e",
+    "sim_topk_batch",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -84,7 +85,6 @@ _DRIVER_PRIORITY = [
     # (d1) all 27 queries whose only driver row is r1
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
-    "op_derived_arithmetic",
     "op_deterministic_sample",
     "op_distinct_projection",
     "op_filter_predicates",

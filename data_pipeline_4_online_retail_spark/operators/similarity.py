@@ -778,3 +778,65 @@ def sim_ann_pq_adc(spark, sf_dir):
         .orderBy(F.asc("approx_l2"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-query top-k (round 4)
+# ---------------------------------------------------------------------------
+
+BATCH_QUERIES = 5
+
+
+@register(
+    "sim_topk_batch",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {BATCH_QUERIES})
+    SELECT qid, vec_id, label, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT q.qid, e.vec_id, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                            e.vec_id) AS rnk
+        FROM embeddings e JOIN q ON e.vec_id != q.qid)
+    WHERE rnk <= {TOP_K}
+    """,
+    doc="similarity search: BATCHED exact top-10 for a set of query "
+    "vectors in ONE corpus scan — the shape a production retrieval job "
+    "actually runs (thousands of queries amortize the scan; per-query "
+    "jobs would rescan the corpus Q times). The query batch broadcasts "
+    "(Q rows), every corpus vector scores against all Q map-side, and a "
+    "per-query row_number window keeps k. The window shuffle carries "
+    "(qid, vec_id, cos) triples — Q*n rows but 3 narrow columns, and "
+    "WindowGroupLimit pre-filters each map partition to its local "
+    "top-k per query before the exchange (same two-phase pattern "
+    "text_source_cap's plan shows), so the shuffle is ~Q*k*partitions "
+    "rows in practice.",
+    tags=("similarity",),
+)
+def sim_topk_batch(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < BATCH_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine_similarity("embedding", "qv").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", "label", F.col("rnk").cast("long").alias("rnk"))
+    )

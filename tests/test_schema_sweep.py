@@ -97,6 +97,7 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "dedup_incremental_fast",
         "text_lm_score",  # broadcast vocab-total row
         "text_repetition_stats",
+        "sim_topk_batch",  # broadcast Q-row query batch (Q=5)
         # documented inequality joins
         "dedup_embedding_cosine",  # the explicit O(n^2) verification
         # baseline (vec_id < vec_id is its only condition); production
