@@ -620,3 +620,59 @@ def ev_anomaly_zscore(spark, sf_dir):
             (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "ev_sketch_rollup_uniques",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events),
+    weekly AS (
+        SELECT date_trunc('week', day) AS week,
+               COUNT(DISTINCT user_id) AS exact_uniques
+        FROM daily GROUP BY 1)
+    SELECT CAST(week AS DATE) AS week, exact_uniques,
+           1 AS within_bound
+    FROM weekly
+    """,
+    doc="events: mergeable-sketch rollup — per-DAY HyperLogLog sketches "
+    "(Datasketches hll_sketch_agg, lgK=14) union into WEEK uniques "
+    "WITHOUT rescanning raw events: the pre-aggregated-sketch-table "
+    "pattern that makes 100 TB dashboards cheap (daily sketch rows are "
+    "KBs; any date-range distinct count is a sketch union, and unlike "
+    "raw COUNT(DISTINCT) rollups, sketches compose — "
+    "distinct-per-day does NOT sum to distinct-per-month). Contract: "
+    "exact_uniques is the fully hash-checked value (computed alongside "
+    "for verification); within_bound asserts the SKETCH-UNION estimate "
+    "lies within 2% of it (lgK=14 sigma ~0.8%), with the oracle pinning "
+    "the expected outcome 1 — a drifting sketch reds the row. The "
+    "estimate itself is engine-specific and stays out of the hash.",
+    tags=("events", "analytics"),
+)
+def ev_sketch_rollup_uniques(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    day_sketches = daily.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    weekly_est = day_sketches.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    weekly_exact = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_uniques"))
+    return weekly_exact.join(weekly_est, "week").select(
+        "week",
+        "exact_uniques",
+        (
+            F.abs(F.col("est") - F.col("exact_uniques"))
+            <= 0.02 * F.col("exact_uniques")
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
