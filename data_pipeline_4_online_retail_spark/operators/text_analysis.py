@@ -585,3 +585,109 @@ def text_ngram_novelty(spark, sf_dir):
             "novelty_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer application (round 4)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 30
+
+
+def train_bpe_merges(word_counts: list, n_merges: int = BPE_N_MERGES) -> list:
+    """Standard BPE training over a (word, count) table (Sennrich et al.
+    2016): repeatedly merge the most frequent adjacent symbol pair; ties
+    break to the lexicographically smallest pair, so the merge list is
+    fully deterministic. Runs driver-side because BPE training is
+    inherently sequential in the merge order — but its input is the
+    VOCABULARY (distinct words + counts), not the corpus: that table is
+    what the distributed aggregate reduces 100 TB down to (the same
+    architecture HuggingFace/sentencepiece trainers use)."""
+    vocab = {tuple(w): c for w, c in word_counts}
+    merges: list = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        best_count = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == best_count)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe(word: str, merges: list) -> list:
+    """Apply a merge list to one word, in training order."""
+    sym = list(word)
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+@register(
+    "text_bpe_apply",
+    None,  # driver-side sequential merge training → rows-only; pytest
+    # pins the merge algebra and the Spark plumbing
+    doc="text analysis: BPE tokenizer TRAINED AND APPLIED — the follow-on "
+    "to text_bpe_pair_freqs (which exposes the merge-step statistic): "
+    "the distributed word-count aggregate reduces the corpus to its "
+    "vocabulary, the driver trains 30 merges on that table (sequential "
+    "by nature — exactly how production tokenizer trainers consume a "
+    "distributed word count), and application is a BROADCAST word -> "
+    "token-count mapping joined against each doc's token array — no "
+    "Python in the corpus-sized path. Emits per-doc word/BPE-token "
+    "counts and the chars-per-token compression ratio (the metric "
+    "tokenizer ablations optimize). At 100 TB only the vocabulary "
+    "(millions of rows, not the corpus) reaches the driver.",
+    tags=("text",),
+)
+def text_bpe_apply(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(_toks()).alias("w"))
+    wc = [
+        (r.w, r.c)
+        for r in words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    merges = train_bpe_merges(wc)
+    mapping = [(w, len(apply_bpe(w, merges)), len(w)) for w, _ in wc]
+    map_df = F.broadcast(
+        d.sparkSession.createDataFrame(
+            mapping, "w STRING, n_toks INT, n_chars INT"
+        )
+    )
+    per_word = d.select("doc_id", F.explode(_toks()).alias("w")).join(
+        map_df, "w"
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_toks").cast("double")
+        ).alias("chars_per_token"),
+    )

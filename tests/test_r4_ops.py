@@ -481,3 +481,46 @@ def test_ngram_novelty_bounds_and_first_doc(spark, catalog):
         assert r.n_grams == len(gs) and r.n_novel == n_novel, doc_id
         assert 0 < r.novelty_frac <= 1.0 or n_novel == 0
     assert out[min(docs)].novelty_frac == 1.0
+
+
+def test_bpe_train_and_apply_algebra():
+    """Pure-Python BPE kernel: merges learned on a toy vocab follow the
+    max-count/lexicographic-tie rule and application reproduces the
+    classic example."""
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    # Sennrich-style toy: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_merges(wc, n_merges=4)
+    # 'es' (9) then 'est' (9) dominate, then 'lo' (7), then 'low' (7)
+    assert merges[:4] == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    assert apply_bpe("newest", merges) == ["n", "e", "w", "est"]
+    assert apply_bpe("lowest", merges) == ["low", "est"]
+    assert apply_bpe("low", merges) == ["low"]
+
+
+def test_bpe_apply_operator_consistency(spark, catalog):
+    """Spark-side application: token counts bounded by chars and words,
+    deterministic across runs, and chars_per_token >= 1."""
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        text_bpe_apply,
+    )
+
+    out = {r.doc_id: r for r in text_bpe_apply(spark, SF_DIR).collect()}
+    docs = {r.doc_id: r.text.split(" ") for r in catalog.table("documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, toks in docs.items():
+        r = out[doc_id]
+        assert r.n_words == len(toks)
+        total_chars = sum(len(w) for w in toks)
+        assert r.n_words <= r.n_bpe_tokens <= total_chars
+        assert r.chars_per_token >= 1.0
+    again = {r.doc_id: r.n_bpe_tokens for r in text_bpe_apply(spark, SF_DIR).collect()}
+    assert again == {k: r.n_bpe_tokens for k, r in out.items()}
+    # merges actually compress: some doc has fewer tokens than chars
+    assert any(
+        r.n_bpe_tokens < sum(len(w) for w in docs[d]) for d, r in out.items()
+    )
