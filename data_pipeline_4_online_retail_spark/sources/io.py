@@ -142,3 +142,31 @@ def write_partitioned_incremental(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+    encoding: str = "ISO-8859-1",
+) -> DataFrame:
+    """CSV scan that SURVIVES malformed rows instead of failing the job:
+    PERMISSIVE mode parses what it can, nulls what it can't, and captures
+    the raw text of each malformed line in ``corrupt_col`` so a
+    quarantine query can count/inspect/route them (the
+    badRecordsPath pattern without a proprietary sink). At 100 TB a
+    single mangled line must never kill a multi-hour ingest; the
+    quarantine count becomes a quality-gate metric (quality.py)."""
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.option("header", True)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )

@@ -261,3 +261,39 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(
         r.o_orderstatus
         for r in spark.read.parquet(path).select("o_orderstatus").distinct().collect()
     ) == [target]
+
+
+def test_permissive_csv_quarantines_malformed_rows(spark, tmp_path):
+    """A mangled line must not kill the scan: good rows parse, bad rows
+    land whole in _corrupt_record for quarantine counting."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_4_online_retail_spark.sources.io import (
+        read_csv_permissive,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,9.99\n"
+        "2,not_a_number,1.50\n"  # qty unparseable
+        "3,7,2.25\n"
+        "4,8,oops\n"  # price unparseable
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = read_csv_permissive(spark, str(p), schema).cache()
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].qty == 5 and rows[1]._corrupt_record is None
+    assert rows[3].qty == 7 and rows[3]._corrupt_record is None
+    assert rows[2].qty is None and "not_a_number" in rows[2]._corrupt_record
+    assert rows[4].price is None and "oops" in rows[4]._corrupt_record
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull()).count()
+    assert quarantined == 2
+    df.unpersist()
