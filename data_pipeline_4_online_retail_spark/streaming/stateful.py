@@ -325,3 +325,89 @@ def cohort_tracker(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming anomaly detection: online Welford z-scores per user
+# ---------------------------------------------------------------------------
+
+ANOMALY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("day", T.DateType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("zscore", T.DoubleType(), True),
+        T.StructField("is_anomaly", T.IntegerType(), False),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_days", T.LongType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+        T.StructField("m2", T.DoubleType(), False),
+    ]
+)
+
+
+def _update_anomaly(key, pdf_iter, state: GroupState):
+    """Prequential per-user anomaly detector: each completed day's event
+    count is z-scored against the user's history SO FAR (Welford running
+    mean/M2 — O(1) state), then folded in. This is the deployable twin
+    of the batch ev_anomaly_zscore, with the honest streaming semantic
+    shift: the batch op scores against ALL days (including future ones),
+    a stream can only score against the past — so the first days emit
+    NULL z-scores while the baseline warms up. Contract: micro-batches
+    are day-complete per user (daily-file ingestion), same event-time-
+    frontier assumption as the funnel."""
+    import math
+
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+
+    day_counts: dict[int, int] = {}
+    for pdf in pdf_iter:
+        days = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000) // _US_PER_DAY
+        for d in days:
+            day_counts[int(d)] = day_counts.get(int(d), 0) + 1
+
+    rows = []
+    for d in sorted(day_counts):
+        x = float(day_counts[d])
+        var = m2 / n if n > 0 else 0.0
+        if n >= 2 and var > 0:
+            z = (x - mean) / math.sqrt(var)
+            flagged = 1 if abs(z) > 2.0 else 0
+        else:
+            z, flagged = None, 0
+        rows.append(
+            (user_id, pd.Timestamp(d * 86_400, unit="s").date(),
+             int(x), z, flagged)
+        )
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+
+    state.update((n, mean, m2))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "day", "n_events", "zscore", "is_anomaly"]
+    )
+
+
+def anomaly_tracker(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-user daily-volume anomaly flags over (user_id, ts):
+    O(1) Welford state per user (3 numbers), partitioned by user_id —
+    billions of users fit the state store."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_anomaly,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

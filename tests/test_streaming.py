@@ -696,3 +696,70 @@ def test_streaming_dedup_replay_is_idempotent(spark, catalog, tmp_path_factory):
         idx._read("buckets", "doc_id LONG, band_idx INT, band_hash LONG").count()
         == n_buckets
     )
+
+
+def test_anomaly_stream_matches_welford_replica(spark, catalog, tmp_path_factory):
+    """Streaming Welford anomaly tracker == a pure-Python prequential
+    replica over day-ordered counts, with events delivered across TWO
+    day-complete micro-batches (state carries the running moments)."""
+    import math
+
+    from data_pipeline_4_online_retail_spark.streaming.stateful import (
+        anomaly_tracker,
+    )
+
+    src = str(tmp_path_factory.mktemp("anomaly_stream"))
+    ev = catalog.table("events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    mid_day = (lo + (hi - lo) / 2).date()
+    # day-complete split: batch 0 = days < mid, batch 1 = days >= mid
+    ev.filter(F.col("ts").cast("date") < F.lit(mid_day)).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    ev.filter(F.col("ts").cast("date") >= F.lit(mid_day)).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        anomaly_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_anomaly")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.day): r for r in spark.table("t_anomaly").collect()
+    }
+
+    daily: dict = {}
+    for r in catalog.table("events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).collect():
+        daily.setdefault(r.user_id, {}).setdefault(r.day, 0)
+        daily[r.user_id][r.day] += 1
+    n_flagged = 0
+    for u, days in daily.items():
+        n, mean, m2 = 0, 0.0, 0.0
+        for d in sorted(days):
+            x = float(days[d])
+            var = m2 / n if n > 0 else 0.0
+            r = got[(u, d)]
+            assert r.n_events == days[d]
+            if n >= 2 and var > 0:
+                z = (x - mean) / math.sqrt(var)
+                assert abs(r.zscore - z) < 1e-9
+                assert r.is_anomaly == (1 if abs(z) > 2.0 else 0)
+                n_flagged += r.is_anomaly
+            else:
+                assert r.zscore is None and r.is_anomaly == 0
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+    assert n_flagged > 0  # the fixture produces at least one anomaly
