@@ -45,11 +45,11 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # (b) the 3 queries whose code changed this round — ev_asof_join (the
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) 4 cross-round controls, and (d) the stalest driver rows: 22 of the 27
-# r1-only queries (the five most trivial —
+# (c) 4 cross-round controls, and (d) the stalest driver rows: 21 of the 27
+# r1-only queries (the six most trivial —
 # op_order_by_full, op_project_alias, op_derived_arithmetic,
-# op_distinct_projection, op_deterministic_sample — keep their r1 rows
-# + the local oracle_check replica). Union over
+# op_distinct_projection, op_deterministic_sample, op_filter_predicates
+# — keep their r1 rows + the local oracle_check replica). Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "sim_topk_batch",
     "ev_sketch_rollup_uniques",
     "text_bpe_apply",
+    "wh_pit_snapshot",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -88,7 +89,6 @@ _DRIVER_PRIORITY = [
     # (d1) all 27 queries whose only driver row is r1
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
-    "op_filter_predicates",
     "op_from_json_struct",
     "op_group_topk",
     "op_quality_metrics",

@@ -221,3 +221,81 @@ def wh_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.o_orderstatus").alias("new_status"),
         change.alias("change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time snapshot over SCD2 (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wh_pit_snapshot",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(SUM(is_change) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS version_id
+        FROM ordered),
+    versions AS (
+        SELECT user_id, version_id, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from
+        FROM runs GROUP BY user_id, version_id),
+    scd AS (
+        SELECT user_id, version_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY version_id) AS valid_to
+        FROM versions),
+    bounds AS (
+        SELECT user_id, MIN(CAST(valid_from AS DATE)) AS d0,
+               MAX(CAST(valid_from AS DATE)) AS d1
+        FROM scd GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                   AS day
+        FROM bounds)
+    SELECT g.user_id, g.day, s.version_id, s.event_type
+    FROM grid g JOIN scd s
+      ON g.user_id = s.user_id
+     AND CAST(g.day AS TIMESTAMP) >= s.valid_from
+     AND (s.valid_to IS NULL OR CAST(g.day AS TIMESTAMP) < s.valid_to)
+    """,
+    doc="warehouse: point-in-time snapshot reconstruction over the SCD2 "
+    "history — for every (user, midnight-of-day) grid point, the version "
+    "whose [valid_from, valid_to) interval contains it: 'what did the "
+    "dimension look like on day D' without storing daily copies (the "
+    "query a snapshot-table materializer or an ML feature backfill "
+    "runs against an SCD2 dimension; grid days before a user's first "
+    "version drop out by the inner join). Plan: the interval predicate "
+    "rides on a user_id EQUI-join — co-located hash/merge join with a "
+    "range post-filter, never a nested-loop (each user's grid meets "
+    "only that user's few versions). Grid explode is bounded per user.",
+    tags=("warehouse",),
+)
+def wh_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scd = wh_scd2_build(spark, sf_dir).select(
+        "user_id", "version_id", "event_type", "valid_from", "valid_to"
+    )
+    bounds = scd.groupBy("user_id").agg(
+        F.min(F.col("valid_from").cast("date")).alias("d0"),
+        F.max(F.col("valid_from").cast("date")).alias("d1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    day_ts = F.col("day").cast("timestamp")
+    return (
+        grid.join(scd, "user_id")
+        .filter(
+            (day_ts >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (day_ts < F.col("valid_to")))
+        )
+        .select("user_id", "day", "version_id", "event_type")
+    )
