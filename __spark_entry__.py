@@ -45,11 +45,11 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # (b) the 3 queries whose code changed this round — ev_asof_join (the
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) 4 cross-round controls, and (d) the stalest driver rows: 21 of the 27
-# r1-only queries (the six most trivial —
-# op_order_by_full, op_project_alias, op_derived_arithmetic,
-# op_distinct_projection, op_deterministic_sample, op_filter_predicates
-# — keep their r1 rows + the local oracle_check replica). Union over
+# (c) 4 cross-round controls, and (d) the stalest driver rows: 20 of the 27
+# r1-only queries (the seven most trivial
+# — op_order_by_full, op_project_alias, op_derived_arithmetic,
+# op_distinct_projection, op_deterministic_sample, op_filter_predicates,
+# op_topk — keep their r1 rows + the local oracle_check replica). Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "ev_sketch_rollup_uniques",
     "text_bpe_apply",
     "wh_pit_snapshot",
+    "sim_ann_ivf_pq",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -98,7 +99,6 @@ _DRIVER_PRIORITY = [
     "op_sql_api",
     "op_surrogate_key",
     "op_table_profile",
-    "op_topk",
     "op_window_group_max",
     "op_window_lead_lag",
     "op_window_rank",

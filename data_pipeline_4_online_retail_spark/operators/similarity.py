@@ -840,3 +840,64 @@ def sim_topk_batch(spark, sf_dir):
         .filter(F.col("rnk") <= TOP_K)
         .select("qid", "vec_id", "label", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "sim_ann_ivf_pq",
+    None,  # rows-only: composition of two replica-pinned pieces
+    doc="similarity: IVF + PQ — the full FAISS-style ANN index shape: "
+    "the coarse quantizer (label = cell, as in sim_ann_ivf) prunes the "
+    "scan to the query's cell, and within the cell candidates rank by "
+    "PQ asymmetric distance (sim_ann_pq_adc's table lookups) instead of "
+    "full-vector math. At 100 TB this composes both savings: cell "
+    "pruning cuts the candidate set ~|cells|x (partition-prunable when "
+    "the table is partitioned by cell), PQ cuts per-candidate cost to "
+    "M lookups + adds over 1-byte codes held in RAM. Re-ranking the "
+    "ADC top-k with exact distances (the production refinement step) "
+    "is the brute-force operator applied to k rows — composition, not "
+    "new machinery.",
+    tags=("similarity",),
+)
+def sim_ann_ivf_pq(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    q = [float(x) for x in qrow["embedding"]]
+    qlabel = qrow["label"]
+    dim = len(q)
+    sub = dim // PQ_M
+    cb = train_pq_codebooks(e, dim)
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    dtab = [
+        [sq(q[m * sub : (m + 1) * sub], cb[m][k]) for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    dt_df = e.sparkSession.createDataFrame([(dtab,)], "dt: array<array<double>>")
+    # IVF: prune to the query's cell BEFORE encoding/ranking
+    cell = e.filter(
+        (F.col("label") == F.lit(qlabel)) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    coded = _with_codebooks(cell, cb).select(
+        "vec_id",
+        "label",
+        F.array(*[_pq_assign_expr(m, sub) for m in range(PQ_M)]).alias("codes"),
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("dt"), m + 1), F.element_at(F.col("codes"), m + 1) + 1
+        ),
+    )
+    return (
+        coded.crossJoin(F.broadcast(dt_df))
+        .select("vec_id", "label", approx.alias("approx_l2"))
+        .orderBy(F.asc("approx_l2"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -524,3 +524,48 @@ def test_bpe_apply_operator_consistency(spark, catalog):
     assert any(
         r.n_bpe_tokens < sum(len(w) for w in docs[d]) for d, r in out.items()
     )
+
+
+def test_ivf_pq_is_pq_restricted_to_query_cell(spark, catalog):
+    """IVF+PQ == the global ADC ranking restricted to the query's label
+    cell (same codebooks, same distance table) — composition, verified
+    by replaying ADC over the cell members in Python."""
+    import numpy as np
+
+    from data_pipeline_4_online_retail_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        QUERY_VEC_ID,
+        TOP_K,
+        sim_ann_ivf_pq,
+        train_pq_codebooks,
+    )
+
+    rows = catalog.table("embeddings").collect()
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    q, qlabel = X[QUERY_VEC_ID], labels[QUERY_VEC_ID]
+    dim = len(q)
+    sub = dim // PQ_M
+    cb = train_pq_codebooks(catalog.table("embeddings"), dim)
+    CB = [np.array(cb[m]) for m in range(PQ_M)]
+
+    def adc(x):
+        d = 0.0
+        for m in range(PQ_M):
+            sv = x[m * sub : (m + 1) * sub]
+            dists = ((CB[m] - sv) ** 2).sum(axis=1)
+            code = int(np.argmin(dists))
+            d += float(((q[m * sub : (m + 1) * sub] - CB[m][code]) ** 2).sum())
+        return d
+
+    expected = sorted(
+        ((adc(x), v) for v, x in X.items()
+         if labels[v] == qlabel and v != QUERY_VEC_ID)
+    )[:TOP_K]
+    got = [(r.approx_l2, r.vec_id) for r in sim_ann_ivf_pq(spark, SF_DIR).collect()]
+    assert [v for _, v in got] == [v for _, v in expected]
+    for (ga, _), (ea, _) in zip(got, expected):
+        assert abs(ga - ea) < 1e-9
+    # every returned candidate is in the query's cell
+    assert all(labels[v] == qlabel for _, v in got)

@@ -86,6 +86,7 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "sim_ann_ivf",  # broadcast query row
         "sim_ann_lsh",
         "sim_ann_pq_adc",  # broadcast M*K distance table (1 row)
+        "sim_ann_ivf_pq",  # same broadcast table, cell-pruned scan
         "sim_kmeans",  # broadcast 1-row centroid table
         "sim_pq_encode",  # broadcast 1-row codebook table
         "text_mixture_sample",  # broadcast 1-row min_n frame
