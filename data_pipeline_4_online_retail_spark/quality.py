@@ -297,4 +297,65 @@ def check_curation(spark, sf_dir: str) -> QualityReport:
 
     samp = C.text_quality_sample(spark, sf_dir)
     rep.add(ratio_between(samp, "sampled = 1", 0.05, 0.95, table="text_quality_sample"))
+
+    # r4 gates ------------------------------------------------------------
+    from pyspark.sql import functions as F
+
+    temp = C.text_temperature_sample(spark, sf_dir)
+    prob_sum = temp.agg(F.sum("sample_prob")).head()[0]
+    rep.add(
+        CheckResult(
+            "text_temperature_sample",
+            "sampling distribution normalizes",
+            abs(prob_sum - 1.0) < 1e-9,
+            f"sum(sample_prob) = {prob_sum}",
+        )
+    )
+    rep.add(
+        failed_rows(
+            temp,
+            "boost <= 0 OR sample_prob <= 0 OR sample_prob >= 1",
+            table="text_temperature_sample",
+        )
+    )
+
+    spans = C.text_dup_span_removal(spark, sf_dir)
+    # conservation: kept + dropped spans == ceil(tokens/SPAN_WORDS) per doc
+    expected = C._docs(spark, sf_dir).select(
+        "doc_id",
+        F.ceil(
+            F.size(F.split("text", " ")) / F.lit(float(C.SPAN_WORDS))
+        ).alias("n_spans"),
+    )
+    bad = (
+        spans.join(expected, "doc_id")
+        .filter(
+            F.col("n_spans_kept") + F.col("n_spans_dropped") != F.col("n_spans")
+        )
+        .count()
+    )
+    rep.add(
+        CheckResult(
+            "text_dup_span_removal",
+            "span conservation (kept + dropped = total)",
+            bad == 0 and spans.count() == n_docs,
+            f"{bad} violations / {spans.count()} docs",
+        )
+    )
+
+    cap = C.text_source_cap(spark, sf_dir)
+    over = (
+        cap.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > C.SOURCE_CAP)
+        .count()
+    )
+    rep.add(
+        CheckResult(
+            "text_source_cap",
+            f"no source exceeds the cap ({C.SOURCE_CAP})",
+            over == 0,
+            f"{over} sources over cap",
+        )
+    )
     return rep
