@@ -280,7 +280,7 @@ COHORT_STATE_SCHEMA = T.StructType(
 _US_PER_DAY = 86_400_000_000
 
 
-def _update_cohort(key, pdf_iter, state: GroupState):
+def _update_cohort(key, pdf_iter, state: GroupState, idle_ms: int | None = None):
     """Per-user activity-day accumulator: state is the distinct set of
     epoch-day numbers the user was active on; the cohort day is its
     minimum, the retention offsets are day - cohort_day. Epoch-day ints
@@ -292,6 +292,19 @@ def _update_cohort(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     (user_id,) = key
+    if state.hasTimedOut:
+        # bounded-state eviction: the day set is the one per-user state
+        # here that actually GROWS over time, so idle eviction matters
+        # most. Tombstone = the final cohort day with an EMPTY offsets
+        # array; a returning user starts a fresh cohort.
+        days_f = sorted(state.get[0]) if state.exists else []
+        state.remove()
+        cohort_f = days_f[0] if days_f else 0
+        yield pd.DataFrame(
+            [(user_id, pd.Timestamp(cohort_f * 86_400, unit="s").date(), [])],
+            columns=["user_id", "cohort_day", "day_offsets"],
+        )
+        return
     days: set[int] = set(state.get[0]) if state.exists else set()
     for pdf in pdf_iter:
         ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
@@ -299,6 +312,8 @@ def _update_cohort(key, pdf_iter, state: GroupState):
 
     ordered = sorted(days)
     state.update((ordered,))
+    if idle_ms is not None:
+        state.setTimeoutDuration(idle_ms)
     cohort = ordered[0]
     yield pd.DataFrame(
         [
@@ -312,12 +327,33 @@ def _update_cohort(key, pdf_iter, state: GroupState):
     )
 
 
-def cohort_tracker(events_stream: DataFrame) -> DataFrame:
+def cohort_tracker(
+    events_stream: DataFrame,
+    *,
+    evict_idle: bool = False,
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
     """Streaming cohort/retention input over (user_id, ts): each
     micro-batch emits every touched user's (cohort day, retention
     offsets); the retention triangle is one aggregation over the latest
     state per user. State is one int per distinct active day per user —
-    bounded by the observation span, partitioned by user_id."""
+    bounded by the observation span, partitioned by user_id.
+
+    ``evict_idle=True``: users idle past ``idle_timeout_ms`` emit one
+    empty-offsets tombstone and their day set is dropped (the growing
+    per-user state is exactly what needs a horizon in a continuous
+    deployment). Off under availableNow harnesses — pending timeouts
+    keep drain-style queries alive."""
+    if evict_idle:
+        import functools
+
+        return events_stream.groupBy("user_id").applyInPandasWithState(
+            functools.partial(_update_cohort, idle_ms=idle_timeout_ms),
+            outputStructType=COHORT_OUTPUT_SCHEMA,
+            stateStructType=COHORT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     return events_stream.groupBy("user_id").applyInPandasWithState(
         _update_cohort,
         outputStructType=COHORT_OUTPUT_SCHEMA,

@@ -763,3 +763,64 @@ def test_anomaly_stream_matches_welford_replica(spark, catalog, tmp_path_factory
             mean += delta / n
             m2 += delta * (x - mean)
     assert n_flagged > 0  # the fixture produces at least one anomaly
+
+
+def test_cohort_idle_state_eviction(spark, tmp_path_factory):
+    """evict_idle cohort tracker: idle user emits an empty-offsets
+    tombstone and restarts with a FRESH cohort day on return — proof the
+    growing day-set state is actually dropped."""
+    import glob
+    import time
+
+    from data_pipeline_4_online_retail_spark.streaming.stateful import (
+        cohort_tracker,
+    )
+
+    src = str(tmp_path_factory.mktemp("cohort_evict"))
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id LONG, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        cohort_tracker(stream, evict_idle=True, idle_timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("t_cohort_evict")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def _wait(predicate_sql, desc, timeout_s=90):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.table("t_cohort_evict").filter(predicate_sql).count() > 0:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {desc}")
+
+    try:
+        _wait(
+            "user_id = 1 AND size(day_offsets) = 1 AND cohort_day = DATE'2024-01-01'",
+            "first activity processed",
+        )
+        _wait("user_id = 1 AND size(day_offsets) = 0", "eviction tombstone")
+        spark.createDataFrame(
+            [(1, "2024-03-05 10:00:00")], "user_id LONG, ts STRING"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        # fresh cohort: the NEW day becomes the cohort day (old state gone)
+        _wait(
+            "user_id = 1 AND cohort_day = DATE'2024-03-05'"
+            " AND size(day_offsets) = 1",
+            "fresh cohort after eviction",
+        )
+        assert len(glob.glob(f"{src}/b1/part-*.parquet")) == 1
+    finally:
+        q.stop()
