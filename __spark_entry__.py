@@ -45,11 +45,12 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # (b) the 3 queries whose code changed this round — ev_asof_join (the
 # r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) 4 cross-round controls, and (d) the stalest driver rows: 20 of the 27
-# r1-only queries (the seven most trivial
+# (c) 4 cross-round controls, and (d) the stalest driver rows: 19 of the 27
+# r1-only queries (the eight most trivial
 # — op_order_by_full, op_project_alias, op_derived_arithmetic,
 # op_distinct_projection, op_deterministic_sample, op_filter_predicates,
-# op_topk — keep their r1 rows + the local oracle_check replica). Union over
+# op_topk, op_group_topk — keep their r1 rows + the local oracle_check
+# replica). Union over
 # r1..r4 keeps every registration covered; everything past #50 stays
 # covered by tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
@@ -78,6 +79,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_apply",
     "wh_pit_snapshot",
     "sim_ann_ivf_pq",
+    "op_map_functions",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -91,7 +93,6 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "op_from_json_struct",
-    "op_group_topk",
     "op_quality_metrics",
     "op_set_except",
     "op_set_intersect",

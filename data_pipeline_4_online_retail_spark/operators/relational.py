@@ -1055,3 +1055,57 @@ def op_pivot_native(spark, sf_dir):
         F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
     )
+
+
+@register(
+    "op_map_functions",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT user_id,
+               map_from_entries(list_sort(list(struct_pack(k := event_type,
+                                                           v := n)))) AS mp
+        FROM counts GROUP BY user_id)
+    SELECT user_id,
+           CAST(cardinality(mp) AS INT) AS n_types,
+           CAST(COALESCE(mp['click'][1], 0) AS BIGINT) AS clicks,
+           CAST(COALESCE(mp['view'][1], 0) AS BIGINT) AS views
+    FROM m
+    """,
+    doc="scalar extension: MAP-type functions — per-user event-type "
+    "count maps via map_from_entries over sorted (key, value) structs, "
+    "probed with element_at/cardinality (the per-entity feature-bag "
+    "shape: one map column instead of N sparse columns). The map stays "
+    "INTERNAL to the plan; outputs are extracted scalars, since map "
+    "columns don't canonicalize across engines. Sorted entries make "
+    "construction order deterministic. One groupBy(user, type) + one "
+    "map-side map build.",
+)
+def op_map_functions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("k"), F.col("n").alias("v")
+                    )
+                )
+            )
+        ).alias("mp")
+    )
+    return m.select(
+        "user_id",
+        F.size("mp").alias("n_types"),
+        F.coalesce(F.element_at("mp", F.lit("click")), F.lit(0))
+        .cast("long")
+        .alias("clicks"),
+        F.coalesce(F.element_at("mp", F.lit("view")), F.lit(0))
+        .cast("long")
+        .alias("views"),
+    )
