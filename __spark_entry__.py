@@ -37,6 +37,7 @@ import data_pipeline_4_online_retail_spark.operators.scalar_functions  # noqa: E
 import data_pipeline_4_online_retail_spark.operators.skew  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.curation  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.warehouse  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.tpch  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -80,6 +81,21 @@ _DRIVER_PRIORITY = [
     "wh_pit_snapshot",
     "sim_ann_ivf_pq",
     "op_map_functions",
+    # (a2) r4-continuation: the adapted TPC-H family — first driver evidence
+    "tpch_q01",
+    "tpch_q03",
+    "tpch_q04",
+    "tpch_q05",
+    "tpch_q06",
+    "tpch_q07",
+    "tpch_q08",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -89,26 +105,14 @@ _DRIVER_PRIORITY = [
     "star_fct_invoice_line_value",
     "dedup_exact",
     "sim_ann_ivf",
-    # (d1) all 27 queries whose only driver row is r1
+    # (d1) stalest r1-only driver rows (the 14 TPC-H additions displaced
+    # the rest of this block; the displaced queries keep their r1 rows and
+    # the local oracle_check replica covers them every round)
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "op_from_json_struct",
     "op_quality_metrics",
-    "op_set_except",
-    "op_set_intersect",
-    "op_set_union",
-    "op_sql_api",
-    "op_surrogate_key",
-    "op_table_profile",
-    "op_window_group_max",
-    "op_window_lead_lag",
-    "op_window_rank",
     "sim_ann_lsh",
-    "sim_topk_pandas_udf",
-    "star_dim_customer",
-    "star_dim_datetime",
-    "star_dim_invoice",
-    "star_dim_product",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

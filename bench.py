@@ -71,6 +71,25 @@ EXTRA = [
     "ev_resample_interpolate",
 ]
 
+# Round-4 (cont.) classic-warehouse tier — timed separately so headline
+# and extras stay cross-round-comparable.
+TPCH = [
+    "tpch_q01",
+    "tpch_q03",
+    "tpch_q04",
+    "tpch_q05",
+    "tpch_q06",
+    "tpch_q07",
+    "tpch_q08",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+]
+
 SCALE10_TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
@@ -158,6 +177,14 @@ def main() -> None:
                 extra[name] = round(min(runs), 3)
         result["extra_queries"] = extra
         result["extra_total_sec"] = round(sum(extra.values()), 3)
+
+        tpch: dict[str, float] = {}
+        for name in TPCH:
+            runs = _run(qs, name, spark, SF_DIR, 2, errors)
+            if runs is not None:
+                tpch[name] = round(min(runs), 3)
+        result["tpch_queries"] = tpch
+        result["tpch_total_sec"] = round(sum(tpch.values()), 3)
 
         # --- scale10 probe: same headline plans at 10x the rows ---------
         if os.environ.get("SPARK_GRAFT_SCALE10", "1") != "0":

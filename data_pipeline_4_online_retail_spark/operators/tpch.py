@@ -1,0 +1,766 @@
+"""Classic warehouse analytics: an adapted TPC-H query family.
+
+The driver's TPC-H-ish tables (TESTDATA.md) carry a reduced column set —
+no partsupp, no l_commitdate/l_receiptdate/l_shipmode, no addresses — so
+each query here is the canonical TPC-H shape adapted to the available
+columns. They exercise the reference's join/agg/order semantics
+(SURVEY.md §2.3/§2.5: fact→dim joins, grouped aggregation, HAVING,
+EXISTS, top-k with deterministic ordering) at multi-table scale, the way
+a BI user of the reference's star schema (models/report_*.sql) would.
+
+Float discipline follows plans/star.py: accumulate SUM(double) through
+DECIMAL(18,4) (exact, partition-order-free) and cast the FINAL aggregate
+to DOUBLE on both engines; AVG = decimal-sum cast double / count.
+
+100 TB design notes:
+- nation/region/supplier are size-fixed or sub-linear dims → explicit
+  ``broadcast()`` so no shuffle touches the fact side for them;
+- customer/orders/part joins are left to AQE (sort-merge at scale,
+  broadcast when a filter collapses the build side);
+- every filter precedes its join so Catalyst pushes it into the parquet
+  scan (PushedFilters on l_shipdate / o_orderdate / c_mktsegment ...);
+- aggregations are partial-first (map-side combine) by construction;
+  top-k uses TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+from data_pipeline_4_online_retail_spark.plans.star import (
+    revenue_col,
+    sum_revenue_col,
+    SUM_REVENUE_SQL,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir).table(name)
+
+
+def _dec_sum(col: str) -> F.Column:
+    """Exact (order-free) sum of a double column, emitted as double."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+def _dec_avg(col: str) -> F.Column:
+    """AVG as decimal-sum cast double / count: one double division on
+    identical operands → bit-identical across engines."""
+    return _dec_sum(col) / F.count(F.lit(1))
+
+
+_DEC_SUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary report — the canonical scan-heavy aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q01",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DEC_SUM_SQL.format(c="l_quantity")} AS sum_qty,
+           {_DEC_SUM_SQL.format(c="l_extendedprice")} AS sum_base_price,
+           {SUM_REVENUE_SQL} AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))
+                    * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+           {_DEC_SUM_SQL.format(c="l_quantity")} / COUNT(*) AS avg_qty,
+           {_DEC_SUM_SQL.format(c="l_extendedprice")} / COUNT(*) AS avg_price,
+           {_DEC_SUM_SQL.format(c="l_discount")} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: single-scan grouped aggregate over the "
+    "fact table; 6 aggregates share one partial-agg pass. Scale: the "
+    "shuffle carries ≤ |rf|×|ls| = 6 rows per map partition.",
+    tags=("tpch",),
+)
+def tpch_q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # Charge in exact DECIMAL end-to-end: the 3-factor double product has
+    # 6-decimal true values whose 4-decimal rounding TIES, and the engines
+    # break ties differently (Spark HALF_UP vs DuckDB round-on-scaled-
+    # double). Casting each 2-dp factor is tie-free; decimal multiply is
+    # exact, so both engines sum identical values.
+    charge = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    )
+    return (
+        li.where(F.col("l_shipdate") <= _ts("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            sum_revenue_col().alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            _dec_avg("l_quantity").alias("avg_qty"),
+            _dec_avg("l_extendedprice").alias("avg_price"),
+            _dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority (adapted: o_orderpriority stands in for the
+# missing o_shippriority)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q03",
+    f"""
+    SELECT l_orderkey, {SUM_REVENUE_SQL} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority: selective dim filter → fact join → "
+    "top-10. Deterministic tie-break (l_orderkey) pins the selected set. "
+    "Scale: mktsegment filter collapses customer to 1/5 before the join; "
+    "LIMIT runs as TakeOrderedAndProject, no global sort.",
+    tags=("tpch",),
+)
+def tpch_q03(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < _ts("1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _ts("1997-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum_revenue_col().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4: order priority checking (EXISTS → left-semi; adapted predicate:
+# a line shipped after the order date, since l_commitdate is absent)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q04",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4: EXISTS decorrelated to a LEFT SEMI join (equi key + "
+    "residual range predicate). Scale: the quarter filter prunes orders "
+    "before the semi join; semi join emits no lineitem columns.",
+    tags=("tpch",),
+)
+def tpch_q04(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: local supplier volume — the 6-way join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q05",
+    f"""
+    SELECT n_name, {SUM_REVENUE_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 local supplier volume: 6-way join with the local-supplier "
+    "condition c_nationkey = s_nationkey. Scale: supplier/nation/region "
+    "broadcast (size-fixed), so the only shuffles are the "
+    "lineitem⋈orders⋈customer equi-joins; region filter prunes via the "
+    "broadcast side.",
+    tags=("tpch",),
+)
+def tpch_q05(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(sum_revenue_col().alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecasting revenue change — pure pushed-filter scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q06",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: every predicate pushes into the parquet scan "
+    "(PushedFilters on shipdate/discount/quantity); single global "
+    "aggregate, one row crosses the network per partition.",
+    tags=("tpch",),
+)
+def tpch_q06(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q07",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {SUM_REVENUE_SQL} AS revenue
+    FROM (
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               l.l_extendedprice, l.l_discount
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume shipping: nation joined twice under different "
+    "roles (supp/cust), symmetric OR pair predicate. Scale: both nation "
+    "sides broadcast; supplier broadcast; the OR predicate is evaluated "
+    "on broadcast rows so the fact scan is filtered early.",
+    tags=("tpch",),
+)
+def tpch_q07(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum_revenue_col().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share (adapted: ECONOMY parts, AMERICA region)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q08",
+    """
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               l.l_extendedprice, l.l_discount, sn.n_name AS nation
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN region r   ON cn.n_regionkey = r.r_regionkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 market share: conditional-sum ratio per year; the "
+    "customer side restricts the market (region), the supplier side "
+    "labels the share. Ratio = one double division of two decimal-exact "
+    "sums → bit-identical across engines. Scale: part filter collapses "
+    "the probe side 6×; nation/region/supplier/part broadcast.",
+    tags=("tpch",),
+)
+def tpch_q08(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+        )
+    )
+    rev = revenue_col().cast("decimal(18,4)")
+    national = F.when(F.col("nation") == "NATION_3", revenue_col()).otherwise(
+        F.lit(0)
+    ).cast("decimal(18,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(region, F.col("cn_region") == region.r_regionkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum(national).cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting — top 20 customers by lost revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, {SUM_REVENUE_SQL} AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 returned items: quarter + returnflag filters push to "
+    "both fact scans before the join; top-20 via TakeOrderedAndProject "
+    "with c_custkey tie-break.",
+    tags=("tpch",),
+)
+def tpch_q10(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-10-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(sum_revenue_col().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution (LEFT OUTER + double group-by)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 customer distribution: LEFT OUTER join keeps order-less "
+    "customers (c_count = 0), COUNT(col) ignores the null-extended rows; "
+    "second aggregate collapses to a histogram. Scale: both group-bys are "
+    "partial-first; the histogram shuffle is ≤ max-order-count rows.",
+    tags=("tpch",),
+)
+def tpch_q13(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14: promotion effect — conditional-sum ratio
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 promotion effect: month filter pushes into the fact "
+    "scan; part broadcasts; single-row ratio of two decimal-exact sums "
+    "(100.0 * a / b written identically on both engines).",
+    tags=("tpch",),
+)
+def tpch_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue_col()).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(18,4)")).cast("double")
+                / F.sum(revenue_col().cast("decimal(18,4)")).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier (aggregate → max-of-aggregate → equality join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {SUM_REVENUE_SQL} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: scalar-subquery max over a derived "
+    "aggregate. Spark side: window MAX over the aggregate (one extra "
+    "exchange over ~|suppliers| rows, no second scan of lineitem). "
+    "Equality on doubles is safe: both engines derive the value from the "
+    "same exact decimal sum.",
+    tags=("tpch",),
+)
+def tpch_q15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(sum_revenue_col().alias("total_revenue"))
+        .withColumn(
+            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .drop("max_revenue")
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        revenue.join(supp, revenue.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated avg → per-key join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q17",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN (
+        SELECT l_partkey AS a_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.a_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+    doc="TPC-H Q17: correlated per-part AVG decorrelated to an aggregate + "
+    "self-join (both engines compute avg as decimal-sum/count → the "
+    "0.2*avg threshold is bit-identical). Scale: the per-part aggregate "
+    "shuffles once on l_partkey and AQE reuses that partitioning for the "
+    "join; part filter broadcasts.",
+    tags=("tpch",),
+)
+def tpch_q17(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(_dec_avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.a_partkey)
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((_dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume customers (HAVING over a fact aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 260
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="TPC-H Q18 large-volume customers: HAVING-filtered semi-join "
+    "(threshold 260 ≈ p99 of per-order quantity in this data). Scale: "
+    "the per-orderkey aggregate emits only keys above threshold; the "
+    "main join then touches ~1% of orders.",
+    tags=("tpch",),
+)
+def tpch_q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .where(F.col("q") > 260)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.big_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dec_sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19: discounted revenue (OR-of-ANDs across two tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q19",
+    f"""
+    SELECT {SUM_REVENUE_SQL} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19: disjunctive mixed-table predicate evaluated as a join "
+    "residual. Scale: Catalyst extracts the common l_quantity/p_brand "
+    "bounds; part broadcasts so the OR runs map-side.",
+    tags=("tpch",),
+)
+def tpch_q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+
+    def block(brand: str, max_size: int, qlo: int, qhi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    cond = (
+        block("Brand#1", 15, 1, 11)
+        | block("Brand#2", 20, 10, 20)
+        | block("Brand#3", 25, 20, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(sum_revenue_col().alias("revenue"))
+    )
