@@ -42,18 +42,15 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering, round 4: the driver correctness-checks the
-# FIRST 50 registrations. Slots go to (a) every r4-new registration,
-# (b) the 3 queries whose code changed this round — ev_asof_join (the
-# r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
+# FIRST 50 registrations. Slots go to (a) every r4-new registration —
+# 24 training-data/warehouse ops plus (a2) the 16-query adapted TPC-H
+# family, (b) the 3 queries whose code changed this round — ev_asof_join
+# (the r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) 4 cross-round controls, and (d) the stalest driver rows: 19 of the 27
-# r1-only queries (the eight most trivial
-# — op_order_by_full, op_project_alias, op_derived_arithmetic,
-# op_distinct_projection, op_deterministic_sample, op_filter_predicates,
-# op_topk, op_group_topk — keep their r1 rows + the local oracle_check
-# replica). Union over
-# r1..r4 keeps every registration covered; everything past #50 stays
-# covered by tools/oracle_check.py (the driver-identical local replica).
+# (c) 4 cross-round controls, and (d) the 3 stalest rows-only r1 entries.
+# Displaced r1-green queries keep their r1 rows. Union over r1..r4 keeps
+# every registration covered; everything past #50 stays covered by
+# tools/oracle_check.py (the driver-identical local replica).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # (a) r4-new operators — first driver evidence this round
@@ -90,12 +87,14 @@ _DRIVER_PRIORITY = [
     "tpch_q07",
     "tpch_q08",
     "tpch_q10",
+    "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q22",
     # (b) changed code paths re-verified
     "ev_asof_join",
     "op_agg_approx_distinct",
@@ -110,8 +109,6 @@ _DRIVER_PRIORITY = [
     # the local oracle_check replica covers them every round)
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
-    "op_from_json_struct",
-    "op_quality_metrics",
     "sim_ann_lsh",
 ]
 

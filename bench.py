@@ -82,12 +82,14 @@ TPCH = [
     "tpch_q07",
     "tpch_q08",
     "tpch_q10",
+    "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q22",
 ]
 
 SCALE10_TABLES = (

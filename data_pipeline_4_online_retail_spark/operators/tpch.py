@@ -764,3 +764,117 @@ def tpch_q19(spark, sf_dir):
         .where(cond)
         .agg(sum_revenue_col().alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12: shipping-delay priority classes (adapted: l_returnflag stands in
+# for the missing l_shipmode; "late" = shipped after the order date)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12: conditional counts over a fact-fact join with a "
+    "cross-table residual (l_shipdate > o_orderdate). Scale: the year "
+    "filter pushes into the lineitem scan; the join shuffles on "
+    "orderkey once; both CASE counts share one aggregate pass.",
+    tags=("tpch",),
+)
+def tpch_q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22: global sales opportunity (adapted: nations stand in for phone
+# country codes) — scalar subquery threshold + NOT EXISTS anti-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q22",
+    """
+    SELECT n_name AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1','NATION_2','NATION_3',
+                     'NATION_4','NATION_5','NATION_6','NATION_7')
+      AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer
+          WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 (adapted: 'no recent orders' — every synthetic "
+    "customer has SOME order, so the original no-orders-ever predicate "
+    "selects nothing): scalar-subquery threshold (avg positive balance, "
+    "decimal-exact on both engines) + NOT EXISTS → LEFT ANTI join. "
+    "Scale: the 1-row threshold broadcasts (whitelisted 1-row "
+    "crossJoin); the anti join ships only o_custkey; nation broadcasts.",
+    tags=("tpch",),
+)
+def tpch_q22(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").where(
+            F.col("n_name").isin(*[f"NATION_{i}" for i in range(1, 8)])
+        )
+    )
+    threshold = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(_dec_avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
