@@ -170,6 +170,44 @@ def follow_up_join(
     )
 
 
+def follow_up_join_outer(
+    lead: DataFrame,
+    follow: DataFrame,
+    *,
+    gap_seconds: int = 60,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like ``follow_up_join`` but leads
+    with NO follow-up inside the gap are still emitted (null follow
+    columns) — the conversion-timeout signal (did a click follow the
+    impression, or not?).
+
+    Outer emission is watermark-driven: a lead row's null-extended form
+    can only be produced once the watermark passes ``lead.ts + gap``,
+    because until then a matching follow event may still arrive. So the
+    stream's outer rows trail the inner rows by the watermark delay —
+    state is buffered (bounded by the same time-bound condition) and
+    flushed as eviction happens, never held forever.
+    """
+    a = lead.withWatermark("ts", watermark).alias("a")
+    b = follow.withWatermark("ts", watermark).alias("b")
+    return a.join(
+        b,
+        F.expr(
+            f"""
+            a.user_id = b.user_id AND
+            b.ts > a.ts AND
+            b.ts <= a.ts + interval {gap_seconds} seconds
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("a.event_id").alias("lead_event"),
+        F.col("b.event_id").alias("follow_event"),
+        F.col("a.ts").alias("lead_ts"),
+    )
+
+
 def enrich_events_stream(
     events_stream: DataFrame,
     dim: DataFrame,

@@ -147,3 +147,37 @@ def test_approx_distinct_error_bound(spark, catalog):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, v, approx[k])
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, catalog):
+    """Spark's runtime row-level filtering: a selective non-broadcast
+    dim side must inject a bloom filter into the fact scan
+    (might_contain over bloom_filter_agg) — at 100 TB this skips the
+    shuffle-write of every fact row whose key cannot join. The
+    production gate is applicationSideScanSizeThreshold=10GB, far above
+    the fixture, so the thresholds are lowered here to pin the
+    mechanism itself."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = catalog.table("lineitem")
+        o = catalog.table("orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

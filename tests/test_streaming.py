@@ -824,3 +824,72 @@ def test_cohort_idle_state_eviction(spark, tmp_path_factory):
         assert len(glob.glob(f"{src}/b1/part-*.parquet")) == 1
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join(spark, catalog, events_dir):
+    """LEFT OUTER stream-stream join: inner matches equal the batch
+    twin exactly; null (no-follow-up) rows appear only for genuinely
+    unmatched leads, and every unmatched lead old enough that the final
+    watermark must have evicted it IS emitted."""
+    import datetime as dt
+
+    from data_pipeline_4_online_retail_spark.streaming.windows import (
+        follow_up_join_outer,
+    )
+
+    lead = read_events_stream(spark, events_dir)
+    follow = read_events_stream(spark, events_dir)
+    joined = follow_up_join_outer(lead, follow)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table("t_ssjoin_outer").collect()
+
+    e = catalog.table("events")
+    a, b = e.alias("a"), e.alias("b")
+    batch_inner = set(
+        (r.lead_event, r.follow_event)
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            F.col("a.event_id").alias("lead_event"),
+            F.col("b.event_id").alias("follow_event"),
+        )
+        .collect()
+    )
+    matched_leads = {le for le, _ in batch_inner}
+    all_leads = {
+        r.event_id: r.ts for r in e.select("event_id", "ts").collect()
+    }
+    unmatched = {eid for eid in all_leads if eid not in matched_leads}
+
+    stream_inner = {
+        (r.lead_event, r.follow_event)
+        for r in result
+        if r.follow_event is not None
+    }
+    stream_nulls = {r.lead_event for r in result if r.follow_event is None}
+
+    # 1. the inner portion is exactly the batch join
+    assert stream_inner == batch_inner
+    # 2. every null-extended row is a genuinely unmatched lead
+    assert stream_nulls <= unmatched
+    # 3. any unmatched lead the final watermark provably evicted
+    # (lead.ts + 60s gap < max_ts - 30min delay, minus 10min slack for
+    # batch-boundary watermark lag) must have been emitted
+    max_ts = max(all_leads.values())
+    cutoff = max_ts - dt.timedelta(minutes=40, seconds=60)
+    must_emit = {eid for eid in unmatched if all_leads[eid] < cutoff}
+    assert must_emit <= stream_nulls, (
+        f"{len(must_emit - stream_nulls)} evicted leads never emitted"
+    )
+    assert stream_nulls, "no outer rows at all — eviction never flushed"
