@@ -13,10 +13,11 @@ DECIMAL(18,4) (exact, partition-order-free) and cast the FINAL aggregate
 to DOUBLE on both engines; AVG = decimal-sum cast double / count.
 
 100 TB design notes:
-- nation/region/supplier are size-fixed or sub-linear dims → explicit
-  ``broadcast()`` so no shuffle touches the fact side for them;
-- customer/orders/part joins are left to AQE (sort-merge at scale,
-  broadcast when a filter collapses the build side);
+- only nation/region (size-FIXED: 25/5 rows at any SF) carry explicit
+  ``broadcast()`` hints; supplier/part/customer scale linearly with the
+  data, so their join strategy is left to size stats + AQE — at bench
+  scale they broadcast anyway, at 100 TB they sort-merge (a hard-coded
+  hint would OOM the build side there);
 - every filter precedes its join so Catalyst pushes it into the parquet
   scan (PushedFilters on l_shipdate / o_orderdate / c_mktsegment ...);
 - aggregations are partial-first (map-side combine) by construction;
@@ -235,7 +236,7 @@ def tpch_q05(spark, sf_dir):
         & (F.col("o_orderdate") < _ts("1997-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    supp = _t(spark, sf_dir, "supplier")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(
         _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -324,8 +325,8 @@ def tpch_q06(spark, sf_dir):
     """,
     doc="TPC-H Q7 volume shipping: nation joined twice under different "
     "roles (supp/cust), symmetric OR pair predicate. Scale: both nation "
-    "sides broadcast; supplier broadcast; the OR predicate is evaluated "
-    "on broadcast rows so the fact scan is filtered early.",
+    "sides broadcast (size-fixed); supplier joins via stats/AQE; the OR "
+    "pair predicate is evaluated right after the nation joins.",
     tags=("tpch",),
 )
 def tpch_q07(spark, sf_dir):
@@ -335,9 +336,7 @@ def tpch_q07(spark, sf_dir):
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = F.broadcast(
-        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     sn = F.broadcast(
         _t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
@@ -399,19 +398,18 @@ def tpch_q07(spark, sf_dir):
     "customer side restricts the market (region), the supplier side "
     "labels the share. Ratio = one double division of two decimal-exact "
     "sums → bit-identical across engines. Scale: part filter collapses "
-    "the probe side 6×; nation/region/supplier/part broadcast.",
+    "the probe side 6×; nation/region broadcast (size-fixed), "
+    "supplier/part via stats/AQE.",
     tags=("tpch",),
 )
 def tpch_q08(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(
+    part = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_type") == "ECONOMY")
         .select("p_partkey")
     )
-    supp = F.broadcast(
-        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     cn = F.broadcast(
@@ -555,7 +553,8 @@ def tpch_q13(spark, sf_dir):
       AND l_shipdate <  TIMESTAMP '1996-10-01'
     """,
     doc="TPC-H Q14 promotion effect: month filter pushes into the fact "
-    "scan; part broadcasts; single-row ratio of two decimal-exact sums "
+    "scan; part joins via stats/AQE; single-row ratio of two "
+    "decimal-exact sums "
     "(100.0 * a / b written identically on both engines).",
     tags=("tpch",),
 )
@@ -564,7 +563,7 @@ def tpch_q14(spark, sf_dir):
         (F.col("l_shipdate") >= _ts("1996-09-01"))
         & (F.col("l_shipdate") < _ts("1996-10-01"))
     )
-    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(F.col("p_type") == "PROMO", revenue_col()).otherwise(F.lit(0))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -619,7 +618,7 @@ def tpch_q15(spark, sf_dir):
         .where(F.col("total_revenue") == F.col("max_revenue"))
         .drop("max_revenue")
     )
-    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(supp, revenue.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -651,12 +650,12 @@ def tpch_q15(spark, sf_dir):
     "self-join (both engines compute avg as decimal-sum/count → the "
     "0.2*avg threshold is bit-identical). Scale: the per-part aggregate "
     "shuffles once on l_partkey and AQE reuses that partitioning for the "
-    "join; part filter broadcasts.",
+    "join; the part filter collapses its side 25x first.",
     tags=("tpch",),
 )
 def tpch_q17(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(
+    part = (
         _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
     )
     avg_qty = (
@@ -738,14 +737,12 @@ def tpch_q18(spark, sf_dir):
     """,
     doc="TPC-H Q19: disjunctive mixed-table predicate evaluated as a join "
     "residual. Scale: Catalyst extracts the common l_quantity/p_brand "
-    "bounds; part broadcasts so the OR runs map-side.",
+    "bounds; the 3-column part projection keeps the build side lean.",
     tags=("tpch",),
 )
 def tpch_q19(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(
-        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
 
     def block(brand: str, max_size: int, qlo: int, qhi: int) -> F.Column:
         return (
