@@ -43,7 +43,7 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 # Driver-visible ordering, round 4: the driver correctness-checks the
 # FIRST 50 registrations. Slots go to (a) every r4-new registration —
-# 24 training-data/warehouse ops plus (a2) the 16-query adapted TPC-H
+# 24 training-data/warehouse ops plus (a2) the 18-query adapted TPC-H
 # family, (b) the 3 queries whose code changed this round — ev_asof_join
 # (the r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = [
     "tpch_q06",
     "tpch_q07",
     "tpch_q08",
+    "tpch_q09",
     "tpch_q10",
     "tpch_q12",
     "tpch_q13",
@@ -94,6 +95,7 @@ _DRIVER_PRIORITY = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q21",
     "tpch_q22",
     # (b) changed code paths re-verified
     "ev_asof_join",
@@ -107,8 +109,6 @@ _DRIVER_PRIORITY = [
     # (d1) stalest r1-only driver rows (the 14 TPC-H additions displaced
     # the rest of this block; the displaced queries keep their r1 rows and
     # the local oracle_check replica covers them every round)
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash",
     "sim_ann_lsh",
 ]
 

@@ -875,3 +875,144 @@ def tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-type profit (adapted: cost basis 0.6 * p_retailprice since
+# partsupp/ps_supplycost is absent — a declared synthetic cost model)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q09",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))
+                    - CAST(p_retailprice AS DECIMAL(14,2))
+                      * CAST(l_quantity AS DECIMAL(14,2))
+                      * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT sn.n_name AS nation,
+               EXTRACT(year FROM o.o_orderdate) AS o_year,
+               l.l_extendedprice, l.l_discount, l.l_quantity, p.p_retailprice
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 profit: revenue minus cost per (supplier nation, order "
+    "year). All profit arithmetic runs in exact DECIMAL (2-dp factor "
+    "casts are tie-free, decimal multiply/subtract exact) so both "
+    "engines sum identical values. Scale: the p_name filter collapses "
+    "part ~8x before its join; the one wide shuffle is "
+    "lineitem⋈orders on orderkey.",
+    tags=("tpch",),
+)
+def tpch_q09(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+        )
+    )
+    profit = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        - F.col("p_retailprice").cast("decimal(14,2)")
+        * F.col("l_quantity").cast("decimal(14,2)")
+        * F.lit(0.6).cast("decimal(2,1)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting (adapted: "late" = shipped more
+# than 45 days after the order date, since receipt/commit dates are
+# absent). The oracle keeps the canonical double-correlated
+# EXISTS / NOT EXISTS; the Spark side is its decorrelated aggregate
+# form — per order: >1 distinct suppliers, exactly 1 with a late line.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND o3.o_orderkey = l3.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 waiting suppliers: the canonical double-correlated "
+    "EXISTS/NOT-EXISTS (oracle) decorrelated to ONE per-order aggregate "
+    "on the Spark side — n_distinct_suppliers > 1 AND exactly one "
+    "supplier late means that supplier uniquely kept the order waiting. "
+    "A supplier with several late lines in one order counts once per "
+    "LINE in the canonical form, so the aggregate carries n_late_lines. "
+    "Scale: one orderkey shuffle replaces three correlated probes of "
+    "the fact table.",
+    tags=("tpch",),
+)
+def tpch_q21(spark, sf_dir):
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"),
+    )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("the_late_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
+    )
+    waits = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.join(supp, waits.the_late_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -22,6 +22,7 @@ TPCH = [
     "tpch_q06",
     "tpch_q07",
     "tpch_q08",
+    "tpch_q09",
     "tpch_q10",
     "tpch_q12",
     "tpch_q13",
@@ -30,6 +31,7 @@ TPCH = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q21",
     "tpch_q22",
 ]
 
