@@ -299,3 +299,45 @@ def wh_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "day", "version_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view refresh)
+# ---------------------------------------------------------------------------
+
+
+def incremental_agg_merge(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    *,
+    sum_cols: list[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Merge a DELTA batch's partial aggregate into a STORED aggregate —
+    the incremental alternative to the reference's WRITE_TRUNCATE full
+    rebuild (online_retail.py load step + report models re-run the whole
+    history every day).
+
+    ``stored`` and ``delta`` carry the same schema: ``keys`` + summable
+    measure columns (sums and counts are the self-mergeable aggregates;
+    avg = merged sum / merged count downstream). The merge is one
+    full-outer join on the grouping keys — O(|stored keys| + |delta
+    keys|), never a re-scan of history. At 100 TB this is the difference
+    between "re-aggregate 3 years of facts nightly" and "aggregate
+    today's partition and merge".
+
+    New keys appear via the outer side (coalesce 0); existing keys sum.
+    """
+    merged = stored.alias("s").join(
+        delta.alias("d"), on=keys, how="full_outer"
+    )
+    cols = [F.col(k) for k in keys]
+    for c in sum_cols + ([count_col] if count_col else []):
+        cols.append(
+            (
+                F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+        )
+    return merged.select(*cols)

@@ -181,3 +181,57 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, catalog):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a hot join key must split into multiple
+    tasks (SortMergeJoin(skew=true) + AQEShuffleRead 'skewed') instead
+    of serializing one straggler task — the runtime complement to the
+    deterministic salting in operators/skew.py. Thresholds are lowered
+    to make the fixture's ~7MB hot partition qualify.
+
+    Pinned non-obvious restriction: if the join feeds an aggregate ON
+    THE JOIN KEY, AQE must NOT split (the downstream stage requires
+    hash-partitioned input) — at scale, keyed post-join rollups need
+    salting, not AQE."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "30KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 500000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")),
+            )
+            .select("k", "id")
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k2"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, F.col("k") == F.col("k2")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert j.collect()[0].n == 450100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot key"
+
+        # keyed rollup on the join key forbids the split
+        g = (
+            left.join(right, F.col("k") == F.col("k2"))
+            .groupBy("k")
+            .count()
+        )
+        g.collect()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in gplan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -66,3 +66,50 @@ def test_scd2_intervals_partition_history(spark):
             1 for x, y in zip(events, events[1:]) if x.event_type != y.event_type
         )
         assert len(vs) == changes
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, catalog):
+    """Maintain a per-(user, event_type) rollup incrementally over three
+    date-sliced delta batches; the final merged state must equal the
+    full recompute over all events — including keys that first appear
+    in a later batch."""
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        incremental_agg_merge,
+    )
+
+    events = catalog.table("events")
+    keys = ["user_id", "event_type"]
+
+    def agg(df):
+        return df.groupBy(*keys).agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    cuts = ["2024-01-10", "2024-01-20"]
+    slices = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    state = agg(slices[0])
+    for delta in slices[1:]:
+        state = incremental_agg_merge(
+            state,
+            agg(delta),
+            keys,
+            sum_cols=["total_value"],
+            count_col="n_events",
+        )
+
+    full = agg(events)
+    cols = keys + ["total_value", "n_events"]
+    assert sorted(map(tuple, state.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+    # the merge plan touches only aggregates: no events scan on the
+    # stored side of the final merge (stored is itself a plan here, but
+    # the operator contract is join-of-aggregates — verify no cartesian)
+    assert "CartesianProduct" not in state._jdf.queryExecution().executedPlan().toString()
