@@ -47,7 +47,9 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # family, (b) the 3 queries whose code changed this round — ev_asof_join
 # (the r3 red, fixed via TIMESTAMP_NTZ normalization) and the two approx
 # sketches (upgraded from rows-only to bounded within_bound oracles),
-# (c) 4 cross-round controls, and (d) the 3 stalest rows-only r1 entries.
+# (c) 3 cross-round controls (r4-new registrations displaced the
+# stalest slots; every displaced query keeps its r1-r3 row and the
+# local oracle_check replica covers all registrations every round), and (d) the 3 stalest rows-only r1 entries.
 # Displaced r1-green queries keep their r1 rows. Union over r1..r4 keeps
 # every registration covered; everything past #50 stays covered by
 # tools/oracle_check.py (the driver-identical local replica).
@@ -78,6 +80,8 @@ _DRIVER_PRIORITY = [
     "wh_pit_snapshot",
     "sim_ann_ivf_pq",
     "op_map_functions",
+    "text_dsir_stats",
+    "text_dsir_weights",
     # (a2) r4-continuation: the adapted TPC-H family — first driver evidence
     "tpch_q01",
     "tpch_q03",
@@ -105,11 +109,6 @@ _DRIVER_PRIORITY = [
     "star_report_customer",
     "star_fct_invoice_line_value",
     "dedup_exact",
-    "sim_ann_ivf",
-    # (d1) stalest r1-only driver rows (the 14 TPC-H additions displaced
-    # the rest of this block; the displaced queries keep their r1 rows and
-    # the local oracle_check replica covers them every round)
-    "sim_ann_lsh",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -69,6 +69,7 @@ EXTRA = [
     "dedup_semantic_within_label",
     "wh_snapshot_diff",
     "ev_resample_interpolate",
+    "text_dsir_stats",
 ]
 
 # Round-4 (cont.) classic-warehouse tier — timed separately so headline

@@ -691,3 +691,118 @@ def text_bpe_apply(spark, sf_dir):
             F.sum("n_chars").cast("double") / F.sum("n_toks").cast("double")
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection for LM pretraining)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed feature buckets
+
+
+def _dsir_buckets(spark, sf_dir):
+    """(doc_id, source, bucket) per token occurrence — the hashed
+    unigram feature stream; multiplicity preserved (DSIR features are
+    bag-of-hashed-ngram COUNTS). md5-mod bucketing so DuckDB reproduces
+    the bucket ids exactly (the established md5-twin convention)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "source", F.explode(_toks()).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _DSIR_B
+    )
+    return toks.select("doc_id", "source", bucket.alias("bucket"))
+
+
+@register(
+    "text_dsir_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))
+                    AS BIGINT) % {_DSIR_B} AS bucket
+        FROM documents),
+    tgt AS (SELECT bucket, COUNT(*) AS c_t FROM toks
+            WHERE source = 'src0' GROUP BY bucket),
+    raw AS (SELECT bucket, COUNT(*) AS c_r FROM toks GROUP BY bucket)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(COALESCE(tgt.c_t, 0)) AS BIGINT) AS target_mass,
+           CAST(SUM(raw.c_r) AS BIGINT) AS raw_mass
+    FROM toks t
+    LEFT JOIN tgt USING (bucket)
+    JOIN raw  USING (bucket)
+    GROUP BY t.doc_id
+    """,
+    doc="DSIR sufficient statistics (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): per document, the "
+    "total target-domain and raw-corpus mass of its hashed-unigram "
+    "feature buckets — the integer-exact core of the importance weight "
+    "(the log-ratio itself is the rows-only sibling "
+    "text_dsir_weights; libm). Target domain = source 'src0'. Scale: "
+    "both count tables are bucket-bounded (B=512 rows, broadcast), so "
+    "the only corpus-sized shuffle is the per-doc aggregate.",
+    tags=("text",),
+)
+def text_dsir_stats(spark, sf_dir):
+    tb = _dsir_buckets(spark, sf_dir)
+    tgt = (
+        tb.where(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    return (
+        tb.join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(raw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("target_mass"),
+            F.sum("c_r").alias("raw_mass"),
+        )
+    )
+
+
+@register(
+    "text_dsir_weights",
+    None,  # ln() is libm-dependent → rows-only; pytest replays the model
+    # in pure Python and bounds the relative error
+    doc="DSIR importance weights: log w(x) = sum over the document's "
+    "hashed-unigram features of ln p_target(b) - ln p_raw(b), add-1 "
+    "smoothed over B=512 buckets — documents resembling the target "
+    "domain (source 'src0') score high; resampling the raw corpus by "
+    "softmax of these weights is the DSIR selection step (the "
+    "materialization twin is text_temperature_resample's hash-frac "
+    "acceptance pattern). Scale: identical to text_dsir_stats — "
+    "broadcast B-row count tables + one per-doc aggregate.",
+    tags=("text",),
+)
+def text_dsir_weights(spark, sf_dir):
+    tb = _dsir_buckets(spark, sf_dir)
+    tgt = (
+        tb.where(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    t_total = tgt.agg(F.sum("c_t").alias("t_total"))
+    r_total = raw.agg(F.sum("c_r").alias("r_total"))
+    per_tok = (
+        F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double"))
+        - F.log((F.col("t_total") + F.lit(_DSIR_B)).cast("double"))
+        - F.log((F.col("c_r") + 1).cast("double"))
+        + F.log((F.col("r_total") + F.lit(_DSIR_B)).cast("double"))
+    )
+    return (
+        tb.join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(raw), "bucket")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(per_tok).alias("log_weight"),
+        )
+    )

@@ -569,3 +569,88 @@ def test_ivf_pq_is_pq_restricted_to_query_cell(spark, catalog):
         assert abs(ga - ea) < 1e-9
     # every returned candidate is in the query's cell
     assert all(labels[v] == qlabel for _, v in got)
+
+
+def test_dsir_matches_python_replica(spark, catalog):
+    """Pure-Python replay of the DSIR hashed-feature model: identical
+    md5-mod buckets, identical integer masses, log-weights within libm
+    tolerance — and the selection signal points at the target domain."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        _DSIR_B,
+        text_dsir_stats,
+        text_dsir_weights,
+    )
+
+    docs = [
+        (r.doc_id, r.source, r.text.split(" "))
+        for r in catalog.table("documents").collect()
+    ]
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _DSIR_B
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for _, source, toks in docs:
+        for t in toks:
+            b = bucket(t)
+            raw[b] += 1
+            if source == "src0":
+                tgt[b] += 1
+    T, R = sum(tgt.values()), sum(raw.values())
+
+    stats = {r.doc_id: r for r in text_dsir_stats(spark, SF_DIR).collect()}
+    weights = {r.doc_id: r for r in text_dsir_weights(spark, SF_DIR).collect()}
+    assert set(stats) == set(weights) == {d for d, _, _ in docs}
+
+    src_mean: dict[str, list[float]] = {}
+    for doc_id, source, toks in docs:
+        bs = [bucket(t) for t in toks]
+        s = stats[doc_id]
+        assert s.n_toks == len(toks)
+        assert s.target_mass == sum(tgt.get(b, 0) for b in bs)
+        assert s.raw_mass == sum(raw[b] for b in bs)
+        lw = sum(
+            math.log(tgt.get(b, 0) + 1)
+            - math.log(T + _DSIR_B)
+            - math.log(raw[b] + 1)
+            + math.log(R + _DSIR_B)
+            for b in bs
+        )
+        w = weights[doc_id]
+        assert w.n_toks == len(toks)
+        assert abs(w.log_weight - lw) < 1e-9 * max(1.0, abs(lw))
+        src_mean.setdefault(source, []).append(lw)
+    # (no semantic assert on the sf corpus: every synthetic source draws
+    # from the SAME vocabulary, so there is no domain signal — the
+    # controlled-corpus test below carries that claim)
+
+
+def test_dsir_signal_separates_domains(spark, tmp_path_factory):
+    """On a corpus with a REAL domain split, target-domain documents
+    must receive the highest importance weights."""
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        text_dsir_weights,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("dsir_sf"))
+    rows = []
+    for i in range(10):
+        rows.append((i, "physics quantum field theory lattice gauge", "src0"))
+    for i in range(10, 30):
+        rows.append((i, "cheap deals buy now limited offer sale", "srcX"))
+    # one mixed doc: half target vocabulary
+    rows.append((30, "physics quantum buy now sale offer", "srcX"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    w = {r.doc_id: r.log_weight for r in text_dsir_weights(spark, sf_dir).collect()}
+    tgt_mean = sum(w[i] for i in range(10)) / 10
+    off_mean = sum(w[i] for i in range(10, 30)) / 20
+    assert tgt_mean > w[30] > off_mean, (tgt_mean, w[30], off_mean)
