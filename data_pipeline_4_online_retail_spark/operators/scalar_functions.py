@@ -318,3 +318,65 @@ def op_percentiles_approx_raw(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_price"),
         F.percentile_approx("o_totalprice", 0.25, 10000).alias("p25_price"),
     )
+
+
+@register(
+    "op_winsorize",
+    """
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.01) AS p01,
+               quantile_disc(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(SUM(CAST(GREATEST(p01, LEAST(p99, l_extendedprice))
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
+           MAX(p99) AS p99,
+           MIN(p01) AS p01
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="robust statistics: winsorization — clip a measure at its exact "
+    "per-group p01/p99 (percentile_disc WITHIN GROUP: an ordered-set "
+    "aggregate returning an actual data element, so both engines agree "
+    "bit-exactly — no interpolation arithmetic). Two passes over the "
+    "fact: a per-group percentile agg (small result, broadcast back) "
+    "then a map-side clip + aggregate. At 100 TB swap the exact "
+    "percentile pass for approx_percentile and keep the identical "
+    "second pass; the clip itself never shuffles.",
+    tags=("robust", "r4b"),
+)
+def op_winsorize(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p01"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "p01",
+        "p99",
+        F.greatest("p01", F.least("p99", F.col("l_extendedprice"))).alias("w"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") < F.col("p01")).cast("int"))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum((F.col("l_extendedprice") > F.col("p99")).cast("int"))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.sum(F.col("w").cast("decimal(18,2)")).cast("double").alias("sum_winsorized"),
+        F.max("p99").alias("p99"),
+        F.min("p01").alias("p01"),
+    )

@@ -901,3 +901,72 @@ def sim_ann_ivf_pq(spark, sf_dir):
         .orderBy(F.asc("approx_l2"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+@register(
+    "sim_knn_classify",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {BATCH_QUERIES}),
+    ranked AS (
+        SELECT q.qid, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                            e.vec_id) AS rnk
+        FROM embeddings e JOIN q ON e.vec_id != q.qid),
+    votes AS (
+        SELECT qid, label, COUNT(*) AS votes, MIN(rnk) AS best_rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+        GROUP BY qid, label)
+    SELECT qid, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+    FROM (SELECT qid, label, votes,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY qid
+                     ORDER BY votes DESC, best_rnk ASC, label ASC) AS rn
+          FROM votes)
+    WHERE rn = 1
+    """,
+    doc="similarity: k-NN classification — majority label among the "
+    "exact cosine top-10 neighbors of each query vector, ties broken by "
+    "best (nearest) neighbor rank then smallest label. Built on the "
+    "sim_topk_batch shape: ONE corpus scan for all queries, broadcast "
+    "query batch, WindowGroupLimit-pre-filtered per-query top-k; the "
+    "vote aggregation then touches only Q*k rows. At 100 TB the corpus "
+    "scan dominates and amortizes over the whole query batch.",
+    tags=("similarity", "r4b"),
+)
+def sim_knn_classify(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < BATCH_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine_similarity("embedding", "qv").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    votes = topk.groupBy("qid", "label").agg(
+        F.count(F.lit(1)).alias("votes"), F.min("rnk").alias("best_rnk")
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.desc("votes"), F.asc("best_rnk"), F.asc("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("predicted_label"), "votes")
+    )

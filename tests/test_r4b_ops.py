@@ -1,0 +1,146 @@
+"""Round-4 continuation operators: JSON props, kNN classify, winsorize.
+
+Each driver oracle already hash-checks values at sf0.01; these tests pin
+the *semantic properties* the hashes can't express (lossless JSON
+round-trip, majority-vote correctness vs a numpy replica, clipping
+bounds) plus the plan shapes that matter at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+    op_winsorize,
+)
+from data_pipeline_4_online_retail_spark.operators.semistructured import (
+    ev_props_json_filter,
+    ev_props_json_roundtrip,
+    ev_props_json_stats,
+    props_parsed,
+)
+from data_pipeline_4_online_retail_spark.operators.similarity import (
+    BATCH_QUERIES,
+    TOP_K,
+    sim_knn_classify,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_props_json_roundtrip_lossless(spark):
+    """from_json -> rebuild must reproduce every input byte-exactly."""
+    out = ev_props_json_roundtrip(spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "fixture has event_id < 500 rows"
+    assert all(r["roundtrip_ok"] == 1 for r in rows)
+
+
+def test_props_json_parse_is_total(spark, catalog):
+    """Every props row in the fixture parses (n_parsed == n_events) and
+    the JSON predicate agrees with a Python json.loads replica."""
+    import json
+
+    stats = ev_props_json_stats(spark, SF_DIR).collect()
+    assert stats
+    for r in stats:
+        assert r["n_parsed"] == r["n_events"]
+
+    got = {
+        r["event_id"]
+        for r in ev_props_json_filter(spark, SF_DIR).collect()
+    }
+    raw = catalog.table("events").select("event_id", "event_type", "props").collect()
+    want = {
+        r["event_id"]
+        for r in raw
+        if json.loads(r["props"])["k"] >= 90
+        and r["event_type"] in ("purchase", "signup")
+    }
+    assert got == want
+
+
+def test_props_json_malformed_rows_null_not_crash(spark):
+    """PERMISSIVE contract: a malformed bag becomes NULL, the job lives."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None), (4, '{"j": 1}')],
+        "event_id long, props string",
+    )
+    out = props_parsed(df).select("event_id", "prop_k").collect()
+    by_id = {r["event_id"]: r["prop_k"] for r in out}
+    assert by_id == {1: 5, 2: None, 3: None, 4: None}
+
+
+def test_knn_classify_matches_numpy_replica(spark, catalog):
+    """Majority label among exact top-k (cos desc, vec_id tie-break),
+    ties broken by best rank then smallest label."""
+    emb = catalog.table("embeddings").collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"]) for r in emb}
+
+    def predict(qid):
+        qv, _ = vecs[qid]
+        qn = np.sqrt(qv @ qv)
+        scored = sorted(
+            (
+                (-(v @ qv) / (np.sqrt(v @ v) * qn), vid, lab)
+                for vid, (v, lab) in vecs.items()
+                if vid != qid
+            ),
+        )[:TOP_K]
+        votes = {}
+        for rnk, (_, _, lab) in enumerate(scored, start=1):
+            n, best = votes.get(lab, (0, rnk))
+            votes[lab] = (n + 1, min(best, rnk))
+        return min(votes.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0]))
+
+    got = {
+        r["qid"]: (r["predicted_label"], r["votes"])
+        for r in sim_knn_classify(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(BATCH_QUERIES))
+    for qid in got:
+        lab, (n, _) = predict(qid)
+        assert got[qid] == (lab, n), f"qid {qid}"
+
+
+def test_knn_classify_single_corpus_scan(spark):
+    """The plan must scan embeddings twice at most (query side + corpus
+    side), never per-query, and must not contain a CartesianProduct."""
+    plan = sim_knn_classify(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_winsorize_bounds(spark, catalog):
+    out = {r["l_returnflag"]: r for r in op_winsorize(spark, SF_DIR).collect()}
+    li = (
+        catalog.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("raw_sum"),
+        )
+        .collect()
+    )
+    for r in li:
+        o = out[r["l_returnflag"]]
+        assert o["n_rows"] == r["n"]
+        # ≤1% clipped on each side by definition of p01/p99 (discrete
+        # percentile: at most floor(n*p) values strictly outside)
+        assert o["n_clipped_low"] <= 0.01 * r["n"] + 1
+        assert o["n_clipped_high"] <= 0.01 * r["n"] + 1
+        assert o["p01"] <= o["p99"]
+        # clipping the top tail pulls the sum down more than the bottom
+        # tail pushes it up on this right-skewed measure — but the only
+        # hard invariant is: winsorized sum is between the all-clipped
+        # extremes
+        assert o["n_rows"] * o["p01"] <= o["sum_winsorized"] <= o["n_rows"] * o["p99"]
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    plan = op_winsorize(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
