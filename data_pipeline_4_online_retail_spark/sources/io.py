@@ -170,3 +170,38 @@ def read_csv_permissive(
         .schema(full)
         .csv(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, *, compression: str | None = None) -> None:
+    """JSON-Lines sink — the interchange format LLM training corpora
+    actually ship in (one JSON object per line). Spark's json writer is
+    JSONL natively: one object per row, one file per partition. Gzip
+    compression halves storage but makes splits non-splittable — prefer
+    none/zstd for files a downstream Spark job will re-read in parallel."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSONL source. ALWAYS pass a schema in production: schema inference
+    runs a full extra pass over 100 TB before the real job starts, and a
+    drifting field type silently re-types the whole column. Unparseable
+    lines surface in ``_corrupt_record`` (PERMISSIVE default) instead of
+    failing the job."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    estates). Same predicate-pushdown + column-pruning contract as
+    parquet via the native vectorized ORC reader."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

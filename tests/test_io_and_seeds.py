@@ -297,3 +297,61 @@ def test_permissive_csv_quarantines_malformed_rows(spark, tmp_path):
     quarantined = df.filter(F.col("_corrupt_record").isNotNull()).count()
     assert quarantined == 2
     df.unpersist()
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, catalog, tmp_path_factory):
+    """JSONL write -> read round-trips values and dtypes under an
+    explicit schema; a malformed line lands in _corrupt_record instead of
+    failing the read (the 100 TB don't-crash contract)."""
+    from data_pipeline_4_online_retail_spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    base = tmp_path_factory.mktemp("jsonl")
+    docs = catalog.table("documents").select("doc_id", "text", "lang", "source")
+    p = str(base / "docs")
+    write_jsonl(docs, p)
+    back = read_jsonl(spark, p, "doc_id long, text string, lang string, source string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    assert dict(back.dtypes) == dict(docs.dtypes)
+
+    # corrupt line quarantine
+    bad = base / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n{definitely not json\n{"doc_id": 2, "text": "ok2"}\n'
+    )
+    got = read_jsonl(
+        spark,
+        str(bad),
+        "doc_id long, text string, _corrupt_record string",
+    )
+    rows = got.collect()
+    assert len(rows) == 3
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    assert {r["doc_id"] for r in rows if r["_corrupt_record"] is None} == {1, 2}
+
+
+def test_orc_roundtrip_with_pushdown(spark, catalog, tmp_path_factory):
+    """ORC write -> read round-trips, and a filter over the ORC scan
+    shows up as a pushed predicate in the plan (same contract we pin for
+    parquet)."""
+    from data_pipeline_4_online_retail_spark.sources.io import read_orc, write_orc
+
+    base = tmp_path_factory.mktemp("orc")
+    orders = catalog.table("orders")
+    p = str(base / "orders")
+    write_orc(orders, p)
+    back = read_orc(spark, p)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+
+    plan = (
+        back.filter("o_totalprice > 100000")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:120]

@@ -893,3 +893,94 @@ def test_stream_stream_left_outer_join(spark, catalog, events_dir):
         f"{len(must_emit - stream_nulls)} evicted leads never emitted"
     )
     assert stream_nulls, "no outer rows at all — eviction never flushed"
+
+
+def test_scd2_incremental_apply_converges_to_batch(spark, catalog):
+    """Type-2 SCD maintenance: applying the change log in THREE
+    ts-ordered micro-batches must produce the exact version table the
+    one-shot batch rebuild derives from the full log — same version ids,
+    intervals, is_current flags, and per-version event counts."""
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        wh_scd2_build,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.scd2 import (
+        scd2_apply_batch,
+    )
+    from pyspark.sql.window import Window
+
+    ev = catalog.table("events").select("user_id", "event_type", "ts", "event_id")
+    chunked = ev.withColumn(
+        "chunk", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    snap = None
+    for c in (1, 2, 3):
+        batch = chunked.filter(F.col("chunk") == c).drop("chunk")
+        snap = scd2_apply_batch(snap, batch)
+        # each intermediate snapshot is itself a valid SCD2 table:
+        # exactly one open version per user
+        opens = snap.filter("is_current = 1").groupBy("user_id").count()
+        assert opens.filter("count != 1").count() == 0
+
+    cols = [
+        "user_id",
+        "version_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_events",
+    ]
+    want = wh_scd2_build(spark, "/root/testdata/sf0.001")
+    assert _rows(snap, cols) == _rows(want, cols)
+
+
+def test_scd2_sink_streaming_end_to_end(spark, catalog, tmp_path_factory):
+    """The foreachBatch SCD2 sink drains a file-source stream (one file
+    per micro-batch, modification-time order) and the stored snapshot
+    matches the batch rebuild."""
+    import time
+
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        wh_scd2_build,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.scd2 import (
+        read_scd2_snapshot,
+        start_scd2_sink,
+    )
+    from pyspark.sql.window import Window
+
+    base = tmp_path_factory.mktemp("scd2_sink")
+    src, store, ckpt = str(base / "src"), str(base / "store"), str(base / "ckpt")
+
+    ev = catalog.table("events").select("user_id", "event_type", "ts", "event_id")
+    chunked = ev.withColumn(
+        "chunk", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    for c in (1, 2, 3):
+        chunked.filter(F.col("chunk") == c).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct modification times -> stable batch order
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_scd2_sink(stream, store, ckpt)
+    q.awaitTermination()
+
+    cols = [
+        "user_id",
+        "version_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_events",
+    ]
+    got = read_scd2_snapshot(spark, store)
+    want = wh_scd2_build(spark, "/root/testdata/sf0.001")
+    assert _rows(got, cols) == _rows(want, cols)
