@@ -67,6 +67,7 @@ EXTRA = [
     # per-query timings remain comparable)
     "text_dup_span_removal",
     "dedup_semantic_within_label",
+    "dedup_semantic_within_label_fast",
     "wh_snapshot_diff",
     "ev_resample_interpolate",
     "text_dsir_stats",

@@ -980,3 +980,47 @@ def dedup_containment(spark, sf_dir):
             containment.alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_semantic_within_label_fast",
+    None,  # rows-only: BLAS gemm summation order != sequential-fold oracle
+    doc="near-dup by embedding, SemDeDup production twin: per-cluster "
+    "cosine via ONE dense gemm per label inside applyInPandas (Arrow "
+    "batch in, numpy float64 M @ M.T, upper-triangle threshold scan) "
+    "instead of per-pair higher-order-function folds. Same pair "
+    "semantics as dedup_semantic_within_label (the hash-oracled exact "
+    "twin; pytest pins pair-set equality) — the fold twin is the "
+    "correctness evidence, this is the speed path. Scale: one group = "
+    "one cluster = one in-memory gemm (SemDeDup runs exactly this "
+    "per-cluster kernel); cluster count grows with the corpus while "
+    "per-cluster size stays bounded by the clustering step, and a "
+    "mega-cluster re-clusters recursively rather than salting.",
+    tags=("dedup", "embeddings"),
+)
+def dedup_semantic_within_label_fast(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir).table("embeddings")
+
+    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        g = (m @ m.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = g[iu] >= COSINE_THRESHOLD
+        va, vb = ids[iu[0][keep]], ids[iu[1][keep]]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame(
+            {
+                "label": np.full(len(lo), pdf["label"].iloc[0], dtype=np.int32),
+                "vec_a": lo,
+                "vec_b": hi,
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        per_label, "label int, vec_a long, vec_b long"
+    )

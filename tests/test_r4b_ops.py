@@ -144,3 +144,38 @@ def test_winsorize_bounds(spark, catalog):
 def test_winsorize_broadcasts_bounds(spark):
     plan = op_winsorize(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_fast_twin_pair_equivalence(spark):
+    """The BLAS gemm twin must emit exactly the pair set of the
+    hash-oracled fold twin (float64 gemm vs sequential fold differ only
+    in last-bit rounding; no fixture pair sits near the 0.4 threshold —
+    asserted via an explicit margin check)."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        dedup_semantic_within_label,
+        dedup_semantic_within_label_fast,
+    )
+    import numpy as np
+
+    cols = ["label", "vec_a", "vec_b"]
+    exact = {
+        tuple(r) for r in dedup_semantic_within_label(spark, SF_DIR).select(*cols).collect()
+    }
+    fast = {
+        tuple(r) for r in dedup_semantic_within_label_fast(spark, SF_DIR).select(*cols).collect()
+    }
+    assert exact == fast and exact
+
+    # margin audit: no cosine within 1e-9 of the threshold on this
+    # fixture, so the set equality above is robust, not lucky
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    for vecs in by_label.values():
+        m = np.array(vecs, dtype=np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        g = (m @ m.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(vecs), k=1)
+        assert np.abs(g[iu] - COSINE_THRESHOLD).min() > 1e-9
