@@ -97,3 +97,73 @@ def test_morton_code_locality():
         _interleave([F.lit(2).cast("long"), F.lit(3).cast("long")], 2).alias("z")
     )
     assert df.collect()[0].z == 14
+
+
+def test_bucketed_join_has_no_exchange(spark, catalog, tmp_path_factory):
+    """Both sides written bucketed+sorted by the join key -> the join
+    plan contains NO shuffle (Exchange) — the write-time shuffle is
+    amortized across every later join on that key. A plain parquet
+    re-read of the same data DOES exchange, pinning that the bucket
+    metadata (not data size) is what removed it."""
+    from data_pipeline_4_online_retail_spark.sources.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("buckets")
+    orders = catalog.table("orders")
+    li = catalog.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            orders, "t_orders_b", str(base / "o"), bucket_by="o_orderkey", n_buckets=8
+        )
+        write_bucketed(
+            li, "t_lineitem_b", str(base / "l"), bucket_by="o_orderkey", n_buckets=8
+        )
+        joined = cobucketed_join(spark, "t_lineitem_b", "t_orders_b", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == catalog.table("lineitem").count()
+
+        flat = li.join(orders, "o_orderkey")
+        flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in flat_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucket_pruning_on_point_predicate(spark, catalog, tmp_path_factory):
+    """A key = literal predicate over a bucketed table reads 1/N of the
+    buckets (SelectedBucketsCount in the scan node)."""
+    from data_pipeline_4_online_retail_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("bucket_prune")
+    orders = catalog.table("orders")
+    # a bare filter has no join to feed, so the planner's auto-bucketed-scan
+    # would fall back to a plain scan; force the bucketed read to exercise
+    # bucket-filter pruning
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        write_bucketed(
+            orders, "t_orders_p", str(base / "o"), bucket_by="o_orderkey", n_buckets=8
+        )
+        key = orders.select("o_orderkey").head()[0]
+        plan = (
+            spark.table("t_orders_p")
+            .filter(F.col("o_orderkey") == key)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS t_orders_p")

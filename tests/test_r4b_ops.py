@@ -179,3 +179,59 @@ def test_semantic_dedup_fast_twin_pair_equivalence(spark):
         g = (m @ m.T) / np.outer(nrm, nrm)
         iu = np.triu_indices(len(vecs), k=1)
         assert np.abs(g[iu] - COSINE_THRESHOLD).min() > 1e-9
+
+
+def test_rfm_ntile_agrees_with_percentile_cutoff_path(spark, catalog):
+    """The registered ntile scoring and the 100 TB-scale percentile-cutoff
+    scoring (broadcast quartile bounds + map-side CASE) must agree for
+    every customer whose metric is NOT exactly on a quartile boundary
+    (on-boundary rows are ntile's balanced-bucket prerogative)."""
+    from data_pipeline_4_online_retail_spark.operators.retail_analytics import (
+        op_rfm_segments,
+    )
+
+    rfm = op_rfm_segments(spark, SF_DIR).collect()
+    freqs = sorted((r["frequency"] for r in rfm), reverse=True)
+    n = len(freqs)
+    # percentile cutoffs on the descending metric: quartile q holds ranks
+    # [n*q/4): value-based score = 1 + #cutoffs the value is strictly below
+    cuts = [freqs[(n * q) // 4] for q in (1, 2, 3)]
+    for r in rfm:
+        value_score = 1 + sum(r["frequency"] < c for c in cuts)
+        on_boundary = r["frequency"] in cuts
+        if not on_boundary:
+            assert r["f_score"] == value_score, (r, cuts)
+
+
+def test_market_basket_confidence_and_support(spark, catalog):
+    """Support/confidence recomputed from a Python basket replica."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from data_pipeline_4_online_retail_spark.operators.retail_analytics import (
+        MIN_PAIR_SUPPORT,
+        op_market_basket_pairs,
+    )
+
+    li = catalog.table("lineitem").select("l_orderkey", "l_partkey").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    part_orders = defaultdict(int)
+    pair_orders = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            part_orders[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            pair_orders[(a, b)] += 1
+
+    want = {
+        (a, b): (c, part_orders[a], part_orders[b])
+        for (a, b), c in pair_orders.items()
+        if c >= MIN_PAIR_SUPPORT
+    }
+    got = {
+        (r["part_a"], r["part_b"]): (r["pair_orders"], r["orders_a"], r["orders_b"])
+        for r in op_market_basket_pairs(spark, SF_DIR).collect()
+    }
+    assert got == want
