@@ -1109,3 +1109,42 @@ def op_map_functions(spark, sf_dir):
         .cast("long")
         .alias("views"),
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE nxt AS (
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_key,
+           ROW_NUMBER() OVER w AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+chain(o_custkey, o_orderkey, depth, next_key) AS (
+    SELECT o_custkey, o_orderkey, 1, next_key
+    FROM nxt WHERE rn = 1
+    UNION ALL
+    SELECT c.o_custkey, n.o_orderkey, c.depth + 1, n.next_key
+    FROM chain c JOIN nxt n ON c.next_key = n.o_orderkey)
+SELECT o_custkey, o_orderkey, CAST(depth AS BIGINT) AS depth
+FROM chain
+"""
+
+
+@register(
+    "op_recursive_cte_chain",
+    _RECURSIVE_CHAIN_SQL,
+    doc="recursive CTE (Spark 4 WITH RECURSIVE): per-customer order "
+    "chains walked edge-by-edge from each customer's first order — the "
+    "IDENTICAL SQL text runs on Spark and as its own DuckDB oracle. "
+    "The successor relation is a linear DAG (one LEAD edge per order), "
+    "so UNION ALL recursion terminates in max-chain-length iterations "
+    "with no duplicate paths (Spark doesn't yet allow UNION DISTINCT "
+    "in recursion — cyclic closure needs the iterative DataFrame "
+    "label-propagation in dedup.connected_components instead). Each "
+    "iteration is one equi-join on next_key: hash-partitioned, "
+    "AQE-sized; depth_i frontier rows only, never the whole history.",
+    tags=("relational", "r4b"),
+)
+def op_recursive_cte_chain(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

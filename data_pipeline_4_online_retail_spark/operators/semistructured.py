@@ -130,3 +130,87 @@ def ev_props_json_roundtrip(spark, sf_dir):
         rebuilt.alias("props_rebuilt"),
         (rebuilt == F.col("props")).cast("int").alias("roundtrip_ok"),
     )
+
+
+@register(
+    "ev_props_variant_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS distinct_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT)
+                              BETWEEN 25 AND 75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mid,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="semi-structured: the VARIANT path (Spark 4) — parse_json into a "
+    "binary-encoded variant column, variant_get typed extraction. Same "
+    "relational result as the from_json route, but the parse is "
+    "schema-LESS: fields not known at write time stay queryable, which "
+    "is the 100 TB evolution story (from_json forces a DDL schema; "
+    "variant shreds lazily and new keys need no reload). Extraction "
+    "stays JVM-side; only (event_type) groups shuffle.",
+    tags=("json", "variant", "r4b"),
+)
+def ev_props_variant_stats(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.countDistinct("k").alias("distinct_k"),
+        F.sum(F.col("k").between(25, 75).cast("int")).cast("long").alias("n_mid"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_UDTF_WORDS_SQL = """
+SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS idx, unnest(l) AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id < 50) t
+"""
+
+
+@register(
+    "text_udtf_word_positions",
+    _UDTF_WORDS_SQL,
+    doc="Python UDTF (Spark 4 user-defined table function) applied via "
+    "LATERAL join: one input row expands to one row per word with its "
+    "position. The UDTF is the API-surface demonstration — for pure "
+    "splitting, built-in posexplode(split()) stays JVM-side and is the "
+    "production path (this module's pytest pins row-identical output "
+    "between the two); a UDTF earns its Python round-trip only when the "
+    "expansion logic genuinely needs Python (a tokenizer library, a "
+    "parser). Partition-parallel: the UDTF runs per input partition "
+    "with Arrow transfer, no shuffle.",
+    tags=("text", "udtf", "r4b"),
+)
+def text_udtf_word_positions(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, word string")
+    class WordPositions:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    yield i, w
+
+    spark.udtf.register("word_positions_udtf", WordPositions)
+    docs = load_tables(spark, sf_dir).table("documents")
+    docs.filter(F.col("doc_id") < 50).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.word
+        FROM udtf_docs d, LATERAL word_positions_udtf(d.text) s
+        """
+    )
+
+
+def word_positions_builtin(docs: DataFrame) -> DataFrame:
+    """The JVM-side twin of the UDTF: posexplode(split(...))."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("idx", "word")
+    )

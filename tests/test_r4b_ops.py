@@ -235,3 +235,34 @@ def test_market_basket_confidence_and_support(spark, catalog):
         for r in op_market_basket_pairs(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_udtf_matches_builtin_posexplode_twin(spark, catalog):
+    """The Python UDTF expansion must be row-identical to the JVM-side
+    posexplode(split()) production twin."""
+    from data_pipeline_4_online_retail_spark.operators.semistructured import (
+        text_udtf_word_positions,
+        word_positions_builtin,
+    )
+
+    got = sorted(
+        map(tuple, text_udtf_word_positions(spark, SF_DIR).collect())
+    )
+    docs = catalog.table("documents").filter(F.col("doc_id") < 50)
+    want = sorted(map(tuple, word_positions_builtin(docs).collect()))
+    assert got == want and got
+
+
+def test_variant_agrees_with_from_json_path(spark):
+    """variant_get extraction and from_json extraction are two routes to
+    the same typed value — per-row equal on the full fixture."""
+    from data_pipeline_4_online_retail_spark.operators.semistructured import (
+        props_parsed,
+    )
+
+    e = props_parsed(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ).withColumn(
+        "vk", F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    )
+    assert e.filter("prop_k IS DISTINCT FROM vk").count() == 0
