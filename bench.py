@@ -77,6 +77,7 @@ EXTRA = [
 # and extras stay cross-round-comparable.
 TPCH = [
     "tpch_q01",
+    "tpch_q02",
     "tpch_q03",
     "tpch_q04",
     "tpch_q05",
@@ -85,13 +86,16 @@ TPCH = [
     "tpch_q08",
     "tpch_q09",
     "tpch_q10",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q20",
     "tpch_q21",
     "tpch_q22",
 ]

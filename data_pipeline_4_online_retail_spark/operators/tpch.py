@@ -1019,3 +1019,291 @@ def tpch_q21(spark, sf_dir):
         .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q11/Q16/Q20 — the four queries canonical TPC-H builds on partsupp.
+# partsupp is absent from the fixture, but lineitem carries the actual
+# (l_partkey, l_suppkey) supply relation, so each query below derives the
+# partsupp stand-in from it (declared adaptation, same spirit as Q9's
+# synthetic cost model):
+#   ps_supplycost := MIN(l_extendedprice) per pair  (supplier-varying,
+#                    deterministic, no arithmetic — exact both engines)
+#   ps_availqty   := SUM(l_quantity) per pair, in DECIMAL
+# The derivation is ONE extra aggregate over the fact (partial-agg,
+# orderkey-free shuffle on the pair key) — at 100 TB you'd materialize it
+# once (bucketed by ps_partkey) rather than re-derive per query.
+# ---------------------------------------------------------------------------
+
+_PS_COST_CTE = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _ps_cost(spark, sf_dir) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+
+
+@register(
+    "tpch_q02",
+    f"""
+    WITH ps AS ({_PS_COST_CTE}),
+    eu AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+        FROM ps
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey, p_retailprice, ps_supplycost
+    FROM eu JOIN part ON ps_partkey = p_partkey
+    WHERE p_type = 'ECONOMY' AND p_size < 15
+      AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eu e2
+                           WHERE e2.ps_partkey = eu.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier: for each qualifying part, the "
+    "EUROPE supplier with the lowest supply cost. Oracle keeps the "
+    "canonical correlated scalar subquery; the Spark side decorrelates "
+    "it into a per-part window MIN over the region-restricted pair set "
+    "— one exchange on ps_partkey serves both the min and the filter. "
+    "Raw column output (no arithmetic): hash-exact. Scale: region+type "
+    "filters shrink both sides before the part join; top-100 is "
+    "TakeOrderedAndProject with a full deterministic tie-break.",
+    tags=("tpch", "r4b"),
+)
+def tpch_q02(spark, sf_dir):
+    ps = _ps_cost(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nat = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    )
+    reg = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
+    ).select("p_partkey", "p_retailprice")
+
+    eu = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_retailprice", "ps_supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2))
+                   AS ps_availqty,
+               MIN(l_extendedprice) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2),
+    nat AS (
+        SELECT ps_partkey,
+               SUM(CAST(ps_supplycost AS DECIMAL(14,2)) * ps_availqty)
+                   AS value_dec
+        FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY ps_partkey)
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM nat
+    WHERE CAST(value_dec AS DOUBLE)
+              > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.0001 FROM nat)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 important stock: per-part inventory value for one "
+    "nation's suppliers, kept when above a fraction of the nation "
+    "total. cost*qty runs entirely in DECIMAL (exact, order-free); the "
+    "threshold compares identically-derived doubles on both engines. "
+    "Spark side: the scalar total is a broadcast 1-row frame "
+    "(whitelisted BNLJ, same shape as q22's threshold). Scale: two "
+    "aggregates over the pair table, both partial-first; the nation "
+    "filter cuts the pair set ~25x before any wide operation.",
+    tags=("tpch", "r4b"),
+)
+def tpch_q11(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("ps_availqty"),
+        F.min("l_extendedprice").alias("ps_supplycost"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    )
+    vals = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost").cast("decimal(14,2)")
+                * F.col("ps_availqty")
+            ).alias("value_dec")
+        )
+    )
+    total = vals.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.0001)).alias("threshold")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                                l_suppkey AS ps_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON ps_partkey = p_partkey
+    WHERE NOT (p_brand = 'Brand#15' AND p_type = 'ECONOMY')
+      AND p_size IN (2, 5, 11, 28, 37, 44, 49, 50)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 supplier counts by part class: distinct suppliers per "
+    "(brand, type, size) excluding one brand/type combo and suppliers "
+    "on a deny list (adapted: negative account balance stands in for "
+    "the absent comment-column complaint filter; the NOT-IN subquery "
+    "shape is preserved — Spark plans it as a left-anti join). Scale: "
+    "the part filters prune before the join; COUNT(DISTINCT) expands "
+    "to a two-phase aggregate on (class, suppkey) then (class).",
+    tags=("tpch", "r4b"),
+)
+def tpch_q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    part = _t(spark, sf_dir, "part").where(
+        ~((F.col("p_brand") == "Brand#15") & (F.col("p_type") == "ECONOMY"))
+        & F.col("p_size").isin(2, 5, 11, 28, 37, 44, 49, 50)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        ps.join(bad_supp, "ps_suppkey", "left_anti")
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    WITH pairstats AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2))
+                   AS total_qty,
+               CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01'
+                              AND l_shipdate <  TIMESTAMP '2000-01-01'
+                             THEN CAST(l_quantity AS DECIMAL(14,2))
+                             ELSE CAST(0 AS DECIMAL(14,2)) END)
+                    AS DECIMAL(18,2)) AS recent_qty
+        FROM lineitem GROUP BY 1, 2),
+    excess AS (
+        SELECT DISTINCT l_suppkey
+        FROM pairstats JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND recent_qty * 2 > total_qty)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 concentrated suppliers (adapted): suppliers of 'red' "
+    "parts in one nation whose 1999 shipment quantity exceeds half "
+    "their all-time quantity for that part — the canonical "
+    "availqty-vs-half-year-demand correlation recast onto the derived "
+    "pair stats (both aggregates computed in ONE conditional-sum pass, "
+    "exact DECIMAL, no join of two aggregates). The IN subquery is a "
+    "left-semi join. Scale: single pair-key shuffle over the fact; "
+    "part/nation filters prune before joins.",
+    tags=("tpch", "r4b"),
+)
+def tpch_q20(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    recent = (
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    pairstats = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_qty"),
+        F.sum(
+            F.when(recent, F.col("l_quantity").cast("decimal(14,2)")).otherwise(
+                F.lit(0).cast("decimal(14,2)")
+            )
+        )
+        .cast("decimal(18,2)")
+        .alias("recent_qty"),
+    )
+    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    excess = (
+        pairstats.join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("recent_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    )
+    return (
+        supp.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
