@@ -167,3 +167,62 @@ def test_bucket_pruning_on_point_predicate(spark, catalog, tmp_path_factory):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS t_orders_p")
+
+
+def test_analyze_column_stats_enable_cbo_broadcast(spark, catalog, tmp_path_factory):
+    """Cost-based optimizer: with ANALYZE ... FOR ALL COLUMNS and
+    spark.sql.cbo.enabled, a selective filter's output cardinality is
+    estimated from column stats, letting the planner broadcast a join
+    side whose FILE size alone is over the broadcast threshold. Without
+    stats the same query sort-merges. This is the 100 TB reason to run
+    ANALYZE on dimension tables after load."""
+    base = tmp_path_factory.mktemp("cbo")
+    orders = catalog.table("orders")
+    li = catalog.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders.write.mode("overwrite").option("path", str(base / "o")).saveAsTable(
+        "t_orders_cbo"
+    )
+    li.write.mode("overwrite").option("path", str(base / "l")).saveAsTable(
+        "t_li_cbo"
+    )
+
+    def plan():
+        return (
+            spark.table("t_orders_cbo")
+            .filter("o_orderkey < 20")
+            .join(spark.table("t_li_cbo"), "o_orderkey")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "8192",  # below both file sizes
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.planStats.enabled": "true",
+        "spark.sql.adaptive.enabled": "false",  # isolate CBO from AQE runtime sizing
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        no_stats_plan = plan()
+        assert "SortMergeJoin" in no_stats_plan, no_stats_plan
+
+        spark.sql("ANALYZE TABLE t_orders_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql("ANALYZE TABLE t_li_cbo COMPUTE STATISTICS")
+        with_stats_plan = plan()
+        assert "BroadcastHashJoin" in with_stats_plan, with_stats_plan
+
+        # stats are recorded in the catalog
+        desc = spark.sql("DESC EXTENDED t_orders_cbo o_orderkey").collect()
+        info = {r["info_name"]: r["info_value"] for r in desc}
+        assert info.get("min") is not None and info.get("distinct_count") is not None
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS t_orders_cbo")
+        spark.sql("DROP TABLE IF EXISTS t_li_cbo")

@@ -266,3 +266,41 @@ def test_variant_agrees_with_from_json_path(spark):
         "vk", F.expr("variant_get(parse_json(props), '$.k', 'int')")
     )
     assert e.filter("prop_k IS DISTINCT FROM vk").count() == 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, catalog):
+    """DataFrame PageRank == numpy power iteration on the same edge
+    weights, to 1e-9 relative (float summation order is the only
+    difference)."""
+    from collections import defaultdict
+
+    from data_pipeline_4_online_retail_spark.operators.graph import (
+        DAMPING,
+        N_ITER,
+        copurchase_edges,
+        pagerank,
+    )
+
+    li = catalog.table("lineitem")
+    edges = copurchase_edges(li).collect()
+    nodes = sorted({r["src"] for r in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+
+    mat = defaultdict(float)
+    for r in edges:
+        mat[(idx[r["dst"]], idx[r["src"]])] = r["p"]
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - DAMPING) / n
+    for _ in range(N_ITER):
+        nxt = np.full(n, base)
+        for (d, s), p in mat.items():
+            nxt[d] += DAMPING * p * rank[s]
+        rank = nxt
+
+    got = {r["node"]: r["rank"] for r in pagerank(copurchase_edges(li)).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - rank[idx[node]]) <= 1e-9 * max(rank[idx[node]], 1e-12)
+    # ranks form a (sub)probability distribution
+    assert 0.99 <= sum(got.values()) <= 1.01
