@@ -41,6 +41,7 @@ import data_pipeline_4_online_retail_spark.operators.tpch  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.semistructured  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.retail_analytics  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.operators.graph  # noqa: E402,F401
+import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F401
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------

@@ -676,3 +676,93 @@ def ev_sketch_rollup_uniques(spark, sf_dir):
         .cast("int")
         .alias("within_bound"),
     )
+
+
+ATTRIB_LOOKBACK_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "ev_attribution_last_touch",
+    f"""
+    WITH touches AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('click', 'view')),
+    conv AS (
+        SELECT p.user_id, p.event_id, p.value, t.event_type AS touch_type,
+               t.ts AS touch_ts, p.ts AS conv_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts >= t.ts)
+    SELECT COALESCE(CASE WHEN epoch_us(CAST(conv_ts AS TIMESTAMP))
+                              - epoch_us(CAST(touch_ts AS TIMESTAMP))
+                              <= {ATTRIB_LOOKBACK_US}
+                         THEN touch_type END, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM conv
+    GROUP BY 1
+    """,
+    doc="events: last-touch attribution report — each purchase credits "
+    "the latest click/view at-or-before it for the same user, but only "
+    "within a 1-hour lookback (stale touches -> 'unattributed'). "
+    "Composition of the as-of union-window mechanism (ev_asof_join) "
+    "with the revenue aggregate: ONE user_id shuffle feeds the ordered "
+    "per-user pass, then a 3-row report aggregate. Oracle uses DuckDB's "
+    "native ASOF LEFT JOIN over the same touch set. Revenue follows the "
+    "exact-DECIMAL discipline.",
+    tags=("events", "r4b"),
+)
+def ev_attribution_last_touch(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        F.lit(0).alias("is_conv"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    convs = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(1).alias("is_conv"),
+        "event_id",
+        "value",
+    )
+    u = touches.unionByName(convs)
+    # Touches sort before conversions at identical ts (is_conv asc):
+    # a touch exactly at the purchase ts is creditable — ASOF's `>=`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_conv", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    annotated = (
+        u.withColumn(
+            "last_touch_type",
+            F.last(F.when(F.col("is_conv") == 0, F.col("touch_type")), True).over(w),
+        )
+        .withColumn(
+            "last_touch_ts",
+            F.last(F.when(F.col("is_conv") == 0, F.col("ts")), True).over(w),
+        )
+        .filter(F.col("is_conv") == 1)
+    )
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_touch_ts").cast("timestamp")
+    )
+    channel = F.coalesce(
+        F.when(gap_us <= ATTRIB_LOOKBACK_US, F.col("last_touch_type")),
+        F.lit("unattributed"),
+    )
+    return (
+        annotated.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

