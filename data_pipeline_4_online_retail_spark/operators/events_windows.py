@@ -766,3 +766,145 @@ def ev_attribution_last_touch(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+SESSIONIZE_GAP_US = 300 * 1_000_000  # 5 minutes, microsecond-exact
+
+
+@register(
+    "ev_sessionize",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSIONIZE_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tagged AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM tagged GROUP BY user_id, session_no
+    """,
+    doc="sessionization primitive: gaps-and-islands session assignment "
+    "(new session when the inter-event gap exceeds 5 min), then "
+    "per-session stats. This is the ID-ASSIGNING twin of "
+    "ev_session_window (which only aggregates): downstream feature "
+    "pipelines need the (user_id, session_no) key on every event. "
+    "Scale: one shuffle on user_id serves both window passes and the "
+    "final aggregate (same key); microsecond-exact gap arithmetic "
+    "(epoch_us / unix_micros) keeps both engines bit-identical. "
+    "Reference analogue: none (the retail pipeline has no behavioral "
+    "sessions); modeled on standard web-analytics sessionization.",
+    tags=("events", "r4c"),
+)
+def ev_sessionize(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    tagged = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > SESSIONIZE_GAP_US), 1).otherwise(0),
+    ).withColumn("session_no", F.sum("new_session").over(run))
+    return tagged.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+JOURNEY_PREFIX_LEN = 5
+
+
+@register(
+    "ev_journey_paths",
+    f"""
+    WITH seq AS (
+        SELECT user_id,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))
+                       [1:{JOURNEY_PREFIX_LEN}],
+                   '>') AS path
+        FROM events GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM seq GROUP BY path
+    """,
+    doc="user-journey path mining: each user's first five event types in "
+    "strict (ts, event_id) order joined into a path string, counted "
+    "across users — the input to funnel/Sankey analyses. Scale: "
+    "collect_list is per-user (bounded by per-user activity, never "
+    "corpus-sized) and the prefix truncation bounds the path domain; "
+    "one user_id shuffle + one path shuffle. array_sort on "
+    "struct(ts, event_id, event_type) gives the deterministic order "
+    "without a window pass.",
+    tags=("events", "r4c"),
+)
+def ev_journey_paths(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(ordered, lambda x: x["event_type"]),
+            1,
+            JOURNEY_PREFIX_LEN,
+        ),
+        ">",
+    )
+    per_user = e.groupBy("user_id").agg(path.alias("path"))
+    return per_user.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "ev_cumulative_distinct_users",
+    """
+    WITH first_day AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id),
+    per_day AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+    doc="running distinct-user growth curve via the first-touch "
+    "transform: cumulative COUNT(DISTINCT) over time rewritten as "
+    "min-day-per-user + cumulative sum of daily first-appearances. "
+    "Scale: the naive form (set union over an ever-growing window) is "
+    "unbounded-state; this form is two bounded shuffles (user_id, then "
+    "day) and the only global window runs over the DAY-level frame "
+    "(|days|, trivially small). The same transform is what streaming "
+    "dashboards use for all-time-uniques.",
+    tags=("events", "r4c"),
+)
+def ev_cumulative_distinct_users(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.withColumn(
+        "cumulative_users", F.sum("new_users").over(w).cast("long")
+    )

@@ -1148,3 +1148,33 @@ def op_recursive_cte_chain(spark, sf_dir):
     cat = load_tables(spark, sf_dir)
     cat.table("orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n JOIN LATERAL (
+    SELECT c_name, c_acctbal FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
+@register(
+    "op_lateral_join",
+    # DuckDB spells the same correlated-subquery join with comma syntax.
+    _LATERAL_TOPK_SQL.replace("JOIN LATERAL", ", LATERAL"),
+    doc="SQL LATERAL join (Spark 3.2+ correlated subquery in FROM): "
+    "top-2 customers by balance per nation, the per-row-subquery idiom "
+    "ETL authors port from Postgres/BigQuery. Catalyst rewrites the "
+    "correlated LIMIT into a partitioned window top-k (no per-row "
+    "re-execution), so the plan is the same single customer-side "
+    "shuffle as op_group_topk — the point of declaring it "
+    "declaratively instead of looping. Identical SQL text runs on "
+    "DuckDB modulo the JOIN LATERAL/comma spelling.",
+    tags=("engine", "r4c"),
+)
+def op_lateral_join(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    cat.table("nation").createOrReplaceTempView("nation")
+    cat.table("customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPK_SQL)

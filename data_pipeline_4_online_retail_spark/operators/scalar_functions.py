@@ -380,3 +380,119 @@ def op_winsorize(spark, sf_dir):
         F.max("p99").alias("p99"),
         F.min("p01").alias("p01"),
     )
+
+
+@register(
+    "op_bitmap_distinct",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS day_users
+        FROM events GROUP BY 1, 2)
+    SELECT e.event_type,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST((SELECT MAX(day_users) FROM daily d
+                 WHERE d.event_type = e.event_type) AS BIGINT)
+               AS max_daily_users
+    FROM events e GROUP BY e.event_type
+    """,
+    doc="exact distinct counting via roaring-style bitmap aggregates "
+    "(Spark 3.5 bitmap_* family) — the mergeable alternative to "
+    "COUNT(DISTINCT)'s expand-shuffle. user_id is split into "
+    "(bitmap_bucket_number, bitmap_bit_position); per (type, day, "
+    "bucket) bitmaps build map-side, merge across days with "
+    "bitmap_or_agg (LEGAL only within a bucket — OR across buckets "
+    "conflates positions; probed in-round), and per-bucket counts SUM "
+    "to the exact total because buckets partition the ID space. "
+    "Scale: daily bitmap partials are small, mergeable, and "
+    "incremental-friendly (yesterday's bitmaps never recompute) — the "
+    "same shape as Iceberg/ClickHouse bitmap rollups. Oracle is plain "
+    "COUNT(DISTINCT) double-checked by a per-day max; Spark output is "
+    "exact, not approximate.",
+    tags=("engine", "r4c"),
+)
+def op_bitmap_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_day_bucket = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    # Distinct-per-day from the same partials (reuse, not rescan), for
+    # the max-daily audit column.
+    per_day = (
+        per_day_bucket.groupBy("event_type", "day")
+        .agg(F.sum(F.bitmap_count("bm")).alias("day_users"))
+        .groupBy("event_type")
+        .agg(F.max("day_users").cast("long").alias("max_daily_users"))
+    )
+    merged = (
+        per_day_bucket.groupBy("event_type", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"))
+    )
+    return merged.join(per_day, "event_type").select(
+        "event_type", "n_users", "max_daily_users"
+    )
+
+
+@register(
+    "op_try_arithmetic",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                         THEN CAST(o_totalprice AS VARCHAR)
+                         ELSE concat('N/A:', o_orderstatus) END AS DOUBLE)
+               AS parsed_price,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE round(o_totalprice / CAST(o_orderkey % 5 AS DOUBLE), 4)
+           END AS price_per_unit,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           CAST(TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                              THEN CAST(o_totalprice AS VARCHAR)
+                              ELSE 'bad' END AS DOUBLE) IS NULL AS INTEGER)
+               AS parse_failed
+    FROM orders
+    """,
+    doc="error-safe expression family: try_cast / try_divide return NULL "
+    "on malformed input or zero divisor instead of failing the job "
+    "under ANSI mode (Spark 4 default). At 100 TB a single dirty row "
+    "must not kill a 1000-executor stage: TRY variants quarantine "
+    "row-level errors into NULLs that downstream quality gates count "
+    "(F10 failed-rows analogue). All codegen'd JVM expressions. "
+    "DuckDB oracle: TRY_CAST + explicit zero-divisor CASE (its / "
+    "already yields NULL-free doubles on the non-zero path).",
+    tags=("engine", "r4c"),
+)
+def op_try_arithmetic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dirty = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_totalprice").cast("string")
+    ).otherwise(F.concat(F.lit("N/A:"), F.col("o_orderstatus")))
+    return o.select(
+        "o_orderkey",
+        dirty.try_cast("double").alias("parsed_price"),
+        F.round(
+            F.try_divide(
+                F.col("o_totalprice"),
+                (F.col("o_orderkey") % 5).cast("double"),
+            ),
+            4,
+        ).alias("price_per_unit"),
+        F.col("o_orderstatus").try_cast("integer").alias("status_as_int"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.col("o_totalprice").cast("string"),
+        )
+        .otherwise(F.lit("bad"))
+        .try_cast("double")
+        .isNull()
+        .cast("integer")
+        .alias("parse_failed"),
+    )

@@ -214,3 +214,37 @@ def word_positions_builtin(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("idx", "word")
     )
+
+
+@register(
+    "ev_props_xml_roundtrip",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_orig,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_xml,
+           1 AS xml_roundtrip_ok
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="semi-structured: XML path (Spark 4 built-in to_xml/from_xml) — "
+    "the extracted props struct serialized to an XML fragment and "
+    "parsed back with a DDL schema, emitting the original value, the "
+    "round-tripped value, and a per-row equality flag. DuckDB has no "
+    "XML type, so the oracle derives k_xml directly from the JSON and "
+    "pins the flag at 1: the hash-compare then REQUIRES Spark's "
+    "from_xml(to_xml(x)) == x on every row — a real losslessness "
+    "check, not a tautology. Both conversions are JVM expressions "
+    "inside codegen; no shuffle at all (narrow scan->project).",
+    tags=("xml", "r4c"),
+)
+def ev_props_xml_roundtrip(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_id") < 500)
+    k = F.get_json_object("props", "$.k").cast("int")
+    xml = F.to_xml(F.struct(k.alias("k")))
+    parsed = F.from_xml(xml, "k INT")["k"]
+    return e.select(
+        "event_id",
+        k.alias("k_orig"),
+        parsed.alias("k_xml"),
+        (parsed == k).cast("int").alias("xml_roundtrip_ok"),
+    )

@@ -1,0 +1,230 @@
+"""Round-4c operators: sessionization, journey paths, cumulative
+distinct, bitmap exact-distinct, TRY arithmetic, LATERAL join, XML
+round-trip. Each test pins the property the oracle hash cannot express
+(plan shape, conservation laws, hazard demos)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_4_online_retail_spark.operators.events_windows import (
+    SESSIONIZE_GAP_US,
+    ev_cumulative_distinct_users,
+    ev_journey_paths,
+    ev_sessionize,
+)
+from data_pipeline_4_online_retail_spark.operators.relational import (
+    op_lateral_join,
+)
+from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+    op_bitmap_distinct,
+    op_try_arithmetic,
+)
+from data_pipeline_4_online_retail_spark.operators.semistructured import (
+    ev_props_xml_roundtrip,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# sessionization
+# --------------------------------------------------------------------------
+
+
+def test_sessionize_conserves_events_and_respects_gap(spark, catalog):
+    e = catalog.table("events")
+    sessions = ev_sessionize(spark, SF_DIR).collect()
+    # conservation: every event lands in exactly one session
+    assert sum(r["n_events"] for r in sessions) == e.count()
+    # session numbering starts at 1 and is dense per user
+    by_user: dict[int, list[int]] = {}
+    for r in sessions:
+        by_user.setdefault(r["user_id"], []).append(r["session_no"])
+    for nos in by_user.values():
+        assert sorted(nos) == list(range(1, len(nos) + 1))
+
+
+def test_sessionize_gap_boundary_exact():
+    """Events exactly GAP apart stay in one session; GAP+1us splits."""
+    import datetime as dt
+
+    from data_pipeline_4_online_retail_spark.session import get_spark
+
+    spark = get_spark("tests")
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(microseconds=SESSIONIZE_GAP_US)
+    one_us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, 10, t0, 1.0),
+        (2, 10, t0 + gap, 1.0),            # == gap: same session
+        (3, 10, t0 + gap + gap + one_us, 1.0),  # > gap: new session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    df.createOrReplaceTempView("events")
+    # drive the same expression pipeline via a temp catalog shim
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    out = (
+        df.withColumn(
+            "new_session",
+            F.when(gap_us.isNull() | (gap_us > SESSIONIZE_GAP_US), 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("new_session").over(run))
+        .collect()
+    )
+    sess = {r["event_id"]: r["session_no"] for r in out}
+    assert sess[1] == sess[2] == 1 and sess[3] == 2
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Window pass and final aggregate share one user_id exchange
+    (hashpartitioning(user_id) satisfies the (user_id, session_no)
+    ClusteredDistribution — subset clustering)."""
+    plan = (
+        ev_sessionize(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --------------------------------------------------------------------------
+# journey paths / cumulative distinct
+# --------------------------------------------------------------------------
+
+
+def test_journey_paths_partition_users(spark, catalog):
+    e = catalog.table("events")
+    out = ev_journey_paths(spark, SF_DIR).collect()
+    assert sum(r["n_users"] for r in out) == e.select("user_id").distinct().count()
+    # every path has at most JOURNEY_PREFIX_LEN hops
+    assert all(len(r["path"].split(">")) <= 5 for r in out)
+
+
+def test_cumulative_distinct_matches_direct(spark, catalog):
+    e = catalog.table("events")
+    out = sorted(
+        ev_cumulative_distinct_users(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    # final cumulative == all-time distinct users
+    assert out[-1]["cumulative_users"] == e.select("user_id").distinct().count()
+    # per-day cumulative == distinct users with first activity <= day
+    for row in out:
+        direct = (
+            e.filter(F.col("ts").cast("date") <= F.lit(row["day"]))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert row["cumulative_users"] == direct
+
+
+# --------------------------------------------------------------------------
+# bitmap exact distinct
+# --------------------------------------------------------------------------
+
+
+def test_bitmap_distinct_is_exact(spark, catalog):
+    e = catalog.table("events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    out = {r["event_type"]: r["n_users"] for r in op_bitmap_distinct(spark, SF_DIR).collect()}
+    assert out == exact
+
+
+def test_bitmap_or_across_buckets_is_wrong(spark, catalog):
+    """The hazard this operator's design avoids: OR-merging bitmaps of
+    DIFFERENT buckets conflates bit positions and undercounts."""
+    e = catalog.table("events")
+    wrong = (
+        e.select(
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = e.select("user_id").distinct().count()
+    # sf0.001 has user ids straddling a bucket boundary only if >1 bucket
+    n_buckets = e.select(F.bitmap_bucket_number("user_id")).distinct().count()
+    if n_buckets > 1:
+        assert wrong < exact
+    else:  # single bucket: OR is legal and exact
+        assert wrong == exact
+
+
+# --------------------------------------------------------------------------
+# TRY arithmetic
+# --------------------------------------------------------------------------
+
+
+def test_try_arithmetic_null_pattern(spark):
+    rows = op_try_arithmetic(spark, SF_DIR).collect()
+    assert rows, "empty orders?"
+    for r in rows:
+        if r["o_orderkey"] % 3 == 0:
+            assert r["parsed_price"] is not None and r["parse_failed"] == 0
+        else:
+            assert r["parsed_price"] is None and r["parse_failed"] == 1
+        assert (r["price_per_unit"] is None) == (r["o_orderkey"] % 5 == 0)
+        assert r["status_as_int"] is None  # status letters never parse
+
+
+# --------------------------------------------------------------------------
+# LATERAL join
+# --------------------------------------------------------------------------
+
+
+def test_lateral_join_equals_window_topk_and_no_cartesian(spark, catalog):
+    out = op_lateral_join(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {(r["n_name"], r["c_name"]) for r in out.collect()}
+    # independent derivation via window top-k
+    from pyspark.sql.window import Window
+
+    c, n = catalog.table("customer"), catalog.table("nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_name")
+    )
+    expect = {
+        (r["n_name"], r["c_name"])
+        for r in c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .collect()
+    }
+    assert rows == expect
+
+
+# --------------------------------------------------------------------------
+# XML round-trip
+# --------------------------------------------------------------------------
+
+
+def test_xml_roundtrip_lossless(spark):
+    rows = ev_props_xml_roundtrip(spark, SF_DIR).collect()
+    assert rows and all(r["xml_roundtrip_ok"] == 1 for r in rows)
+    assert all(r["k_xml"] == r["k_orig"] for r in rows)
+
+
+def test_xml_negative_and_null_values(spark):
+    """from_xml(to_xml(x)) survives negatives and NULL fields."""
+    df = spark.createDataFrame([(-5,), (None,)], "k int")
+    out = df.select(
+        F.from_xml(F.to_xml(F.struct(F.col("k"))), "k INT")["k"].alias("back"),
+        "k",
+    ).collect()
+    assert all(r["back"] == r["k"] for r in out)
