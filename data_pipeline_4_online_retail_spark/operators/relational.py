@@ -1178,3 +1178,89 @@ def op_lateral_join(spark, sf_dir):
     cat.table("nation").createOrReplaceTempView("nation")
     cat.table("customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "op_sequence_gaps",
+    """
+    WITH present AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 3),
+    edges AS (
+        SELECT o_orderkey AS gap_after,
+               lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+        FROM present)
+    SELECT gap_after, next_key,
+           CAST(next_key - gap_after - 1 AS BIGINT) AS n_missing
+    FROM edges
+    WHERE next_key - gap_after > 1
+    """,
+    doc="data-quality: sequence-gap detection over an id column — "
+    "lead() per ordered key, report (gap_after, next_key, n_missing) "
+    "for every hole. The %7 filter synthesizes deterministic holes in "
+    "the dense fixture keyspace so the operator has work to do. "
+    "Scale: the global lead() window is the textbook case for "
+    "RANGE-partitioned windows — Spark's WindowExec sorts within "
+    "range-partitioned chunks and only adjacent-boundary rows need the "
+    "single-row tail exchange; in practice run per partition-key "
+    "(day/shard) as ops teams do. Output is O(holes), not O(rows).",
+    tags=("quality", "r4c"),
+)
+def op_sequence_gaps(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 3)
+    w = Window.orderBy("o_orderkey")
+    edges = o.select(
+        F.col("o_orderkey").alias("gap_after"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+    return edges.filter(F.col("next_key") - F.col("gap_after") > 1).select(
+        "gap_after",
+        "next_key",
+        (F.col("next_key") - F.col("gap_after") - 1)
+        .cast("long")
+        .alias("n_missing"),
+    )
+
+
+@register(
+    "op_checksum_table",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(o_orderdate AS VARCHAR),
+               o_orderpriority)), 1, 15) AS BIGINT)) AS checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="data-quality: engine-portable table checksum — each row's "
+    "canonical string (decimals rendered with fixed scale; doubles "
+    "never stringified raw, the scientific-notation trap) md5-hashes "
+    "to a 60-bit fingerprint and XOR-folds per group. XOR is "
+    "commutative/associative with no overflow, so the checksum is "
+    "partition-layout-independent (pytest re-derives it under a "
+    "different repartitioning) and map-side combinable — the shape "
+    "migration validators use to compare a 100 TB table across "
+    "engines without moving rows. Spark conv(hex,16,10) == DuckDB "
+    "CAST('0x…'), both exact at 15 hex digits.",
+    tags=("quality", "r4c"),
+)
+def op_checksum_table(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    fp = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(fp).alias("checksum"),
+    )

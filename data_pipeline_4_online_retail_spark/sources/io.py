@@ -205,3 +205,29 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row") -> None:
+    """XML sink (Spark 4 built-in spark-xml): one <row_tag> element per
+    record. Interchange shape for feeds that still speak XML (finance,
+    gov registries). Writes are partition-parallel like any file sink."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    *,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML source. Pass a DDL schema in production for the same reasons
+    as read_jsonl (inference is a full extra pass; type drift re-types
+    columns); malformed elements go PERMISSIVE-null rather than failing
+    the job. Column pruning applies; predicate pushdown does not exist
+    for XML -- filters run post-parse, so convert hot XML feeds to
+    parquet at the ingest edge."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -228,3 +228,126 @@ def test_xml_negative_and_null_values(spark):
         "k",
     ).collect()
     assert all(r["back"] == r["k"] for r in out)
+
+
+# --------------------------------------------------------------------------
+# sequence gaps / checksum
+# --------------------------------------------------------------------------
+
+
+def test_sequence_gaps_match_synthesized_holes(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_sequence_gaps,
+    )
+
+    keys = sorted(
+        r["o_orderkey"]
+        for r in catalog.table("orders")
+        .filter(F.col("o_orderkey") % 7 != 3)
+        .select("o_orderkey")
+        .collect()
+    )
+    expect = [
+        (a, b, b - a - 1)
+        for a, b in zip(keys, keys[1:])
+        if b - a > 1
+    ]
+    got = sorted(
+        (r["gap_after"], r["next_key"], r["n_missing"])
+        for r in op_sequence_gaps(spark, SF_DIR).collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_checksum_is_partition_layout_invariant(spark, catalog):
+    """XOR-fold checksums must not depend on row order or partitioning —
+    the property that lets two engines compare tables without sorting."""
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_checksum_table,
+    )
+    from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+    base = {
+        r["o_orderstatus"]: (r["n_rows"], r["checksum"])
+        for r in op_checksum_table(spark, SF_DIR).collect()
+    }
+    o = catalog.table("orders").repartition(13, "o_custkey")
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    fp = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    relaid = {
+        r["o_orderstatus"]: (r["n_rows"], r["checksum"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.bit_xor(fp).alias("checksum"))
+        .collect()
+    }
+    assert base == relaid
+
+
+def test_checksum_detects_single_value_change(spark, catalog):
+    """Flipping one cent in one row must change exactly that group's
+    checksum and no other."""
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_checksum_table,
+    )
+
+    base = {
+        r["o_orderstatus"]: r["checksum"]
+        for r in op_checksum_table(spark, SF_DIR).collect()
+    }
+    o = catalog.table("orders")
+    first = o.orderBy("o_orderkey").first()
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == first["o_orderkey"],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    payload = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    fp = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    mut = {
+        r["o_orderstatus"]: r["checksum"]
+        for r in mutated.groupBy("o_orderstatus")
+        .agg(F.bit_xor(fp).alias("checksum"))
+        .collect()
+    }
+    diff = {k for k in base if base[k] != mut[k]}
+    assert diff == {first["o_orderstatus"]}
+
+
+# --------------------------------------------------------------------------
+# XML file source
+# --------------------------------------------------------------------------
+
+
+def test_xml_file_roundtrip(spark, catalog, tmp_path_factory):
+    from data_pipeline_4_online_retail_spark.sources.io import (
+        read_xml,
+        write_xml,
+    )
+
+    d = str(tmp_path_factory.mktemp("xmlio") / "nation")
+    n = catalog.table("nation")
+    write_xml(n, d)
+    back = read_xml(
+        spark, d, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+    # inference path agrees on the row count
+    assert read_xml(spark, d).count() == n.count()
