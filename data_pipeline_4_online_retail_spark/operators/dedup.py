@@ -1024,3 +1024,68 @@ def dedup_semantic_within_label_fast(spark, sf_dir):
     return e.groupBy("label").applyInPandas(
         per_label, "label int, vec_a long, vec_b long"
     )
+
+
+URL_SHARD_MOD = 100
+
+
+@register(
+    "dedup_url_canonicalize",
+    f"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/a/'
+                   || CAST(doc_id % {URL_SHARD_MOD} AS VARCHAR)
+                   || '?utm_campaign=' || lang || '&sess='
+                   || CAST(doc_id AS VARCHAR) AS url,
+               'https://' || source || '.example.com/a/'
+                   || CAST(doc_id % {URL_SHARD_MOD} AS VARCHAR) AS canonical
+        FROM documents)
+    SELECT canonical AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keeper_doc_id
+    FROM urls
+    GROUP BY canonical
+    HAVING COUNT(*) > 1
+    """,
+    doc="curation: URL canonicalization dedup — the Common-Crawl-style "
+    "first pass that collapses recrawls of one article reached under "
+    "different tracking junk. Synthetic URLs are derived "
+    "deterministically from documents (source/host, doc_id%{mod} "
+    "article path, utm/sess noise in the query string); Spark strips "
+    "to scheme://host/path with parse_url (HOST + PATH, JVM codegen) "
+    "and keeps the lowest doc_id per canonical URL. The oracle builds "
+    "the canonical form arithmetically — so the hash-compare verifies "
+    "parse_url extracts exactly scheme/host/path and drops query+"
+    "fragment. Scale: pure map-side canonicalization + one canonical-"
+    "key shuffle; output O(duplicated URLs). Reference analogue: none "
+    "(retail CSV has no URLs); modeled on CCNet/RefinedWeb pipelines.",
+    tags=("dedup", "curation", "r4c"),
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir).table("documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/a/"),
+        (F.col("doc_id") % URL_SHARD_MOD).cast("string"),
+        F.lit("?utm_campaign="),
+        F.col("lang"),
+        F.lit("&sess="),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.parse_url("url", F.lit("HOST")),
+        F.parse_url("url", F.lit("PATH")),
+    )
+    return (
+        with_url.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

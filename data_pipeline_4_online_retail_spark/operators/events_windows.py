@@ -908,3 +908,109 @@ def ev_cumulative_distinct_users(spark, sf_dir):
     return per_day.withColumn(
         "cumulative_users", F.sum("new_users").over(w).cast("long")
     )
+
+
+@register(
+    "ev_ab_test_metrics",
+    """
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN CAST('0x' || substr(md5('exp1:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(CASE WHEN arg_min(event_type,
+                        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                        lpad(CAST(event_id AS VARCHAR), 12, '0')) = 'purchase'
+                    THEN 1 ELSE 0 END AS BIGINT) AS converted
+        FROM events GROUP BY user_id),
+    per_variant AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM assign GROUP BY variant)
+    SELECT a.n_users AS n_a, a.n_converted AS conv_a,
+           b.n_users AS n_b, b.n_converted AS conv_b,
+           CAST(a.n_converted AS DOUBLE) / CAST(a.n_users AS DOUBLE) AS rate_a,
+           CAST(b.n_converted AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS rate_b,
+           (CAST(a.n_converted AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+            - CAST(b.n_converted AS DOUBLE) / CAST(b.n_users AS DOUBLE))
+           / sqrt(
+               (CAST(a.n_converted + b.n_converted AS DOUBLE)
+                / CAST(a.n_users + b.n_users AS DOUBLE))
+               * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE)
+                      / CAST(a.n_users + b.n_users AS DOUBLE))
+               * (1.0 / CAST(a.n_users AS DOUBLE)
+                  + 1.0 / CAST(b.n_users AS DOUBLE))) AS z_score
+    FROM (SELECT * FROM per_variant WHERE variant = 'A') a
+    CROSS JOIN (SELECT * FROM per_variant WHERE variant = 'B') b
+    """,
+    doc="experimentation: A/B-test readout — users assigned to variants "
+    "by salted-md5 hash (deterministic, uniform, engine-portable via "
+    "the conv/'0x' 60-bit parse), per-user conversion = FIRST event is "
+    "a purchase (min_by/arg_min on a padded (epoch_us, event_id) sort "
+    "key — 'any purchase' saturates at 100%% on active users and "
+    "degenerates the z-test, found in-round at sf0.001), "
+    "then the two-proportion pooled z-score. Every float derives from "
+    "four integers through IEEE-exact ops (division, sqrt correctly "
+    "rounded), so both engines hash-match bit-exactly without "
+    "rounding. Scale: one user_id shuffle + a 2-row variant aggregate; "
+    "the final cross join is 1x1. The salted-hash assignment is the "
+    "production shape (stable across sessions, no assignment table).",
+    tags=("events", "experiment", "r4c"),
+)
+def ev_ab_test_metrics(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    order_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    assign = e.groupBy("user_id").agg(
+        (F.min_by("event_type", order_key) == "purchase")
+        .cast("long")
+        .alias("converted")
+    ).select(
+        F.when(bucket % 2 == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    pv = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = pv.filter(F.col("variant") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a")
+    )
+    b = pv.filter(F.col("variant") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        ((rate_a - rate_b) / se).alias("z_score"),
+    )

@@ -1264,3 +1264,57 @@ def op_checksum_table(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(fp).alias("checksum"),
     )
+
+
+@register(
+    "op_date_spine",
+    """
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders)
+    SELECT CAST(d AS DATE) AS day,
+           CAST(EXTRACT(year FROM d) AS INTEGER) AS year,
+           CAST(EXTRACT(quarter FROM d) AS INTEGER) AS quarter,
+           CAST(EXTRACT(month FROM d) AS INTEGER) AS month,
+           CAST(EXTRACT(day FROM d) AS INTEGER) AS day_of_month,
+           CAST(isodow(d) AS INTEGER) AS iso_dow,
+           CAST(d = date_trunc('month', d) AS INTEGER) AS is_month_start,
+           CAST(d = last_day(CAST(d AS DATE)) AS INTEGER) AS is_month_end
+    FROM bounds, LATERAL (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d)
+    """,
+    doc="calendar generation: the dbt-utils date_spine idiom — a dense "
+    "day dimension spanning the fact's date range, generated with "
+    "sequence()+explode (no source rows needed, unlike the reference's "
+    "dim_datetime which only contains OBSERVED datetimes — "
+    "include/model/dim_datetime.sql — and therefore has holes that "
+    "break rolling-window joins). Attributes use engine-portable "
+    "definitions (ISO day-of-week via weekday+1 / isodow; month "
+    "boundaries via date_trunc/last_day). Scale: the spine is "
+    "O(days) — generated at the driver-free expression level and "
+    "broadcastable to any fact join.",
+    tags=("calendar", "r4c"),
+)
+def op_date_spine(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    d = F.col("day")
+    return days.select(
+        d,
+        F.year(d).cast("integer").alias("year"),
+        F.quarter(d).cast("integer").alias("quarter"),
+        F.month(d).cast("integer").alias("month"),
+        F.dayofmonth(d).cast("integer").alias("day_of_month"),
+        (F.weekday(d) + 1).cast("integer").alias("iso_dow"),
+        (d == F.date_trunc("month", d).cast("date"))
+        .cast("integer")
+        .alias("is_month_start"),
+        (d == F.last_day(d)).cast("integer").alias("is_month_end"),
+    )

@@ -1145,15 +1145,36 @@ def tpch_q02(spark, sf_dir):
     "nation's suppliers, kept when above a fraction of the nation "
     "total. cost*qty runs entirely in DECIMAL (exact, order-free); the "
     "threshold compares identically-derived doubles on both engines. "
-    "Spark side: the scalar total is a broadcast 1-row frame "
-    "(whitelisted BNLJ, same shape as q22's threshold). Scale: two "
-    "aggregates over the pair table, both partial-first; the nation "
-    "filter cuts the pair set ~25x before any wide operation.",
+    "Spark side: the nation filter pushes below the pair aggregation "
+    "as a broadcast semi-join on l_suppkey (pair-preserving), and the "
+    "scalar total is a global window over the per-part frame — one "
+    "pass, no recompute fork, no BNLJ. Scale: the wide groupBy reads "
+    "~1/25th of lineitem; the only global window runs over |parts| "
+    "rows.",
     tags=("tpch", "r4b"),
 )
 def tpch_q11(spark, sf_dir):
+    # Perf shape (measured in-round: 4.5s -> see NOTES_r4): (1) the
+    # nation filter pushes BELOW the pair aggregation as a broadcast
+    # semi-join on l_suppkey — legal because each (partkey, suppkey)
+    # pair has a single supplier, so dropping other nations' rows never
+    # splits a pair; the wide groupBy then reads ~1/25th of lineitem.
+    # (2) the threshold comes from a global window over the per-part
+    # frame (|parts| rows, one small single-partition pass — the q15
+    # idiom) instead of an agg fork + crossJoin, which recomputed the
+    # whole pair aggregation twice.
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.groupBy(
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    )
+    nat_supp = supp.join(
+        nat, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey")
+    li_nat = li.join(
+        F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+    )
+    ps = li_nat.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
@@ -1162,26 +1183,17 @@ def tpch_q11(spark, sf_dir):
         .alias("ps_availqty"),
         F.min("l_extendedprice").alias("ps_supplycost"),
     )
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = F.broadcast(
-        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    vals = ps.groupBy("ps_partkey").agg(
+        F.sum(
+            F.col("ps_supplycost").cast("decimal(14,2)") * F.col("ps_availqty")
+        ).alias("value_dec")
     )
-    vals = (
-        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
-        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("ps_partkey")
-        .agg(
-            F.sum(
-                F.col("ps_supplycost").cast("decimal(14,2)")
-                * F.col("ps_availqty")
-            ).alias("value_dec")
-        )
-    )
-    total = vals.agg(
-        (F.sum("value_dec").cast("double") * F.lit(0.0001)).alias("threshold")
+    threshold = (
+        F.sum("value_dec").over(Window.partitionBy()).cast("double")
+        * F.lit(0.0001)
     )
     return (
-        vals.crossJoin(F.broadcast(total))
+        vals.withColumn("threshold", threshold)
         .where(F.col("value_dec").cast("double") > F.col("threshold"))
         .select(
             "ps_partkey", F.col("value_dec").cast("double").alias("part_value")

@@ -341,3 +341,63 @@ def incremental_agg_merge(
             ).alias(c)
         )
     return merged.select(*cols)
+
+
+@register(
+    "wh_foreign_key_check",
+    """
+    WITH checks AS (
+        SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'orders->customer@partial-load',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders o LEFT JOIN
+             (SELECT * FROM customer WHERE c_custkey % 50 <> 7) c
+          ON o.o_custkey = c.c_custkey)
+    SELECT fk, n_child, n_orphans,
+           CAST(n_orphans = 0 AS INTEGER) AS ok
+    FROM checks
+    """,
+    doc="warehouse QA: referential-integrity audit — orphan counts per "
+    "foreign-key edge via LEFT joins (the dbt `relationships` test "
+    "shape; reference's Soda checks F10/F11 stop at nulls/schema). The "
+    "third row re-checks orders against a deliberately partial customer "
+    "snapshot (every 50th key withheld) so the NONZERO path is "
+    "exercised, not just asserted clean. Scale: each edge is one keyed "
+    "shuffle (or broadcast when the parent is dim-sized); counts "
+    "combine map-side. Output is O(edges).",
+    tags=("warehouse", "quality", "r4c"),
+)
+def wh_foreign_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), cat.table("customer")
+
+    def edge(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        j = child.join(parent, child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(parent[pk].isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    partial = c.filter(F.col("c_custkey") % 50 != 7)
+    out = (
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(edge(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(
+            edge(o, "o_custkey", partial, "c_custkey", "orders->customer@partial-load")
+        )
+    )
+    return out.withColumn("ok", (F.col("n_orphans") == 0).cast("integer"))

@@ -351,3 +351,104 @@ def test_xml_file_roundtrip(spark, catalog, tmp_path_factory):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
     # inference path agrees on the row count
     assert read_xml(spark, d).count() == n.count()
+
+
+# --------------------------------------------------------------------------
+# FK audit / URL dedup / A/B metrics / date spine
+# --------------------------------------------------------------------------
+
+
+def test_fk_check_real_edges_clean_synthetic_edge_dirty(spark):
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        wh_foreign_key_check,
+    )
+
+    rows = {r["fk"]: r for r in wh_foreign_key_check(spark, SF_DIR).collect()}
+    assert rows["lineitem->orders"]["n_orphans"] == 0
+    assert rows["lineitem->orders"]["ok"] == 1
+    assert rows["orders->customer"]["n_orphans"] == 0
+    dirty = rows["orders->customer@partial-load"]
+    assert dirty["n_orphans"] > 0 and dirty["ok"] == 0
+
+
+def test_url_canonicalize_groups_match_arithmetic(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        URL_SHARD_MOD,
+        dedup_url_canonicalize,
+    )
+
+    docs = catalog.table("documents").select("doc_id", "source").collect()
+    groups: dict[tuple, list[int]] = {}
+    for r in docs:
+        groups.setdefault((r["source"], r["doc_id"] % URL_SHARD_MOD), []).append(
+            r["doc_id"]
+        )
+    expect = {
+        (f"https://{src}.example.com/a/{shard}", len(ids), min(ids))
+        for (src, shard), ids in groups.items()
+        if len(ids) > 1
+    }
+    got = {
+        (r["canonical_url"], r["n_dups"], r["keeper_doc_id"])
+        for r in dedup_url_canonicalize(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_ab_metrics_match_python_replica(spark, catalog):
+    import hashlib
+    import math
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_ab_test_metrics,
+    )
+
+    events = catalog.table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    first: dict[int, tuple] = {}
+    for r in events:
+        k = (r["ts"], r["event_id"])
+        if r["user_id"] not in first or k < first[r["user_id"]][0]:
+            first[r["user_id"]] = (k, r["event_type"])
+    conv = {uid: (1 if et == "purchase" else 0) for uid, (_, et) in first.items()}
+    stats = {"A": [0, 0], "B": [0, 0]}
+    for uid, c in conv.items():
+        h = int(hashlib.md5(f"exp1:{uid}".encode()).hexdigest()[:15], 16)
+        v = "A" if h % 2 == 0 else "B"
+        stats[v][0] += 1
+        stats[v][1] += c
+    (n_a, conv_a), (n_b, conv_b) = stats["A"], stats["B"]
+    row = ev_ab_test_metrics(spark, SF_DIR).collect()[0]
+    assert (row["n_a"], row["conv_a"], row["n_b"], row["conv_b"]) == (
+        n_a,
+        conv_a,
+        n_b,
+        conv_b,
+    )
+    pooled = (conv_a + conv_b) / (n_a + n_b)
+    se = math.sqrt(pooled * (1 - pooled) * (1 / n_a + 1 / n_b))
+    z = (conv_a / n_a - conv_b / n_b) / se
+    assert row["z_score"] == z  # bit-exact IEEE chain
+
+
+def test_date_spine_dense_and_correct(spark, catalog):
+    import datetime as dt
+
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_date_spine,
+    )
+
+    rows = sorted(op_date_spine(spark, SF_DIR).collect(), key=lambda r: r["day"])
+    o = catalog.table("orders")
+    lo = o.agg(F.min(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    hi = o.agg(F.max(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    assert rows[0]["day"] == lo and rows[-1]["day"] == hi
+    # dense: no holes, exactly (hi-lo)+1 days
+    assert len(rows) == (hi - lo).days + 1
+    for r in rows:
+        d: dt.date = r["day"]
+        assert r["iso_dow"] == d.isoweekday()
+        assert r["is_month_start"] == (1 if d.day == 1 else 0)
+        nxt = d + dt.timedelta(days=1)
+        assert r["is_month_end"] == (1 if nxt.month != d.month else 0)

@@ -102,7 +102,8 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "sim_knn_classify",  # same broadcast Q-row query batch
         "text_dsir_weights",  # broadcast 1-row target/raw token totals
         "tpch_q22",  # broadcast 1-row avg-acctbal threshold (scalar subquery)
-        "tpch_q11",  # broadcast 1-row nation-total threshold (scalar subquery)
+        # (tpch_q11 left the list in-round: its threshold is now a global
+        # window over the per-part frame, no BNLJ remains)
         # documented inequality joins
         "dedup_embedding_cosine",  # the explicit O(n^2) verification
         # baseline (vec_id < vec_id is its only condition); production
