@@ -984,3 +984,111 @@ def test_scd2_sink_streaming_end_to_end(spark, catalog, tmp_path_factory):
     got = read_scd2_snapshot(spark, store)
     want = wh_scd2_build(spark, "/root/testdata/sf0.001")
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_tws_sessionize_matches_batch(spark, catalog, tmp_path_factory):
+    """The transformWithState sessionizer's state machine == batch
+    ev_sessionize on CLOSED sessions, events delivered over three
+    ts-ordered micro-batches so sessions spanning a batch boundary
+    exercise cross-batch state carry-over.
+
+    google.protobuf is absent in this container, so the Python runner
+    for transformWithState cannot start (pinned below); the state
+    machine is exercised through fold_session_rows — the EXACT function
+    the deployed processor folds with — over the same 3-batch feed."""
+    import pandas as pd
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_sessionize,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.tws import (
+        fold_session_rows,
+        protobuf_available,
+        session_row,
+        sessionize_stream,
+    )
+
+    ev = catalog.table("events").select("user_id", "event_id", "ts", "value")
+    rows = ev.collect()
+    lo = min(r["ts"] for r in rows)
+    hi = max(r["ts"] for r in rows)
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+
+    # replica of the micro-batch feed: 3 ts-ordered batches, each sorted
+    # by (ts, event_id) per user as the processor does
+    state: dict[int, tuple | None] = {}
+    emitted: list[tuple] = []
+    for i in range(3):
+        if i < 2:
+            batch = [r for r in rows if bounds[i] <= r["ts"] < bounds[i + 1]]
+        else:
+            batch = [r for r in rows if bounds[i] <= r["ts"] <= bounds[i + 1]]
+        per_user: dict[int, list] = {}
+        for r in sorted(batch, key=lambda r: (r["ts"], r["event_id"])):
+            per_user.setdefault(r["user_id"], []).append(
+                (
+                    int(pd.Timestamp(r["ts"]).value // 1000),
+                    int(round(r["value"] * 100)),
+                )
+            )
+        for uid, pairs in per_user.items():
+            cur, closed = fold_session_rows(state.get(uid), pairs)
+            state[uid] = cur
+            emitted.extend(session_row(uid, s) for s in closed)
+
+    got = sorted(emitted)
+
+    from pyspark.sql.window import Window as W
+
+    batch_out = ev_sessionize(spark, "/root/testdata/sf0.001")
+    closed_batch = batch_out.withColumn(
+        "is_last",
+        F.col("session_no")
+        == F.max("session_no").over(W.partitionBy("user_id")),
+    ).filter(~F.col("is_last"))
+    cols = [
+        "user_id",
+        "session_no",
+        "session_start",
+        "n_events",
+        "duration_us",
+        "total_value",
+    ]
+    expect = sorted(
+        (
+            r["user_id"],
+            r["session_no"],
+            pd.Timestamp(r["session_start"]),
+            r["n_events"],
+            r["duration_us"],
+            r["total_value"],
+        )
+        for r in closed_batch.collect()
+    )
+    assert got == expect
+    assert len(got) > 0  # sessions actually close across the feed
+
+    # every user's open tail session is still in state, matching the
+    # batch op's per-user max session
+    last_batch = {
+        r["user_id"]: (r["session_no"], r["n_events"])
+        for r in batch_out.withColumn(
+            "is_last",
+            F.col("session_no")
+            == F.max("session_no").over(W.partitionBy("user_id")),
+        )
+        .filter("is_last")
+        .collect()
+    }
+    assert {u: (s[0], s[3]) for u, s in state.items()} == last_batch
+
+    # the env guard is honest: without protobuf the wiring refuses
+    # loudly instead of crashing the stream runner mid-query
+    if not protobuf_available():
+        import pytest as _pytest
+
+        stream = spark.readStream.schema(
+            "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+        ).parquet("/root/testdata/sf0.001/events.parquet")
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            sessionize_stream(stream)
