@@ -71,6 +71,12 @@ EXTRA = [
     "wh_snapshot_diff",
     "ev_resample_interpolate",
     "text_dsir_stats",
+    # round-4c additions (again: per-query timings comparable, the
+    # extra_total_sec is not comparable to earlier rounds)
+    "ev_sessionize",
+    "ev_journey_paths",
+    "op_bitmap_distinct",
+    "dedup_url_canonicalize",
 ]
 
 # Round-4 (cont.) classic-warehouse tier — timed separately so headline
