@@ -1014,3 +1014,53 @@ def ev_ab_test_metrics(spark, sf_dir):
         rate_b.alias("rate_b"),
         ((rate_a - rate_b) / se).alias("z_score"),
     )
+
+
+DWELL_CAP_US = 1800 * 1_000_000  # 30 min: tab-abandonment cap
+
+
+@register(
+    "ev_dwell_time",
+    f"""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dwell_us
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(dwell_us) AS BIGINT) AS n_dwells,
+           CAST(SUM(LEAST(dwell_us, {DWELL_CAP_US})) AS BIGINT)
+               AS total_dwell_us,
+           CAST(SUM(CASE WHEN dwell_us > {DWELL_CAP_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped
+    FROM gaps
+    WHERE dwell_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="engagement: dwell time per event = gap to the user's next event "
+    "(lead), capped at 30 min so abandoned tabs don't dominate — the "
+    "standard web-analytics screen-time estimator. Each user's last "
+    "event has no successor and is excluded (counted implicitly by "
+    "n_events - n_dwells). All integer microsecond arithmetic: "
+    "hash-exact across engines. Scale: one user_id shuffle for the "
+    "lead pass, then a tiny event_type aggregate; no state beyond the "
+    "window sort.",
+    tags=("events", "r4c"),
+)
+def ev_dwell_time(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dwell = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    gaps = e.select("event_type", dwell.alias("dwell_us")).filter(
+        F.col("dwell_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("dwell_us").alias("n_dwells"),
+        F.sum(F.least(F.col("dwell_us"), F.lit(DWELL_CAP_US)))
+        .cast("long")
+        .alias("total_dwell_us"),
+        F.sum(F.when(F.col("dwell_us") > DWELL_CAP_US, 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+    )

@@ -1318,3 +1318,79 @@ def op_date_spine(spark, sf_dir):
         .alias("is_month_start"),
         (d == F.last_day(d)).cast("integer").alias("is_month_end"),
     )
+
+
+@register(
+    "op_percent_change_mom",
+    """
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1, 2)
+    SELECT year, month, revenue,
+           (revenue - lag(revenue) OVER (ORDER BY year, month))
+               / lag(revenue) OVER (ORDER BY year, month) AS mom_change
+    FROM monthly
+    """,
+    doc="BI staple: month-over-month revenue change — DECIMAL-exact "
+    "monthly sums cast to double, then a lag ratio. The division "
+    "consumes two identically-derived doubles, so the result is "
+    "IEEE-identical on both engines without rounding (first month's "
+    "change is NULL). Scale: the global window runs over the MONTH "
+    "frame (|months| rows) after the aggregate — the one place an "
+    "unpartitioned window is the right call.",
+    tags=("analytics", "r4c"),
+)
+def op_percent_change_mom(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("integer").alias("year"),
+        F.month("o_orderdate").cast("integer").alias("month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("year", "month")
+    prev = F.lag("revenue").over(w)
+    return monthly.withColumn("mom_change", (F.col("revenue") - prev) / prev)
+
+
+HIST_BIN_WIDTH = 25_000.0
+
+
+@register(
+    "op_histogram_fixed_bins",
+    f"""
+    SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT)
+               * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+           CAST((CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) + 1)
+               * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="profiling: fixed-width histogram — floor(x/width) bin ids with "
+    "explicit edges. One IEEE-exact division + floor per row (identical "
+    "on both engines), then a bins-sized aggregate: the map-side "
+    "combine reduces every partition to at most |bins| rows, so the "
+    "shuffle is O(bins x partitions) regardless of table size — why "
+    "fixed-bin histograms beat exact percentiles for dashboard-scale "
+    "profiling (op_percentiles_approx covers the adaptive case).",
+    tags=("profiling", "r4c"),
+)
+def op_histogram_fixed_bins(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("long")
+    return (
+        o.select(
+            b.alias("bin"),
+            (b * HIST_BIN_WIDTH).alias("bin_lo"),
+            ((b + 1) * HIST_BIN_WIDTH).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

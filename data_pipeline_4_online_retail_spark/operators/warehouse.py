@@ -401,3 +401,91 @@ def wh_foreign_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.withColumn("ok", (F.col("n_orphans") == 0).cast("integer"))
+
+
+_SCD2_VERSIONS_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               CAST(SUM(is_change) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS version_id
+        FROM ordered),
+    versions AS (
+        SELECT user_id, version_id, MIN(event_type) AS attr,
+               MIN(ts) AS valid_from
+        FROM runs GROUP BY user_id, version_id),
+    dim AS (
+        SELECT user_id, version_id, attr, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY version_id) AS valid_to
+        FROM versions)
+"""
+
+
+@register(
+    "wh_scd2_asof_join",
+    _SCD2_VERSIONS_SQL
+    + """
+    SELECT f.event_id, f.user_id, f.ts, d.version_id,
+           d.attr AS dim_attr_asof
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    doc="warehouse: fact-to-SCD2 as-of join — every purchase event picks "
+    "the dimension version VALID AT ITS TIMESTAMP (the entire point of "
+    "keeping Type-2 history; wh_pit_snapshot is the other direction, "
+    "reconstructing the whole dim at one instant). Implementation is "
+    "the scale shape: an EQUI-join on user_id with the validity range "
+    "as residual predicates — a hash join with bounded per-key version "
+    "fan-out, never an interval cross product; intervals partition "
+    "each user's timeline so exactly one version matches per fact row "
+    "(pytest-pinned). Versions come from the same gaps-and-islands "
+    "build as wh_scd2_build.",
+    tags=("warehouse", "r4c"),
+)
+def wh_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    is_change = F.when(
+        lagged.isNull() | (lagged != F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.withColumn(
+        "version_id",
+        F.sum(is_change).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = runs.groupBy("user_id", "version_id").agg(
+        F.min("event_type").alias("attr"),
+        F.min("ts").alias("valid_from"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version_id")
+    dim = versions.withColumn("valid_to", F.lead("valid_from").over(wv))
+
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("f_user_id"), "ts"
+    )
+    cond = (
+        (facts.f_user_id == dim.user_id)
+        & (dim.valid_from <= facts.ts)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to))
+    )
+    return facts.join(dim, cond).select(
+        "event_id",
+        F.col("f_user_id").alias("user_id"),
+        "ts",
+        "version_id",
+        F.col("attr").alias("dim_attr_asof"),
+    )

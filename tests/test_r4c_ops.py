@@ -452,3 +452,65 @@ def test_date_spine_dense_and_correct(spark, catalog):
         assert r["is_month_start"] == (1 if d.day == 1 else 0)
         nxt = d + dt.timedelta(days=1)
         assert r["is_month_end"] == (1 if nxt.month != d.month else 0)
+
+
+# --------------------------------------------------------------------------
+# SCD2 as-of join / dwell / MoM / histogram
+# --------------------------------------------------------------------------
+
+
+def test_scd2_asof_join_exactly_one_version_per_fact(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        wh_scd2_asof_join,
+    )
+
+    e = catalog.table("events")
+    n_purchases = e.filter(F.col("event_type") == "purchase").count()
+    out = wh_scd2_asof_join(spark, SF_DIR).collect()
+    # intervals partition each user's timeline: exactly one match per fact
+    assert len(out) == n_purchases
+    assert len({r["event_id"] for r in out}) == n_purchases
+    # a purchase's covering version IS a purchase run — self-consistency
+    # of the gaps-and-islands build and the as-of predicate
+    assert all(r["dim_attr_asof"] == "purchase" for r in out)
+
+
+def test_dwell_time_conservation(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_dwell_time,
+    )
+
+    e = catalog.table("events")
+    out = ev_dwell_time(spark, SF_DIR).collect()
+    n_users = e.select("user_id").distinct().count()
+    # every event except each user's last contributes one dwell
+    assert sum(r["n_dwells"] for r in out) == e.count() - n_users
+    assert all(r["total_dwell_us"] >= 0 for r in out)
+
+
+def test_mom_change_matches_direct_ratio(spark):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_percent_change_mom,
+    )
+
+    rows = sorted(
+        op_percent_change_mom(spark, SF_DIR).collect(),
+        key=lambda r: (r["year"], r["month"]),
+    )
+    assert rows[0]["mom_change"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["mom_change"] == (cur["revenue"] - prev["revenue"]) / prev["revenue"]
+
+
+def test_histogram_bins_partition_rows(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        HIST_BIN_WIDTH,
+        op_histogram_fixed_bins,
+    )
+
+    o = catalog.table("orders")
+    out = op_histogram_fixed_bins(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in out) == o.count()
+    for r in out:
+        assert r["bin_lo"] == r["bin"] * HIST_BIN_WIDTH
+        assert r["bin_hi"] == (r["bin"] + 1) * HIST_BIN_WIDTH
