@@ -1064,3 +1064,74 @@ def ev_dwell_time(spark, sf_dir):
         .cast("long")
         .alias("n_capped"),
     )
+
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+@register(
+    "ev_cm_heavy_hitters",
+    """
+    WITH exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id)
+    SELECT user_id, exact_n,
+           1 AS no_undercount,
+           1 AS overcount_ok
+    FROM exact
+    ORDER BY exact_n DESC, user_id
+    LIMIT 20
+    """,
+    doc="sketching: Count-Min heavy hitters — a d x w counter matrix "
+    "(d=4 seeded xxhash64 rows, w=64 buckets) built as one "
+    "explode(d)+groupBy pass with full map-side combine; a key's "
+    "estimate is the MIN of its d bucket counters. The sketch is "
+    "mergeable (counters add), fixed-size, and never undercounts — "
+    "the structure streaming top-k dashboards keep per window when "
+    "the key domain is too wide for exact counts. The oracle pins "
+    "no_undercount (est >= exact, a CM theorem, must hold row-by-row) "
+    "and overcount_ok (est - exact <= 2dN/w... conservatively 2N/w "
+    "per the standard bound; deterministic here because the seeds are "
+    "fixed) at 1 for the top-20 exact hitters — so the hash-compare "
+    "fails if the Spark sketch violates either bound. Scale: sketch "
+    "size is d*w counters regardless of input; the only corpus-sized "
+    "work is the map-side combine.",
+    tags=("events", "sketch", "r4c"),
+)
+def ev_cm_heavy_hitters(spark, sf_dir):
+    e = _events(spark, sf_dir).select("user_id")
+    seeds = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+
+    hashed = e.withColumn("i", F.explode(seeds)).select(
+        "i", F.pmod(F.xxhash64("i", "user_id"), F.lit(CM_WIDTH)).alias("bucket")
+    )
+    sketch = hashed.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select("user_id").withColumn("i", F.explode(seeds)).select(
+        "user_id",
+        "i",
+        F.pmod(F.xxhash64("i", "user_id"), F.lit(CM_WIDTH)).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("est"))
+    )
+
+    total = F.sum("exact_n").over(Window.partitionBy())
+    bound = 2.0 * total / CM_WIDTH
+    return (
+        exact.join(est, "user_id")
+        .withColumn("no_undercount", (F.col("est") >= F.col("exact_n")).cast("int"))
+        .withColumn(
+            "overcount_ok",
+            ((F.col("est") - F.col("exact_n")) <= bound).cast("int"),
+        )
+        .select("user_id", "exact_n", "no_undercount", "overcount_ok")
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )

@@ -514,3 +514,46 @@ def test_histogram_bins_partition_rows(spark, catalog):
     for r in out:
         assert r["bin_lo"] == r["bin"] * HIST_BIN_WIDTH
         assert r["bin_hi"] == (r["bin"] + 1) * HIST_BIN_WIDTH
+
+
+def test_cm_sketch_bounds_hold_for_all_keys(spark, catalog):
+    """The CM bounds must hold for EVERY key, not just the top-20 the
+    driver query emits — re-derive the sketch estimate in Python from
+    Spark's own xxhash64 values and check exhaustively."""
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        CM_DEPTH,
+        CM_WIDTH,
+        ev_cm_heavy_hitters,
+    )
+
+    e = catalog.table("events").select("user_id")
+    hashed = e.withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)]))
+    ).select(
+        "user_id",
+        "i",
+        F.pmod(F.xxhash64("i", "user_id"), F.lit(CM_WIDTH)).alias("bucket"),
+    ).collect()
+
+    from collections import Counter, defaultdict
+
+    cells: Counter = Counter()
+    key_buckets: dict[tuple, int] = {}
+    exact: Counter = Counter()
+    for r in hashed:
+        cells[(r["i"], r["bucket"])] += 1
+        key_buckets[(r["user_id"], r["i"])] = r["bucket"]
+        if r["i"] == 0:
+            exact[r["user_id"]] += 1
+
+    n_total = sum(exact.values())
+    for uid, n in exact.items():
+        est = min(
+            cells[(i, key_buckets[(uid, i)])] for i in range(CM_DEPTH)
+        )
+        assert est >= n  # CM never undercounts
+        assert est - n <= 2.0 * n_total / CM_WIDTH
+
+    out = ev_cm_heavy_hitters(spark, SF_DIR).collect()
+    assert len(out) == min(20, len(exact))
+    assert all(r["no_undercount"] == 1 and r["overcount_ok"] == 1 for r in out)
