@@ -1192,3 +1192,136 @@ def pipeline_curation_e2e(spark, sf_dir):
         )
         .select("doc_id", "lang", "n_tokens", split.alias("split"))
     )
+
+
+NEAREST_TOLERANCE_US = 43_200 * 1_000_000  # ±12 h (sf fixtures: per-user event spacing is hours)
+
+
+@register(
+    "ev_nearest_join",
+    f"""
+    WITH u AS (
+        SELECT user_id, ts, 0 AS is_err, NULL::BIGINT AS event_id
+        FROM (SELECT DISTINCT user_id, ts FROM events
+              WHERE event_type = 'click')
+        UNION ALL
+        SELECT user_id, ts, 1 AS is_err, event_id
+        FROM events WHERE event_type = 'error'),
+    annotated AS (
+        SELECT user_id, ts, is_err, event_id,
+               last_value(CASE WHEN is_err = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_err, event_id
+                         ROWS UNBOUNDED PRECEDING) AS prev_click,
+               first_value(CASE WHEN is_err = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_err, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_click
+        FROM u)
+    SELECT event_id AS error_event, user_id, ts AS error_ts,
+           CASE WHEN back_gap IS NOT NULL
+                     AND (fwd_gap IS NULL OR back_gap <= fwd_gap)
+                THEN prev_click ELSE next_click END AS nearest_click_ts,
+           CASE WHEN back_gap IS NOT NULL
+                     AND (fwd_gap IS NULL OR back_gap <= fwd_gap)
+                THEN 'backward' ELSE 'forward' END AS direction,
+           CASE WHEN back_gap IS NOT NULL
+                     AND (fwd_gap IS NULL OR back_gap <= fwd_gap)
+                THEN back_gap ELSE fwd_gap END AS gap_us
+    FROM (
+        SELECT *,
+               CASE WHEN prev_click IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(prev_click)
+                             <= {NEAREST_TOLERANCE_US}
+                    THEN epoch_us(ts) - epoch_us(prev_click) END AS back_gap,
+               CASE WHEN next_click IS NOT NULL
+                         AND epoch_us(next_click) - epoch_us(ts)
+                             <= {NEAREST_TOLERANCE_US}
+                    THEN epoch_us(next_click) - epoch_us(ts) END AS fwd_gap
+        FROM annotated)
+    WHERE is_err = 1 AND (back_gap IS NOT NULL OR fwd_gap IS NOT NULL)
+    """,
+    doc="time-series: NEAREST join — each error matches its closest "
+    "click within +/-12 h, in either direction (sensor-fusion "
+    "alignment; ev_asof_join is the backward-only special case). Same "
+    "union-then-window mechanism, but TWO passes over one user_id "
+    "sort: running last() for the backward candidate, first() over the "
+    "forward frame for the forward candidate; nearer gap wins, "
+    "backward on ties (both engines spell the identical tie rule). No "
+    "range-join explosion, no per-row subquery; microsecond-integer "
+    "gaps keep both engines hash-exact. DuckDB oracle uses the same "
+    "window formulation (its native ASOF is backward-only).",
+    tags=("curation", "events", "r4c"),
+)
+def ev_nearest_join(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_err"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(1).alias("is_err"), "event_id"
+    )
+    u = clk.unionByName(err)
+    order = ["ts", "is_err", "event_id"]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("is_err") == 0, F.col("ts"))
+    ann = u.withColumn(
+        "prev_click", F.last(click_ts, ignorenulls=True).over(w_back)
+    ).withColumn("next_click", F.first(click_ts, ignorenulls=True).over(w_fwd))
+
+    back_gap_raw = F.unix_micros("ts") - F.unix_micros("prev_click")
+    fwd_gap_raw = F.unix_micros("next_click") - F.unix_micros("ts")
+    ann = ann.withColumn(
+        "back_gap",
+        F.when(
+            F.col("prev_click").isNotNull()
+            & (back_gap_raw <= NEAREST_TOLERANCE_US),
+            back_gap_raw,
+        ),
+    ).withColumn(
+        "fwd_gap",
+        F.when(
+            F.col("next_click").isNotNull()
+            & (fwd_gap_raw <= NEAREST_TOLERANCE_US),
+            fwd_gap_raw,
+        ),
+    )
+    backward_wins = F.col("back_gap").isNotNull() & (
+        F.col("fwd_gap").isNull() | (F.col("back_gap") <= F.col("fwd_gap"))
+    )
+    return (
+        ann.filter(
+            (F.col("is_err") == 1)
+            & (F.col("back_gap").isNotNull() | F.col("fwd_gap").isNotNull())
+        )
+        .select(
+            F.col("event_id").alias("error_event"),
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            F.when(backward_wins, F.col("prev_click"))
+            .otherwise(F.col("next_click"))
+            .alias("nearest_click_ts"),
+            F.when(backward_wins, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+            F.when(backward_wins, F.col("back_gap"))
+            .otherwise(F.col("fwd_gap"))
+            .alias("gap_us"),
+        )
+    )

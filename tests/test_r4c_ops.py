@@ -557,3 +557,46 @@ def test_cm_sketch_bounds_hold_for_all_keys(spark, catalog):
     out = ev_cm_heavy_hitters(spark, SF_DIR).collect()
     assert len(out) == min(20, len(exact))
     assert all(r["no_undercount"] == 1 and r["overcount_ok"] == 1 for r in out)
+
+
+def test_nearest_join_matches_bruteforce(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        NEAREST_TOLERANCE_US,
+        ev_nearest_join,
+    )
+
+    ev = catalog.table("events").collect()
+    clicks: dict[int, list] = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append(r["ts"])
+    expect = {}
+    for r in ev:
+        if r["event_type"] != "error":
+            continue
+        best = None
+        for cts in clicks.get(r["user_id"], []):
+            gap = abs((cts - r["ts"]).total_seconds() * 1e6)
+            direction = "backward" if cts <= r["ts"] else "forward"
+            if gap > NEAREST_TOLERANCE_US:
+                continue
+            # nearer wins; on equal gap backward wins
+            key = (gap, 0 if direction == "backward" else 1)
+            if best is None or key < best[0]:
+                best = (key, cts, direction, int(round(gap)))
+        if best is not None:
+            expect[r["event_id"]] = (r["user_id"], best[1], best[2], best[3])
+
+    got = {
+        r["error_event"]: (
+            r["user_id"],
+            r["nearest_click_ts"],
+            r["direction"],
+            r["gap_us"],
+        )
+        for r in ev_nearest_join(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
+    # both directions actually occur in the fixture
+    dirs = {v[2] for v in got.values()}
+    assert dirs == {"backward", "forward"}

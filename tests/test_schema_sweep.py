@@ -102,6 +102,7 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "sim_knn_classify",  # same broadcast Q-row query batch
         "text_dsir_weights",  # broadcast 1-row target/raw token totals
         "tpch_q22",  # broadcast 1-row avg-acctbal threshold (scalar subquery)
+        "ev_ab_test_metrics",  # 1-row x 1-row variant crossJoin (A x B)
         # (tpch_q11 left the list in-round: its threshold is now a global
         # window over the per-part frame, no BNLJ remains)
         # documented inequality joins
