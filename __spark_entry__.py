@@ -46,9 +46,10 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering, round 4 (final, after the in-round
-# continuation grew the registry to 190): the driver checks the FIRST
-# 50 registrations. 71 registrations have no driver row yet (61 of
-# them DuckDB-oracled), so slots go to (a) 4 controls — ev_asof_join
+# continuation grew the registry to 200): the driver checks the FIRST
+# 50 registrations. 81 registrations have no driver row yet (71 of
+# them DuckDB-oracled; the 10 r4c-late additions join the r5 backlog
+# with local oracle_check + pytest evidence), so slots go to (a) 4 controls — ev_asof_join
 # (the r3 red, code changed this round) and the two approx sketches
 # (upgraded to bounded within_bound oracles) plus one cross-round
 # star-schema control — and (b) 46 oracled never-checked queries
