@@ -1135,3 +1135,47 @@ def ev_cm_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(20)
     )
+
+
+BURST_FACTOR = 2.0
+
+
+@register(
+    "ev_burst_detection",
+    f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT user_id,
+               CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_hourly
+        FROM hourly GROUP BY user_id)
+    SELECT h.user_id, h.hour_start, h.n_events, s.avg_hourly
+    FROM hourly h JOIN stats s ON h.user_id = s.user_id
+    WHERE h.n_events > {BURST_FACTOR} * s.avg_hourly
+    """,
+    doc="anomaly detection: per-user activity bursts — hours where a "
+    "user's event count exceeds {f}x their own average ACTIVE-hour "
+    "rate (self-normalized, so chatty users don't drown quiet ones; "
+    "the fraud/abuse first-pass filter). Two aggregates over the same "
+    "user_id-keyed frame — the hourly rollup's shuffle is reused by "
+    "the per-user stats and the final equi-join, so one exchange "
+    "total. The avg is an exact integer ratio; the comparison "
+    "threshold is derived identically in both engines. Complements "
+    "ev_anomaly_zscore (value-based) with a rate-based signal.",
+    tags=("events", "anomaly", "r4c"),
+)
+def ev_burst_detection(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("user_id").agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "avg_hourly"
+        )
+    )
+    return hourly.join(stats, "user_id").filter(
+        F.col("n_events") > BURST_FACTOR * F.col("avg_hourly")
+    ).select("user_id", "hour_start", "n_events", "avg_hourly")

@@ -114,3 +114,67 @@ def graph_pagerank_copurchase(spark, sf_dir):
     finally:
         # unpersist lazily; blocks release after the query's jobs finish
         edges.unpersist(blocking=False)
+
+
+TRIANGLE_MIN_W = 2
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRIANGLE_MIN_W})
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="graph analytics: triangle enumeration on the co-purchase graph "
+    "— edges are part pairs co-bought in >= {w} orders (support-pruned "
+    "so the graph is sparse), oriented a<b<c so each triangle appears "
+    "exactly once. The two-hop join + closing-edge check is the "
+    "standard distributed triangle algorithm; with the ordering "
+    "constraint every join is an equi-join on a node key — cost is "
+    "sum-of-degree^2 over the PRUNED edge set, never |V|^2. Triangles "
+    "are the base signal for clustering-coefficient / community "
+    "features on product graphs. Complements graph_pagerank_copurchase "
+    "(iterative) with a purely relational multi-way self-join "
+    "mechanism.",
+    tags=("graph", "r4c"),
+)
+def graph_triangle_count(spark, sf_dir):
+    li = load_tables(spark, sf_dir).table("lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_W)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )

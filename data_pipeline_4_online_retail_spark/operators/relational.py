@@ -1394,3 +1394,42 @@ def op_histogram_fixed_bins(spark, sf_dir):
         .groupBy("bin", "bin_lo", "bin_hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+GROUP_SAMPLE_K = 5
+
+
+@register(
+    "op_group_sample_exact_k",
+    f"""
+    SELECT source, doc_id, lang
+    FROM (
+        SELECT source, doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {GROUP_SAMPLE_K}
+    """,
+    doc="curation: exact-k-per-group deterministic sample — rank each "
+    "group by a salted content hash (uniform, seed-free, retry-stable) "
+    "and keep the first k. Unlike the rate-based "
+    "op_deterministic/stratified_sample (whose per-group size "
+    "fluctuates binomially), this guarantees EXACTLY k rows per group "
+    "— the contract eval-set builders need. Scale: one group-key "
+    "shuffle; rows beyond k never leave the per-partition sort "
+    "(WindowGroupLimit pushes the limit below the exchange, "
+    "pytest-pinned). The md5 ordering also makes the sample stable "
+    "under re-partitioning and data arrival order.",
+    tags=("curation", "r4c"),
+)
+def op_group_sample_exact_k(spark, sf_dir):
+    d = load_tables(spark, sf_dir).table("documents")
+    h = F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("source", "doc_id", "lang")
+    )

@@ -600,3 +600,69 @@ def test_nearest_join_matches_bruteforce(spark, catalog):
     # both directions actually occur in the fixture
     dirs = {v[2] for v in got.values()}
     assert dirs == {"backward", "forward"}
+
+
+def test_group_sample_exact_k_and_plan_limit_pushdown(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        GROUP_SAMPLE_K,
+        op_group_sample_exact_k,
+    )
+
+    d = catalog.table("documents")
+    out = op_group_sample_exact_k(spark, SF_DIR)
+    rows = out.collect()
+    per_group: dict[str, int] = {}
+    for r in rows:
+        per_group[r["source"]] = per_group.get(r["source"], 0) + 1
+    n_sources = d.select("source").distinct().count()
+    assert len(per_group) == n_sources
+    assert all(v == GROUP_SAMPLE_K for v in per_group.values())
+    # limit pushed below the exchange: rows beyond k don't cross the wire
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_triangles_match_networkless_replica(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.graph import (
+        TRIANGLE_MIN_W,
+        graph_triangle_count,
+    )
+
+    li = catalog.table("lineitem").select("l_orderkey", "l_partkey").collect()
+    from collections import Counter
+
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_w: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_w[(ps[i], ps[j])] += 1
+    edges = {p for p, w in pair_w.items() if w >= TRIANGLE_MIN_W}
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    expect = {
+        (a, b, c)
+        for a in adj
+        for b in adj[a]
+        for c in adj.get(b, set())
+        if c in adj[a]
+    }
+    got = {
+        (r["a"], r["b"], r["c"]) for r in graph_triangle_count(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_burst_detection_self_normalized(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        BURST_FACTOR,
+        ev_burst_detection,
+    )
+
+    rows = ev_burst_detection(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_events"] > BURST_FACTOR * r["avg_hourly"]

@@ -1092,3 +1092,80 @@ def test_tws_sessionize_matches_batch(spark, catalog, tmp_path_factory):
         ).parquet("/root/testdata/sf0.001/events.parquet")
         with _pytest.raises(NotImplementedError, match="protobuf"):
             sessionize_stream(stream)
+
+
+def test_rollup_sink_converges_and_replay_is_noop(spark, catalog, tmp_path_factory):
+    """Streaming incremental rollup == full batch aggregate after a
+    3-batch feed, and a REPLAYED micro-batch is skipped (additive folds
+    are not naturally idempotent — the snapshot's applied-batch-id
+    metadata must reject the double delivery)."""
+    from data_pipeline_4_online_retail_spark.streaming.agg_maintenance import (
+        apply_rollup_batch,
+        start_rollup_sink,
+    )
+
+    base = tmp_path_factory.mktemp("rollup")
+    src = str(base / "src")
+    target = str(base / "rollup_snapshot")
+    ckpt = str(base / "ckpt")
+
+    ev = catalog.table("events").select("user_id", "event_type", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= F.lit(bounds[i]))
+            & (
+                F.col("ts") <= F.lit(bounds[i + 1])
+                if i == 2
+                else F.col("ts") < F.lit(bounds[i + 1])
+            )
+        )
+        part.coalesce(1).write.parquet(f"{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = start_rollup_sink(
+        stream, target, ckpt, keys=["user_id", "event_type"]
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(target).collect()
+    }
+    expect = {
+        (r["user_id"], r["event_type"]): (r["n"], r["cents"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+    # replay the LAST batch id: must be a no-op skip, not a double-add
+    last_batch = spark.read.parquet(f"{src}/b2")
+    applied = apply_rollup_batch(
+        spark, last_batch, 2, target, keys=["user_id", "event_type"]
+    )
+    assert applied is False
+    got2 = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got2 == expect
+
+    # a genuinely NEW batch id still folds
+    applied = apply_rollup_batch(
+        spark, last_batch, 3, target, keys=["user_id", "event_type"]
+    )
+    assert applied is True
+    n_after = spark.read.parquet(target).agg(F.sum("n_events")).collect()[0][0]
+    assert n_after == ev.count() + last_batch.count()
