@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -142,3 +143,71 @@ class SynthDocsPushdownDataSource(SynthDocsDataSource):
 def register(spark) -> None:
     spark.dataSource.register(SynthDocsDataSource)
     spark.dataSource.register(SynthDocsPushdownDataSource)
+    spark.dataSource.register(SynthEventsStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface: the same deterministic generator as a micro-batch
+# SOURCE (Spark 4 SimpleDataSourceStreamReader).
+# ---------------------------------------------------------------------------
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic event stream.
+
+    Offsets are plain row counts ({"offset": n}); each trigger advances
+    by ``batch_rows`` until ``max_rows``, then returns empty batches at
+    a fixed offset (processAllAvailable drains and stops). The replay
+    contract is the whole point: ``readBetweenOffsets(start, end)``
+    REGENERATES rows purely from the offsets after a restart, so a
+    micro-batch that was planned but lost (checkpointed WAL, crashed
+    executor) is re-delivered byte-identical — which only works because
+    content is a pure function of the row index (blake2b), never of
+    wall-clock or RNG state. Sources that cannot re-serve an offset
+    range (a popped queue) need the full DataSourceStreamReader with
+    commit()-side retention instead.
+    """
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", "500"))
+        self.max_rows = int(options.get("max_rows", "2000"))
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int):
+        for i in range(start, end):
+            h = hashlib.blake2b(f"{self.seed}:ev:{i}".encode(), digest_size=8)
+            d = h.digest()
+            yield (
+                i,
+                d[0] % 50,  # user bucket
+                ("view", "click", "purchase", "error")[d[1] % 4],
+                round(d[2] + d[3] / 256, 2),
+            )
+
+    def read(self, start: dict):
+        s = start["offset"]
+        e = min(s + self.batch_rows, self.max_rows)
+        # a PICKLABLE iterator (list_iterator), not a generator: the
+        # prefetch cache serializes it for partition planning, and the
+        # drain check calls next() on it expecting StopIteration
+        return iter(list(self._rows(s, e))), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["offset"], end["offset"])))
+
+
+class SynthEventsStreamDataSource(DataSource):
+    """spark.readStream.format("synthevents")...load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthevents"
+
+    def schema(self) -> str:
+        return "event_id long, user_id int, event_type string, value double"
+
+    def simpleStreamReader(self, schema: StructType) -> SynthEventsStreamReader:
+        return SynthEventsStreamReader(self.options)
