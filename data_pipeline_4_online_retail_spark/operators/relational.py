@@ -1433,3 +1433,80 @@ def op_group_sample_exact_k(spark, sf_dir):
         .filter(F.col("rn") <= GROUP_SAMPLE_K)
         .select("source", "doc_id", "lang")
     )
+
+
+@register(
+    "op_parameterized_sql",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL surface: parameterized queries — spark.sql(query, args=...) "
+    "with named :parameter markers. The binding happens at parse time "
+    "as literals in the plan (NOT string interpolation), so Catalyst "
+    "constant-folds and pushes the bound predicates into the scan like "
+    "hand-written literals, while callers get injection-safe templating "
+    "— the JDBC-prepared-statement contract on the DataFrame API. "
+    "Oracle inlines the same literals.",
+    tags=("sql", "r4c"),
+)
+def op_parameterized_sql(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        WHERE o_totalprice > :lo AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 100000.0, "status": "F"},
+    )
+
+
+@register(
+    "op_sql_scripting",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_over,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_final
+    FROM orders
+    WHERE o_totalprice > 100000.0 * 1.5
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL surface: SQL scripting (Spark 4 BEGIN...END) — procedural "
+    "blocks with DECLAREd session variables computed by intermediate "
+    "statements, the migration path for warehouse stored procedures "
+    "(BigQuery scripting / T-SQL). The script's final SELECT is the "
+    "result; variables bind as constants so the optimized plan is "
+    "identical to a literal query (no lost pushdown). The oracle runs "
+    "the equivalent flat SQL with the variable's arithmetic inlined.",
+    tags=("sql", "r4c"),
+)
+def op_sql_scripting(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE base DOUBLE DEFAULT 100000.0;
+          DECLARE threshold DOUBLE;
+          SET threshold = base * 1.5;
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_over,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_final
+          FROM orders
+          WHERE o_totalprice > threshold
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -358,4 +358,54 @@ def check_curation(spark, sf_dir: str) -> QualityReport:
             f"{over} sources over cap",
         )
     )
+
+    # r4c gates -----------------------------------------------------------
+    from data_pipeline_4_online_retail_spark.operators import dedup as D
+    from data_pipeline_4_online_retail_spark.operators import (
+        events_windows as E,
+    )
+    from data_pipeline_4_online_retail_spark.operators import relational as R
+
+    gs = R.op_group_sample_exact_k(spark, sf_dir)
+    off_k = (
+        gs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") != R.GROUP_SAMPLE_K)
+        .count()
+    )
+    rep.add(
+        CheckResult(
+            "op_group_sample_exact_k",
+            f"every group yields exactly k={R.GROUP_SAMPLE_K} rows",
+            off_k == 0,
+            f"{off_k} groups off-size",
+        )
+    )
+
+    urls = D.dedup_url_canonicalize(spark, sf_dir)
+    bad_keeper = urls.join(
+        docs.select("doc_id"),
+        urls.keeper_doc_id == F.col("doc_id"),
+        "left_anti",
+    ).count()
+    rep.add(
+        CheckResult(
+            "dedup_url_canonicalize",
+            "every keeper id exists in documents; groups are real dups",
+            bad_keeper == 0 and urls.filter("n_dups < 2").count() == 0,
+            f"{bad_keeper} dangling keepers",
+        )
+    )
+
+    sess = E.ev_sessionize(spark, sf_dir)
+    n_events = E._events(spark, sf_dir).count()
+    got_events = sess.agg(F.sum("n_events")).head()[0]
+    rep.add(
+        CheckResult(
+            "ev_sessionize",
+            "session conservation: every event in exactly one session",
+            got_events == n_events,
+            f"{got_events} / {n_events} events",
+        )
+    )
     return rep

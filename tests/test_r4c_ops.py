@@ -666,3 +666,40 @@ def test_burst_detection_self_normalized(spark, catalog):
     rows = ev_burst_detection(spark, SF_DIR).collect()
     for r in rows:
         assert r["n_events"] > BURST_FACTOR * r["avg_hourly"]
+
+
+def test_parameterized_sql_binds_as_literals(spark):
+    """Named-parameter binding must reach the scan as pushed literal
+    filters — the injection-safe form loses nothing vs inline SQL."""
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_parameterized_sql,
+    )
+
+    df = op_parameterized_sql(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "100000" in plan  # the bound value is a plan literal
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+
+
+def test_sql_scripting_equals_flat_query(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_sql_scripting,
+    )
+
+    got = {
+        r["o_orderpriority"]: (r["n_over"], r["n_final"])
+        for r in op_sql_scripting(spark, SF_DIR).collect()
+    }
+    o = catalog.table("orders").filter(F.col("o_totalprice") > 150000.0)
+    expect = {
+        r["o_orderpriority"]: (r["n"], r["nf"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("nf"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) > 0
