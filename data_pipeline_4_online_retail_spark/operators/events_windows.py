@@ -1179,3 +1179,54 @@ def ev_burst_detection(spark, sf_dir):
     return hourly.join(stats, "user_id").filter(
         F.col("n_events") > BURST_FACTOR * F.col("avg_hourly")
     ).select("user_id", "hour_start", "n_events", "avg_hourly")
+
+
+@register(
+    "ev_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey)
+    SELECT f.cohort_month,
+           CAST(date_diff('month', f.cohort_month,
+                          CAST(date_trunc('month', o.o_orderdate) AS DATE))
+               AS BIGINT) AS age_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="cohort LTV: revenue by (acquisition-month cohort x age-in-months) "
+    "— the value-weighted companion to ev_cohort_retention's count "
+    "triangle; cumulative sums over age give the LTV curves finance "
+    "models discount. Month arithmetic is calendar-exact on both "
+    "engines (date_trunc + month diff, no epoch division); revenue "
+    "follows the DECIMAL discipline. Scale: one custkey shuffle for "
+    "first-order months, one (cohort, age) aggregate; the join side "
+    "carries only (custkey, cohort_month).",
+    tags=("events", "retail", "r4c"),
+)
+def ev_cohort_ltv(spark, sf_dir):
+    o = load_tables(spark, sf_dir).table("orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort_month")
+    )
+    j = o.join(firsts, "o_custkey")
+    age = F.months_between(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+        F.col("cohort_month"),
+    ).cast("long")
+    return (
+        j.groupBy("cohort_month", age.alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

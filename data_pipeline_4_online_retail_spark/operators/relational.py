@@ -1510,3 +1510,46 @@ def op_sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "op_skyline_pareto",
+    """
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               MAX(o_totalprice) OVER (
+                   ORDER BY o_orderdate, o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_earlier
+        FROM orders)
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM pts
+    WHERE best_earlier IS NULL OR o_totalprice > best_earlier
+    """,
+    doc="skyline / Pareto frontier (2-D): orders not dominated by any "
+    "EARLIER-OR-SAME-DATE order of >= price — maximal (recency, value) "
+    "trade-offs. The naive formulation is an O(n^2) dominance "
+    "anti-join; sorting on one dimension reduces 2-D skyline to a "
+    "running-max window (price-desc tie-break makes same-instant "
+    "dominance exact), one global sort total. At 100 TB: range-"
+    "partition by date so each partition computes its local frontier "
+    "and only per-partition max prices (one row each) cascade to later "
+    "partitions — the same prefix-max trick, hierarchically. Output is "
+    "O(frontier).",
+    tags=("analytics", "r4c"),
+)
+def op_skyline_pareto(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        "o_orderdate", F.desc("o_totalprice"), "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    pts = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_totalprice").over(w).alias("best_earlier"),
+    )
+    return pts.filter(
+        F.col("best_earlier").isNull()
+        | (F.col("o_totalprice") > F.col("best_earlier"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

@@ -703,3 +703,51 @@ def test_sql_scripting_equals_flat_query(spark, catalog):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_cohort_ltv_reconciles_with_total_revenue(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_cohort_ltv,
+    )
+
+    o = catalog.table("orders")
+    out = ev_cohort_ltv(spark, SF_DIR).collect()
+    total = float(
+        o.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        ).head()[0]
+    )
+    # cohort x age cells partition all order revenue exactly
+    assert abs(sum(r["revenue"] for r in out) - total) < 1e-6 * total
+    # age 0 exists for every cohort (the acquisition month itself)
+    cohorts = {r["cohort_month"] for r in out}
+    age0 = {r["cohort_month"] for r in out if r["age_months"] == 0}
+    assert age0 == cohorts
+    assert all(r["age_months"] >= 0 for r in out)
+
+
+def test_skyline_matches_bruteforce_dominance(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_skyline_pareto,
+    )
+
+    pts = [
+        (r["o_orderkey"], r["o_totalprice"], r["o_orderdate"])
+        for r in catalog.table("orders").collect()
+    ]
+    got = {
+        r["o_orderkey"] for r in op_skyline_pareto(spark, SF_DIR).collect()
+    }
+    # brute force: dominated iff some earlier-or-equal-date point has
+    # >= price AND (earlier date or higher price or earlier key at the
+    # exact window-order position) — mirror the window's strict rule:
+    # keep p iff max price among points strictly before p in
+    # (date asc, price desc, key asc) order is < p.price
+    order = sorted(pts, key=lambda p: (p[2], -p[1], p[0]))
+    best = None
+    expect = set()
+    for k, price, d in order:
+        if best is None or price > best:
+            expect.add(k)
+        best = price if best is None else max(best, price)
+    assert got == expect and len(got) > 0
