@@ -1325,3 +1325,44 @@ def ev_nearest_join(spark, sf_dir):
             .alias("gap_us"),
         )
     )
+
+
+ARES_SAMPLE_K = 50
+
+
+def _ares_key() -> Column:
+    """A-Res priority: u^(1/w) with u = md5-uniform in (0,1), w = doc
+    quality weight (n_chars). ln/exp are libm (not correctly-rounded),
+    so the op registers rows-only with a bit-level Python replica."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ares:"), F.col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    w = F.col("n_chars").cast("double")
+    return F.exp(F.log(u) / w)
+
+
+@register(
+    "text_weighted_sample_ares",
+    None,  # libm log/exp → rows-only; bit-level Python replica in pytest
+    doc="curation: weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-Res): each document draws priority u^(1/w) from a "
+    "seed-free md5 uniform and its quality weight (n_chars); the "
+    "global top-k priorities ARE a weighted sample without "
+    "replacement. One pass, fully parallel, deterministic across "
+    "retries and partitionings — the distributed form of weighted "
+    "reservoir sampling, used to bias training mixtures toward "
+    "higher-quality documents with an exact sample size (the "
+    "acceptance-probability samplers give only expected sizes). "
+    "Scale: per-partition top-k heaps via TakeOrderedAndProject; only "
+    "k rows per partition reach the driver-free final ordering.",
+    tags=("curation", "sampling", "r4c"),
+)
+def text_weighted_sample_ares(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", "source", "n_chars", _ares_key().alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(ARES_SAMPLE_K)
+    )

@@ -1230,3 +1230,71 @@ def ev_cohort_ltv(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+COVERAGE_HALF_WINDOW_US = 150 * 1_000_000  # ±2.5 min of attention per event
+
+
+@register(
+    "ev_interval_coverage",
+    f"""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) - {COVERAGE_HALF_WINDOW_US} AS s,
+               epoch_us(ts) + {COVERAGE_HALF_WINDOW_US} AS e
+        FROM events),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+        FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(e - s) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+    doc="interval union / coverage: each event contributes a +/-2.5 min "
+    "attention window; overlapping windows MERGE (gaps-and-islands on "
+    "intervals: new island when start exceeds the running max end) and "
+    "the union's total length is the user's covered time — the "
+    "uptime/SLA-coverage computation, immune to double-counting "
+    "overlaps. NULL-vs-0 note: the first row per user has an empty "
+    "preceding frame (MAX=NULL), and `s > NULL` is false in BOTH "
+    "engines, so island numbering starts at 0 identically. All "
+    "integer-microsecond arithmetic; one user_id shuffle drives both "
+    "window passes and both aggregates.",
+    tags=("events", "r4c"),
+)
+def ev_interval_coverage(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        "user_id",
+        (F.unix_micros("ts") - COVERAGE_HALF_WINDOW_US).alias("s"),
+        (F.unix_micros("ts") + COVERAGE_HALF_WINDOW_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island", F.when(F.col("s") > prev_max_e, 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_us"),
+    )

@@ -751,3 +751,73 @@ def test_skyline_matches_bruteforce_dominance(spark, catalog):
             expect.add(k)
         best = price if best is None else max(best, price)
     assert got == expect and len(got) > 0
+
+
+def test_interval_coverage_matches_merge_replica(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        COVERAGE_HALF_WINDOW_US,
+        ev_interval_coverage,
+    )
+
+    ev = catalog.table("events").select("user_id", "ts").collect()
+    ivs: dict[int, list] = {}
+    import pandas as pd
+
+    for r in ev:
+        us = pd.Timestamp(r["ts"]).value // 1000
+        ivs.setdefault(r["user_id"], []).append(
+            (us - COVERAGE_HALF_WINDOW_US, us + COVERAGE_HALF_WINDOW_US)
+        )
+    expect = {}
+    for uid, spans in ivs.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        expect[uid] = (len(merged), sum(e - s for s, e in merged))
+    got = {
+        r["user_id"]: (r["n_intervals"], r["covered_us"])
+        for r in ev_interval_coverage(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # overlaps actually merge in the fixture (fewer intervals than events)
+    assert any(n < len(ivs[u]) for u, (n, _) in got.items())
+
+
+def test_ares_sample_matches_python_replica_and_favors_weight(spark, catalog):
+    import hashlib
+    import math
+
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        ARES_SAMPLE_K,
+        text_weighted_sample_ares,
+    )
+
+    docs = catalog.table("documents").select("doc_id", "n_chars").collect()
+
+    def priority(doc_id: int, w: int) -> float:
+        u = int(
+            hashlib.md5(f"ares:{doc_id}".encode()).hexdigest()[:13], 16
+        ) / float(16**13)
+        return math.exp(math.log(u) / float(w))
+
+    ranked = sorted(
+        ((priority(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in docs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = [(d, p) for p, d in ranked[:ARES_SAMPLE_K]]
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in text_weighted_sample_ares(spark, SF_DIR).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, gp), (_, ep) in zip(got, expect):
+        assert gp == ep  # same libm on one host: bit-identical
+    # weighting bias: sampled docs skew heavier than the corpus average
+    avg_all = sum(r["n_chars"] for r in docs) / len(docs)
+    chars = {r["doc_id"]: r["n_chars"] for r in docs}
+    avg_sample = sum(chars[d] for d, _ in got) / len(got)
+    assert avg_sample > avg_all
