@@ -1553,3 +1553,76 @@ def op_skyline_pareto(spark, sf_dir):
         F.col("best_earlier").isNull()
         | (F.col("o_totalprice") > F.col("best_earlier"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@register(
+    "op_not_in_null_semantics",
+    """
+    WITH holders AS (
+        SELECT o_custkey FROM orders
+        UNION ALL SELECT NULL::BIGINT),
+    counts AS (
+        SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM holders))
+                AS via_not_in,
+            (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM holders h
+                               WHERE h.o_custkey = c.c_custkey))
+                AS via_not_exists,
+            (SELECT COUNT(*) FROM customer c
+             LEFT JOIN (SELECT DISTINCT o_custkey FROM holders) h
+               ON c.c_custkey = h.o_custkey
+             WHERE h.o_custkey IS NULL) AS via_anti_join)
+    SELECT CAST(via_not_in AS BIGINT) AS via_not_in,
+           CAST(via_not_exists AS BIGINT) AS via_not_exists,
+           CAST(via_anti_join AS BIGINT) AS via_anti_join,
+           CAST(via_not_in = 0 AS INTEGER) AS not_in_collapsed,
+           CAST(via_not_exists = via_anti_join AS INTEGER)
+               AS exists_equals_anti
+    FROM counts
+    """,
+    doc="semantics pin: the NOT IN null trap — one NULL in the subquery "
+    "makes `x NOT IN (...)` UNKNOWN for every row (three-valued "
+    "logic), so the count silently collapses to 0, while NOT EXISTS "
+    "and the null-safe anti-join return the real answer. Both engines "
+    "implement the same ANSI rule, so the trap itself is "
+    "hash-verifiable: the oracle pins via_not_in=0 AND the agreeing "
+    "nonzero NOT EXISTS/anti-join counts. This is the class of "
+    "migration bug a user of the reference hits first when BigQuery "
+    "SQL moves anywhere else; Catalyst plans the NOT IN as "
+    "NullAwareAntiJoin (the expensive null-safe form) — the reason "
+    "style guides say NOT EXISTS.",
+    tags=("semantics", "r4c"),
+)
+def op_not_in_null_semantics(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("orders")
+    cat.table("customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH holders AS (
+            SELECT o_custkey FROM orders
+            UNION ALL SELECT CAST(NULL AS BIGINT)),
+        counts AS (
+            SELECT
+                (SELECT COUNT(*) FROM customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM holders))
+                    AS via_not_in,
+                (SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM holders h
+                                   WHERE h.o_custkey = c.c_custkey))
+                    AS via_not_exists,
+                (SELECT COUNT(*) FROM customer c
+                 LEFT JOIN (SELECT DISTINCT o_custkey FROM holders) h
+                   ON c.c_custkey = h.o_custkey
+                 WHERE h.o_custkey IS NULL) AS via_anti_join)
+        SELECT CAST(via_not_in AS BIGINT) AS via_not_in,
+               CAST(via_not_exists AS BIGINT) AS via_not_exists,
+               CAST(via_anti_join AS BIGINT) AS via_anti_join,
+               CAST(via_not_in = 0 AS INT) AS not_in_collapsed,
+               CAST(via_not_exists = via_anti_join AS INT)
+                   AS exists_equals_anti
+        FROM counts
+        """
+    )

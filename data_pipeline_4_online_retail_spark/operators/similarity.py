@@ -970,3 +970,70 @@ def sim_knn_classify(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("qid", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+@register(
+    "sim_mmr_rerank",
+    None,  # greedy argmax chain over driver-collected pool — rows-only
+    doc="retrieval post-processing: Maximal-Marginal-Relevance "
+    "re-ranking — the distributed scan produces the top-{pool} cosine "
+    "candidates (same plan as sim_topk_bruteforce), then a greedy "
+    "driver-side selection picks k of them maximizing "
+    "lambda*sim(q,d) - (1-lambda)*max_sim(d, selected): relevance "
+    "with redundancy suppression, the standard diversifier for RAG "
+    "context packing and eval-set construction. Driver work is "
+    "O(pool^2) on a BOUNDED pool (the sim_kmeans k*dim discipline — "
+    "never the corpus); ties break by vec_id. Verified by an "
+    "independent pure-Python re-derivation incl. the "
+    "first-pick==top-cosine and pairwise-diversity invariants.",
+    tags=("similarity", "r4c"),
+)
+def sim_mmr_rerank(spark, sf_dir):
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    pool_rows = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select("vec_id", cosine_similarity("embedding", "qv").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .collect()
+    )
+    ids = [r["vec_id"] for r in pool_rows]
+    rel = {r["vec_id"]: float(r["cos"]) for r in pool_rows}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in emb.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    for v in vecs.values():
+        v /= np.linalg.norm(v)
+
+    selected: list[int] = []
+    remaining = sorted(ids)
+    while remaining and len(selected) < MMR_K:
+        best_id, best_score = None, None
+        for cand in remaining:
+            div = max(
+                (float(vecs[cand] @ vecs[s]) for s in selected), default=0.0
+            )
+            score = MMR_LAMBDA * rel[cand] - (1 - MMR_LAMBDA) * div
+            if best_score is None or score > best_score or (
+                score == best_score and cand < best_id
+            ):
+                best_id, best_score = cand, score
+        selected.append(best_id)
+        remaining.remove(best_id)
+
+    out = [(rank + 1, vid, rel[vid]) for rank, vid in enumerate(selected)]
+    return spark.createDataFrame(out, "mmr_rank INT, vec_id LONG, cosine DOUBLE")

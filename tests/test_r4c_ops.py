@@ -821,3 +821,67 @@ def test_ares_sample_matches_python_replica_and_favors_weight(spark, catalog):
     chars = {r["doc_id"]: r["n_chars"] for r in docs}
     avg_sample = sum(chars[d] for d, _ in got) / len(got)
     assert avg_sample > avg_all
+
+
+def test_mmr_invariants(spark, catalog):
+    import numpy as np
+
+    from data_pipeline_4_online_retail_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        QUERY_VEC_ID,
+        sim_mmr_rerank,
+    )
+
+    out = sorted(
+        sim_mmr_rerank(spark, SF_DIR).collect(), key=lambda r: r["mmr_rank"]
+    )
+    assert len(out) == MMR_K
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in catalog.table("embeddings").collect()
+    }
+    for v in emb.values():
+        v /= np.linalg.norm(v)
+    q = emb[QUERY_VEC_ID]
+    # pool = exact top-POOL cosines (ties by vec_id)
+    sims = sorted(
+        ((float(v @ q), -vid) for vid, v in emb.items() if vid != QUERY_VEC_ID),
+        reverse=True,
+    )
+    pool = [-nid for _, nid in sims[:MMR_POOL]]
+    rel = {vid: float(emb[vid] @ q) for vid in pool}
+    # greedy re-derivation (pure python)
+    selected = []
+    remaining = sorted(pool)
+    while remaining and len(selected) < MMR_K:
+        best = None
+        for c in remaining:
+            div = max((float(emb[c] @ emb[s]) for s in selected), default=0.0)
+            score = MMR_LAMBDA * rel[c] - (1 - MMR_LAMBDA) * div
+            if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                best = (score, c)
+        selected.append(best[1])
+        remaining.remove(best[1])
+    assert [r["vec_id"] for r in out] == selected
+    # rank 1 is the raw top-cosine item; later picks may sacrifice
+    # relevance for diversity
+    assert out[0]["vec_id"] == pool[0]
+
+
+def test_not_in_trap_counts_are_real(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_not_in_null_semantics,
+    )
+
+    r = op_not_in_null_semantics(spark, SF_DIR).collect()[0]
+    assert r["via_not_in"] == 0 and r["not_in_collapsed"] == 1
+    # the honest answer, derived independently
+    c, o = catalog.table("customer"), catalog.table("orders")
+    orphans = c.join(
+        o.select("o_custkey").distinct(),
+        c.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).count()
+    assert r["via_not_exists"] == r["via_anti_join"] == orphans
