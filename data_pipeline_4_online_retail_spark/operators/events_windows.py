@@ -1298,3 +1298,79 @@ def ev_interval_coverage(spark, sf_dir):
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_us"),
     )
+
+
+@register(
+    "ev_audience_overlap",
+    """
+    WITH seg AS (
+        SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM seg GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM seg a JOIN seg b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT seg_a, seg_b, n_common,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n_users + sb.n_users - n_common AS DOUBLE)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON seg_a = sa.event_type
+    JOIN sizes sb ON seg_b = sb.event_type
+    """,
+    doc="audience analysis: pairwise segment overlap — distinct "
+    "(event_type, user) membership, intersections via a user-keyed "
+    "self-join restricted to ordered pairs, Jaccard from three exact "
+    "integers (IEEE-exact division). Scale: the self-join fan-out is "
+    "per-user segment-count^2 (bounded by |event types|^2, never "
+    "|users|^2) and the join is user-partitioned; for thousands of "
+    "segments swap in the bitmap/minhash forms (op_bitmap_distinct, "
+    "dedup_minhash_lsh) — this exact form is the audit baseline. The "
+    "marketing 'audience overlap matrix' in one query.",
+    tags=("events", "r4c"),
+)
+def ev_audience_overlap(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    seg = e.select("event_type", "user_id").distinct()
+    sizes = seg.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a, b = seg.alias("a"), seg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("seg_a"),
+            F.col("b.event_type").alias("seg_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("seg_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("seg_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(sa, "seg_a")
+        .join(sb, "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -248,3 +248,39 @@ def ev_props_xml_roundtrip(spark, sf_dir):
         parsed.alias("k_xml"),
         (parsed == k).cast("int").alias("xml_roundtrip_ok"),
     )
+
+
+@register(
+    "ev_props_csv_and_xpath",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_csv,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_xpath,
+           event_type AS type_csv
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="semi-structured: the remaining text-parsing expression families "
+    "— from_csv (DDL-schema CSV-line parsing, the sibling of "
+    "from_json) and the xpath_* family (XPath over XML fragments), "
+    "each re-extracting a value the oracle derives straight from the "
+    "JSON. Like ev_props_xml_roundtrip, the oracle's arithmetic "
+    "derivation makes the hash-compare REQUIRE the Spark parse chain "
+    "(build CSV line -> from_csv; build XML -> xpath_int) to be "
+    "lossless on every row. Both are JVM expressions in codegen; no "
+    "shuffle.",
+    tags=("csv", "xml", "r4c"),
+)
+def ev_props_csv_and_xpath(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_id") < 500)
+    k = F.get_json_object("props", "$.k").cast("int")
+    csv_line = F.concat_ws(",", F.col("event_type"), k.cast("string"))
+    parsed_csv = F.from_csv(csv_line, F.lit("t STRING, k INT"))
+    xml = F.concat(F.lit("<e><k>"), k.cast("string"), F.lit("</k></e>"))
+    k_xpath = F.xpath_int(xml, F.lit("/e/k"))
+    return e.select(
+        "event_id",
+        parsed_csv["k"].alias("k_csv"),
+        k_xpath.alias("k_xpath"),
+        parsed_csv["t"].alias("type_csv"),
+    )

@@ -355,3 +355,45 @@ def test_orc_roundtrip_with_pushdown(spark, catalog, tmp_path_factory):
         .toString()
     )
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:120]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
+    """Schema evolution: a v2 writer adds a column; mergeSchema reads
+    the union schema with NULLs for v1 rows, while the default read
+    keeps serving the footer-sampled schema — the contract batch
+    pipelines rely on when producers upgrade before consumers."""
+    d = str(tmp_path_factory.mktemp("evolve") / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, s string, score double"
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[3] == 30.0 and rows[1] is None and rows[2] is None
+    # filters on the evolved column still push down and behave null-safely
+    assert merged.filter("score > 10").count() == 1
+
+
+def test_audience_overlap_and_csv_xpath(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_audience_overlap,
+    )
+    from data_pipeline_4_online_retail_spark.operators.semistructured import (
+        ev_props_csv_and_xpath,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ev_audience_overlap(spark, sf).collect()
+    assert len(rows) == 10  # C(5,2) ordered event-type pairs
+    for r in rows:
+        lo = max(0, r["n_a"] + r["n_b"] - 10**9)
+        assert 0 <= r["n_common"] <= min(r["n_a"], r["n_b"])
+        union = r["n_a"] + r["n_b"] - r["n_common"]
+        assert r["jaccard"] == r["n_common"] / union
+
+    px = ev_props_csv_and_xpath(spark, sf).collect()
+    assert px and all(r["k_csv"] == r["k_xpath"] for r in px)
