@@ -1374,3 +1374,76 @@ def ev_audience_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "ev_gap_fill_forward",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    bounds AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        FROM daily GROUP BY user_id),
+    grid AS (
+        SELECT b.user_id, CAST(d AS DATE) AS day
+        FROM bounds b, LATERAL (
+            SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d)),
+    joined AS (
+        SELECT g.user_id, g.day, dl.v,
+               CAST(dl.v IS NOT NULL AS INTEGER) AS observed
+        FROM grid g LEFT JOIN daily dl
+          ON g.user_id = dl.user_id AND g.day = dl.day)
+    SELECT user_id, day,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS v_filled,
+           observed
+    FROM joined
+    """,
+    doc="time-series: forward fill (LOCF) — the dense per-user day grid "
+    "left-joins observed daily purchase values and carries the last "
+    "observation forward with last_value(IGNORE NULLS) over one "
+    "user-ordered pass; `observed` marks real vs carried points. "
+    "Completes the imputation family: ev_resample_fill (zero-fill), "
+    "ev_resample_interpolate (linear), this (LOCF — the right choice "
+    "for state-like series where absence means 'unchanged'). Scale: "
+    "grid size is bounded by active-span days per user; one user_id "
+    "shuffle drives the join and the fill window.",
+    tags=("events", "r4c"),
+)
+def ev_gap_fill_forward(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "observed", F.col("v").isNotNull().cast("integer")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        "observed",
+    )

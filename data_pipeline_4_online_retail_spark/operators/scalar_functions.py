@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_pipeline_4_online_retail_spark.plans.registry import register
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
@@ -495,4 +496,150 @@ def op_try_arithmetic(spark, sf_dir):
         .isNull()
         .cast("integer")
         .alias("parse_failed"),
+    )
+
+
+CHI2_PRICE_BUCKET = 150_000.0
+
+
+@register(
+    "op_crosstab_chi2",
+    f"""
+    WITH obs AS (
+        SELECT o_orderpriority AS r,
+               CAST(o_totalprice >= {CHI2_PRICE_BUCKET} AS INTEGER) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2),
+    margins AS (
+        SELECT r, c, n,
+               SUM(n) OVER (PARTITION BY r) AS row_n,
+               SUM(n) OVER (PARTITION BY c) AS col_n,
+               SUM(n) OVER () AS total_n
+        FROM obs)
+    SELECT CAST(SUM(
+               (CAST(n AS DOUBLE)
+                - CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE))
+               * (CAST(n AS DOUBLE)
+                - CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE))
+               / (CAST(row_n * col_n AS DOUBLE) / CAST(total_n AS DOUBLE)))
+           AS DOUBLE) AS chi2,
+           CAST(COUNT(DISTINCT r) - 1 AS BIGINT)
+               * CAST(COUNT(DISTINCT c) - 1 AS BIGINT) AS dof,
+           CAST(MAX(total_n) AS BIGINT) AS n_total
+    FROM margins
+    """,
+    doc="statistics: chi-square independence test over a contingency "
+    "table (order priority x high/low price) — observed counts and "
+    "margins are exact integers, expected counts and the statistic "
+    "derive through a fixed IEEE chain (two divisions, one multiply "
+    "per cell), so both engines match bit-exactly; p-value lookup "
+    "(an incomplete-gamma, libm) is deliberately left to the caller. "
+    "The SUM over cells is order-dependent in general but the cell "
+    "count is |priorities| x 2 = 10 and both engines reduce the same "
+    "10 values in the same grouped-aggregate order at this size; "
+    "beyond toy cell counts, round the statistic or sum in decimal "
+    "micro-units. Scale: one map-side-combined count per cell, then "
+    "O(cells) window math.",
+    tags=("stats", "r4c"),
+)
+def op_crosstab_chi2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        (F.col("o_totalprice") >= CHI2_PRICE_BUCKET).cast("integer").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    margins = (
+        obs.withColumn("row_n", F.sum("n").over(Window.partitionBy("r")))
+        .withColumn("col_n", F.sum("n").over(Window.partitionBy("c")))
+        .withColumn("total_n", F.sum("n").over(Window.partitionBy()))
+    )
+    exp = (F.col("row_n") * F.col("col_n")).cast("double") / F.col(
+        "total_n"
+    ).cast("double")
+    cell = (F.col("n").cast("double") - exp) * (
+        F.col("n").cast("double") - exp
+    ) / exp
+    return margins.agg(
+        F.sum(cell).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("long").alias("dof"),
+        F.max("total_n").cast("long").alias("n_total"),
+    )
+
+
+@register(
+    "op_regression_closed_form",
+    """
+    WITH pts AS (
+        SELECT o_orderpriority AS grp,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y_cents
+        FROM orders),
+    sums AS (
+        SELECT grp,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(y_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(x AS DECIMAL(19,0))
+                        * CAST(y_cents AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sxy
+        FROM pts GROUP BY grp)
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+               AS slope_per_day,
+           (CAST(sy AS DOUBLE) / 100.0
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+    FROM sums
+    """,
+    doc="statistics: closed-form OLS trend per group (price vs order "
+    "day) — all five sufficient statistics accumulate EXACTLY "
+    "(day numbers and integer cents in DECIMAL(38,0); cross-products "
+    "exceed BIGINT at ~1e20 so decimal width, not long, is the "
+    "overflow answer), then slope/intercept are a fixed IEEE chain on "
+    "identically-derived operands — bit-exact across engines with no "
+    "rounding. The regr_slope/regr_intercept built-ins exist on both "
+    "engines but accumulate DOUBLES in partition order (not "
+    "hash-comparable, and catastrophically cancellable at 100 TB); "
+    "sufficient-statistics-in-decimal is the production-exact form "
+    "and is embarrassingly map-side-combinable.",
+    tags=("stats", "r4c"),
+)
+def op_regression_closed_form(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.unix_micros("o_orderdate") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y_cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(d19("x") * d19("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d19("x") * d19("y_cents")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den / F.lit(100.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0)
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
     )

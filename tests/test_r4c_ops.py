@@ -885,3 +885,85 @@ def test_not_in_trap_counts_are_real(spark, catalog):
         "left_anti",
     ).count()
     assert r["via_not_exists"] == r["via_anti_join"] == orphans
+
+
+def test_gap_fill_forward_carries_last_observation(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_gap_fill_forward,
+    )
+
+    rows = sorted(
+        ev_gap_fill_forward(spark, SF_DIR).collect(),
+        key=lambda r: (r["user_id"], r["day"]),
+    )
+    assert rows
+    last_by_user: dict[int, float] = {}
+    n_carried = 0
+    for r in rows:
+        if r["observed"] == 1:
+            last_by_user[r["user_id"]] = r["v_filled"]
+        else:
+            n_carried += 1
+            assert r["v_filled"] == last_by_user[r["user_id"]]
+    assert n_carried > 0  # the grid actually has holes to fill
+
+
+def test_chi2_matches_python_replica(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+        CHI2_PRICE_BUCKET,
+        op_crosstab_chi2,
+    )
+
+    o = catalog.table("orders").collect()
+    from collections import Counter
+
+    obs = Counter(
+        (r["o_orderpriority"], 1 if r["o_totalprice"] >= CHI2_PRICE_BUCKET else 0)
+        for r in o
+    )
+    rows = {k for k, _ in obs}
+    cols = {c for _, c in obs}
+    row_n = {k: sum(v for (r2, _), v in obs.items() if r2 == k) for k in rows}
+    col_n = {c: sum(v for (_, c2), v in obs.items() if c2 == c) for c in cols}
+    total = len(o)
+    chi2 = 0.0
+    for (r2, c2), n in obs.items():
+        e = row_n[r2] * col_n[c2] / total
+        chi2 += (n - e) * (n - e) / e
+    out = op_crosstab_chi2(spark, SF_DIR).collect()[0]
+    assert out["n_total"] == total
+    assert out["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(out["chi2"] - chi2) < 1e-9 * max(1.0, chi2)
+
+
+def test_regression_matches_exact_fraction_replica(spark, catalog):
+    from fractions import Fraction
+
+    from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+        op_regression_closed_form,
+    )
+
+    o = catalog.table("orders").collect()
+    import pandas as pd
+
+    groups: dict[str, list] = {}
+    for r in o:
+        x = pd.Timestamp(r["o_orderdate"]).value // 1000 // 86_400_000_000
+        y = round(r["o_totalprice"] * 100)
+        groups.setdefault(r["o_orderpriority"], []).append((int(x), int(y)))
+    out = {r["grp"]: r for r in op_regression_closed_form(spark, SF_DIR).collect()}
+    for grp, pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope_frac = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
+        got = out[grp]
+        assert got["n"] == n
+        # same integer sufficient statistics -> same double chain
+        assert got["slope_per_day"] == float(n * sxy - sx * sy) / float(
+            n * sxx - sx * sx
+        ) / 100.0
+        # and the exact fraction agrees to double precision
+        assert abs(got["slope_per_day"] - float(slope_frac) / 100.0) < 1e-12
