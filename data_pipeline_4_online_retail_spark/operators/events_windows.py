@@ -1447,3 +1447,37 @@ def ev_gap_fill_forward(spark, sf_dir):
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         "observed",
     )
+
+
+@register(
+    "ev_seasonality_profile",
+    """
+    SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="time profiling: the weekday x hour seasonality matrix (counts, "
+    "exact-decimal value sums, decimal-over-count averages) — the "
+    "heatmap behind staffing/capacity curves and the denominator for "
+    "ev_burst_detection-style anomaly baselines. Engine-portable "
+    "calendar attrs (isodow == weekday+1). Scale: at most 168 groups; "
+    "the aggregate collapses map-side to one row per (dow, hour) per "
+    "partition.",
+    tags=("events", "r4c"),
+)
+def ev_seasonality_profile(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)"))
+    return e.groupBy(
+        (F.weekday("ts") + 1).cast("integer").alias("iso_dow"),
+        F.hour("ts").cast("integer").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum.cast("double").alias("total_value"),
+        (dec_sum.cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
