@@ -46,10 +46,11 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering, round 4 (final, after the in-round
-# continuation grew the registry to 200): the driver checks the FIRST
-# 50 registrations. 81 registrations have no driver row yet (71 of
-# them DuckDB-oracled; the 10 r4c-late additions join the r5 backlog
-# with local oracle_check + pytest evidence), so slots go to (a) 4 controls — ev_asof_join
+# continuation grew the registry to 219): the driver checks the FIRST
+# 50 registrations. 100 registrations have no driver row yet (90 of
+# them DuckDB-oracled; everything added after the window was fixed
+# joins the r5 backlog with local oracle_check + vanilla-sweep +
+# pytest evidence recorded in NOTES_r4), so slots go to (a) 4 controls — ev_asof_join
 # (the r3 red, code changed this round) and the two approx sketches
 # (upgraded to bounded within_bound oracles) plus one cross-round
 # star-schema control — and (b) 46 oracled never-checked queries
