@@ -643,3 +643,86 @@ def op_regression_closed_form(spark, sf_dir):
         slope.alias("slope_per_day"),
         intercept.alias("intercept"),
     )
+
+
+@register(
+    "op_quantile_normalization",
+    """
+    WITH g_all AS (
+        SELECT o_totalprice AS val,
+               percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS p,
+               0 AS tag, CAST(NULL AS BIGINT) AS okey,
+               CAST(NULL AS VARCHAR) AS grp
+        FROM orders),
+    grouped AS (
+        SELECT o_totalprice AS val,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS p,
+               1 AS tag, o_orderkey AS okey, o_orderpriority AS grp
+        FROM orders),
+    u AS (
+        SELECT * FROM g_all UNION ALL SELECT * FROM grouped),
+    mapped AS (
+        SELECT okey, grp, val, p, tag,
+               last_value(CASE WHEN tag = 0 THEN val END IGNORE NULLS)
+                   OVER (ORDER BY p, tag, val, okey NULLS FIRST
+                         ROWS UNBOUNDED PRECEDING) AS normalized
+        FROM u)
+    SELECT okey AS o_orderkey, grp AS o_orderpriority, val AS o_totalprice,
+           p AS group_pct_rank, normalized
+    FROM mapped WHERE tag = 1
+    """,
+    doc="feature engineering: quantile normalization — each group's "
+    "values re-map onto the GLOBAL distribution at the same quantile "
+    "(the cross-sample calibration transform from bioinformatics, "
+    "also how per-segment scores are made comparable). Mechanism: "
+    "percent_rank per group and globally — (rank-1)/(n-1), an exact "
+    "integer ratio, bit-identical across engines — then the familiar "
+    "union-then-window as-of: one sort over (p, tag) and a running "
+    "last_value(IGNORE NULLS) picks the greatest global value at-or-"
+    "below each group quantile. No range join, no per-row subquery. "
+    "Scale: the global rank is the one full sort (range-partitioned); "
+    "everything after rides the same order.",
+    tags=("stats", "r4c"),
+)
+def op_quantile_normalization(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    glob = o.select(
+        F.col("o_totalprice").alias("val"),
+        F.percent_rank()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("p"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("string").alias("grp"),
+    )
+    grouped = o.select(
+        F.col("o_totalprice").alias("val"),
+        F.percent_rank()
+        .over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("p"),
+        F.lit(1).alias("tag"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    u = glob.unionByName(grouped)
+    w = Window.orderBy(
+        "p", "tag", "val", F.col("okey").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mapped = u.withColumn(
+        "normalized",
+        F.last(F.when(F.col("tag") == 0, F.col("val")), ignorenulls=True).over(
+            w
+        ),
+    )
+    return mapped.filter(F.col("tag") == 1).select(
+        F.col("okey").alias("o_orderkey"),
+        F.col("grp").alias("o_orderpriority"),
+        F.col("val").alias("o_totalprice"),
+        F.col("p").alias("group_pct_rank"),
+        "normalized",
+    )

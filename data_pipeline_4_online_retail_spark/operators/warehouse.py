@@ -489,3 +489,82 @@ def wh_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_id",
         F.col("attr").alias("dim_attr_asof"),
     )
+
+
+@register(
+    "wh_data_diff_summary",
+    """
+    WITH v_old AS (
+        SELECT * FROM orders WHERE o_orderkey % 4 != 0),
+    v_new AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 5 != 0),
+    profiles AS (
+        SELECT 'old' AS v, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents,
+               MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        FROM v_old
+        UNION ALL
+        SELECT 'new', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+               MIN(o_orderdate), MAX(o_orderdate)
+        FROM v_new)
+    SELECT o.n_rows AS rows_old, n.n_rows AS rows_new,
+           n.n_rows - o.n_rows AS rows_delta,
+           o.n_customers AS cust_old, n.n_customers AS cust_new,
+           n.price_cents - o.price_cents AS price_cents_delta,
+           CAST(o.min_date = n.min_date AS INTEGER) AS min_date_same,
+           CAST(o.max_date = n.max_date AS INTEGER) AS max_date_same
+    FROM (SELECT * FROM profiles WHERE v = 'old') o
+    CROSS JOIN (SELECT * FROM profiles WHERE v = 'new') n
+    """,
+    doc="warehouse QA: data-diff summary between two table versions — "
+    "aggregate profiles (row counts, distinct keys, exact cent totals, "
+    "date spans) computed per version and reduced to a one-row delta "
+    "report. This is the cheap O(scan) first pass a migration runs "
+    "BEFORE the O(rows) wh_snapshot_diff / op_checksum_table row-level "
+    "tools: profile deltas localize WHAT drifted (volume vs value vs "
+    "span) for free. Versions are simulated with modular filters plus "
+    "a value perturbation so every delta column is nonzero-exercised. "
+    "The 1x1 cross join is a broadcast of one row.",
+    tags=("warehouse", "quality", "r4c"),
+)
+def wh_data_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    v_old = o.filter(F.col("o_orderkey") % 4 != 0)
+    v_new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_rows_{tag}"),
+            F.countDistinct("o_custkey").alias(f"n_cust_{tag}"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias(f"cents_{tag}"),
+            F.min("o_orderdate").alias(f"min_d_{tag}"),
+            F.max("o_orderdate").alias(f"max_d_{tag}"),
+        )
+
+    j = profile(v_old, "o").crossJoin(F.broadcast(profile(v_new, "n")))
+    return j.select(
+        F.col("n_rows_o").alias("rows_old"),
+        F.col("n_rows_n").alias("rows_new"),
+        (F.col("n_rows_n") - F.col("n_rows_o")).alias("rows_delta"),
+        F.col("n_cust_o").alias("cust_old"),
+        F.col("n_cust_n").alias("cust_new"),
+        (F.col("cents_n") - F.col("cents_o")).alias("price_cents_delta"),
+        (F.col("min_d_o") == F.col("min_d_n")).cast("integer").alias("min_date_same"),
+        (F.col("max_d_o") == F.col("max_d_n")).cast("integer").alias("max_date_same"),
+    )

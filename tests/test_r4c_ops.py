@@ -967,3 +967,52 @@ def test_regression_matches_exact_fraction_replica(spark, catalog):
         ) / 100.0
         # and the exact fraction agrees to double precision
         assert abs(got["slope_per_day"] - float(slope_frac) / 100.0) < 1e-12
+
+
+def test_data_diff_summary_deltas_are_real(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        wh_data_diff_summary,
+    )
+
+    o = catalog.table("orders")
+    r = wh_data_diff_summary(spark, SF_DIR).collect()[0]
+    assert r["rows_old"] == o.filter("o_orderkey % 4 != 0").count()
+    assert r["rows_new"] == o.filter("o_orderkey % 5 != 0").count()
+    assert r["rows_delta"] == r["rows_new"] - r["rows_old"]
+    assert r["price_cents_delta"] != 0  # the perturbation is visible
+
+
+def test_quantile_normalization_properties(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+        op_quantile_normalization,
+    )
+
+    rows = op_quantile_normalization(spark, SF_DIR).collect()
+    o = catalog.table("orders").collect()
+    assert len(rows) == len(o)
+    global_vals = sorted(r["o_totalprice"] for r in o)
+    gset = set(global_vals)
+    # every normalized value is an actual global value
+    assert all(r["normalized"] in gset for r in rows)
+    # monotone within each group: higher group quantile -> >= normalized
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r["o_orderpriority"], []).append(
+            (r["group_pct_rank"], r["normalized"])
+        )
+    for vals in by_grp.values():
+        vals.sort()
+        assert all(a[1] <= b[1] for a, b in zip(vals, vals[1:]))
+    # the max of every group maps to the global max (p=1.0 both sides)
+    for vals in by_grp.values():
+        assert vals[-1][1] == global_vals[-1]
+    # replica on one group: normalized == greatest global val whose
+    # global pct-rank <= the row's group pct-rank
+    import bisect
+
+    n = len(global_vals)
+    gp = [(i) / (n - 1) for i in range(n)]  # pct-rank of sorted globals
+    grp = by_grp["1-URGENT"]
+    for p, norm in grp[:50]:
+        idx = bisect.bisect_right(gp, p) - 1
+        assert norm == global_vals[idx]

@@ -1210,3 +1210,53 @@ def test_rocksdb_state_store_provider_runs_dedup(spark, catalog, tmp_path_factor
     # RocksDB actually backed the state (zip snapshots/changelogs on disk)
     state_files = _glob.glob(base + "/ckpt/state/**/*.zip", recursive=True)
     assert state_files, "no RocksDB snapshot artifacts in checkpoint"
+
+
+def test_stream_progress_reports_bounded_state_size(spark, catalog, tmp_path_factory):
+    """Observability contract: StreamingQueryProgress's stateOperators
+    metrics report the EXACT number of state rows — for the dedup
+    operator that is one row per distinct event_id still inside the
+    watermark. This is how an operator's bounded-state claim is
+    monitored in production (alert on numRowsTotal growth), so pin that
+    the metric is real and exact here."""
+    from data_pipeline_4_online_retail_spark.streaming.windows import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    base = str(tmp_path_factory.mktemp("progress"))
+    ev = catalog.table("events")
+    ev.coalesce(1).write.mode("overwrite").parquet(base + "/src")
+
+    q = (
+        dedup_events_stream(read_events_stream(spark, base + "/src"))
+        .writeStream.format("memory")
+        .queryName("t_progress")
+        .option("checkpointLocation", base + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses, "no stateful progress recorded"
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    n_events = ev.select("event_id").distinct().count()
+    # ingest phase: the state held every distinct event_id...
+    assert max(totals) == n_events
+    # ...and the final batch's watermark EVICTED everything older than
+    # the 10-minute delay — numRowsTotal is the live proof the state is
+    # bounded by the watermark window, not by history
+    from pyspark.sql import functions as FF
+
+    hi = ev.agg(FF.max("ts")).head()[0]
+    import datetime as dt
+
+    in_window = ev.filter(
+        FF.col("ts") >= FF.lit(hi - dt.timedelta(minutes=10))
+    ).count()
+    assert totals[-1] <= in_window < n_events
+    assert all(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"] == 0
+        for p in progresses
+    )  # in-order feed: nothing arrived late enough to be dropped
