@@ -1481,3 +1481,63 @@ def ev_seasonality_profile(spark, sf_dir):
         dec_sum.cast("double").alias("total_value"),
         (dec_sum.cast("double") / F.count(F.lit(1))).alias("avg_value"),
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "ev_rolling_wau",
+    f"""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+        FROM events),
+    contributions AS (
+        SELECT user_id,
+               CAST(active_day + CAST(offs.o || ' days' AS INTERVAL)
+                    AS DATE) AS day
+        FROM user_days, LATERAL (
+            SELECT unnest(range(0, {WAU_WINDOW_DAYS})) AS o) offs),
+    wau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contributions GROUP BY day),
+    observed AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT w.day, w.wau
+    FROM wau w JOIN observed ob ON w.day = ob.day
+    """,
+    doc="engagement: rolling 7-day active users (WAU) per day — the "
+    "sliding-distinct metric that CANNOT use the first-touch rewrite "
+    "(users re-enter and leave windows). Mechanism: each (user, "
+    "active_day) contributes itself to the next {w} days (a bounded "
+    "x{w} explode), then one distinct-count per day — the standard "
+    "trick that turns an O(days x window) re-scan into one shuffle "
+    "with bounded fan-out; restricted to observed days so the output "
+    "matches intuition. At 100 TB the distinct per day becomes "
+    "op_bitmap_distinct's mergeable bitmaps over the same "
+    "contributions table. DuckDB oracle uses the identical "
+    "formulation (window DISTINCT aggregates are the non-portable "
+    "alternative).",
+    tags=("events", "r4c"),
+)
+def ev_rolling_wau(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("active_day")
+    ).distinct()
+    contributions = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.lit(WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("o"),
+        "active_day",
+    ).select(
+        "user_id", F.date_add(F.col("active_day"), F.col("o")).alias("day")
+    )
+    wau = contributions.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    observed = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    return wau.join(observed, "day")

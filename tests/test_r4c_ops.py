@@ -1016,3 +1016,27 @@ def test_quantile_normalization_properties(spark, catalog):
     for p, norm in grp[:50]:
         idx = bisect.bisect_right(gp, p) - 1
         assert norm == global_vals[idx]
+
+
+def test_rolling_wau_matches_replica(spark, catalog):
+    import datetime as dt
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        WAU_WINDOW_DAYS,
+        ev_rolling_wau,
+    )
+
+    ev = catalog.table("events").select("user_id", "ts").collect()
+    active: set = {(r["user_id"], r["ts"].date()) for r in ev}
+    observed = {d for _, d in active}
+    expect = {}
+    for day in observed:
+        lo = day - dt.timedelta(days=WAU_WINDOW_DAYS - 1)
+        expect[day] = len(
+            {u for u, d in active if lo <= d <= day}
+        )
+    got = {r["day"]: r["wau"] for r in ev_rolling_wau(spark, SF_DIR).collect()}
+    assert got == expect
+    # the rolling window genuinely exceeds single-day actives somewhere
+    dau = {d: len({u for u, dd in active if dd == d}) for d in observed}
+    assert any(got[d] > dau[d] for d in observed)
