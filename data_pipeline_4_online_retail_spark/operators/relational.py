@@ -1626,3 +1626,40 @@ def op_not_in_null_semantics(spark, sf_dir):
         FROM counts
         """
     )
+
+
+@register(
+    "op_sql_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 100
+    """,
+    doc="SQL surface: pipe syntax (Spark 4 `|>` operators, the "
+    "linear-dataflow SQL from the GoogleSQL pipe-query proposal) — "
+    "FROM |> WHERE |> AGGREGATE ... GROUP BY |> WHERE reads top-to-"
+    "bottom like the DataFrame API and compiles to the IDENTICAL "
+    "Catalyst plan as the nested classic form (the oracle runs the "
+    "classic spelling). Relevant to reference users: BigQuery ships "
+    "the same pipe syntax, so dbt-style SQL migrates verbatim.",
+    tags=("sql", "r4c"),
+)
+def op_sql_pipe_syntax(spark, sf_dir):
+    cat = load_tables(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+           GROUP BY o_orderpriority
+        |> WHERE n > 100
+        |> SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                  CAST(total_dec AS DOUBLE) AS total
+        """
+    )
