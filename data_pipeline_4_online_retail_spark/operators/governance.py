@@ -81,3 +81,79 @@ def gov_gdpr_erasure_audit(spark, sf_dir):
             .alias("rows_after"),
         )
     )
+
+
+PII_INJECT_MOD = 10
+
+
+@register(
+    "gov_pii_scan_report",
+    f"""
+    WITH scanned AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {PII_INJECT_MOD} = 0
+                    THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-01' ||
+                         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents),
+    hits AS (
+        SELECT doc_id,
+               CAST(regexp_matches(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                    AS INTEGER) AS has_email,
+               CAST(regexp_matches(text,
+                    '\\+?[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}-[0-9]{{4}}')
+                    AS INTEGER) AS has_phone
+        FROM scanned)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_email) AS BIGINT) AS n_email,
+           CAST(SUM(has_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN has_email = 1 OR has_phone = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN has_email = 1 OR has_phone = 1
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS flag_rate
+    FROM hits
+    """,
+    doc="governance: PII scan report — regex detectors (email, phone) "
+    "swept over the text corpus, reported as corpus-level hit rates; "
+    "the scan that decides whether pii_mask must run before a corpus "
+    "ships. The fixture's synthetic text contains no organic PII, so "
+    "every 10th document gets a deterministic injected contact line — "
+    "the detector's nonzero path is exercised and the expected "
+    "flag_rate is exactly 1/{PII_INJECT_MOD}. Detectors are JVM regex "
+    "(rlike) inside codegen; counts combine map-side; zero shuffle "
+    "beyond the 1-row aggregate. Spark rlike and DuckDB "
+    "regexp_matches share the regex subset used here.",
+    tags=("governance", "r4c"),
+)
+def gov_pii_scan_report(spark, sf_dir):
+    d = load_tables(spark, sf_dir).table("documents")
+    injected = F.when(
+        F.col("doc_id") % PII_INJECT_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    email = injected.rlike(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ).cast("integer")
+    phone = injected.rlike(
+        "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}-[0-9]{4}"
+    ).cast("integer")
+    flagged = (email == 1) | (phone == 1)
+    return d.select(email.alias("e"), phone.alias("p"), flagged.cast("integer").alias("f")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").cast("long").alias("n_email"),
+        F.sum("p").cast("long").alias("n_phone"),
+        F.sum("f").cast("long").alias("n_flagged"),
+        (F.sum("f").cast("double") / F.count(F.lit(1))).alias("flag_rate"),
+    )

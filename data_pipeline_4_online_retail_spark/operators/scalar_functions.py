@@ -726,3 +726,46 @@ def op_quantile_normalization(spark, sf_dir):
         F.col("p").alias("group_pct_rank"),
         "normalized",
     )
+
+
+@register(
+    "op_benford_first_digit",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+        FROM orders WHERE o_totalprice > 0)
+    SELECT first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS observed_frac
+    FROM digits GROUP BY first_digit
+    """,
+    doc="audit statistics: first-significant-digit distribution (the "
+    "Benford screen fraud teams run over financial amounts — fabricated "
+    "numbers over-represent high leading digits). Digits come from the "
+    "integer-cents string (never the raw double's scientific-notation "
+    "rendering, the known cross-engine trap), counts are exact, and "
+    "observed_frac is one division of exact integers; the log10 "
+    "Benford expectation is libm and deliberately left to the caller "
+    "(compare like op_crosstab_chi2). Uniform-ish synthetic prices "
+    "will NOT follow Benford — the operator reports, the analyst "
+    "judges. Map-side combine to <= 9 groups.",
+    tags=("stats", "audit", "r4c"),
+)
+def op_benford_first_digit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("integer")
+    counts = o.groupBy(digit.alias("first_digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "first_digit",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias(
+            "observed_frac"
+        ),
+    )

@@ -1098,3 +1098,37 @@ def test_observe_metrics_single_pass(spark, catalog):
     assert m["rows"] == o.count()
     assert m["nonpos"] == 0
     assert n_written == m["rows"] - m["nonpos"]
+
+
+def test_pii_scan_flags_exactly_injected_docs(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.governance import (
+        PII_INJECT_MOD,
+        gov_pii_scan_report,
+    )
+
+    n_docs = catalog.table("documents").count()
+    r = gov_pii_scan_report(spark, SF_DIR).collect()[0]
+    n_injected = len([i for i in range(n_docs) if i % PII_INJECT_MOD == 0])
+    assert r["n_docs"] == n_docs
+    # synthetic corpus has no organic PII: flags == injections exactly
+    assert r["n_email"] == r["n_phone"] == r["n_flagged"] == n_injected
+    assert r["flag_rate"] == n_injected / n_docs
+
+
+def test_benford_digits_partition_orders(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+        op_benford_first_digit,
+    )
+
+    o = catalog.table("orders").filter("o_totalprice > 0")
+    rows = op_benford_first_digit(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == o.count()
+    assert all(1 <= r["first_digit"] <= 9 for r in rows)
+    assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-12
+    # replica from cents strings
+    from collections import Counter
+
+    expect = Counter(
+        int(str(round(r["o_totalprice"] * 100))[0]) for r in o.collect()
+    )
+    assert {r["first_digit"]: r["n"] for r in rows} == dict(expect)
