@@ -1366,3 +1366,67 @@ def text_weighted_sample_ares(spark, sf_dir):
         .orderBy(F.desc("priority"), "doc_id")
         .limit(ARES_SAMPLE_K)
     )
+
+
+@register(
+    "text_split_leakage_audit",
+    """
+    WITH assigned AS (
+        SELECT doc_id,
+               md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+                   AS digest,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    groups AS (
+        SELECT digest,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+               MIN(doc_id) AS example_doc
+        FROM assigned
+        GROUP BY digest
+        HAVING COUNT(*) > 1)
+    SELECT digest, n_copies, n_splits, example_doc,
+           CAST(n_splits > 1 AS INTEGER) AS leaks
+    FROM groups
+    """,
+    doc="curation QA: split-leakage audit — near-duplicate groups "
+    "(8-word-prefix fingerprint, the blocking key near-dups share; "
+    "the fixture has no byte-identical texts, found in-round) crossed "
+    "with text_split_assign's hash-stable train/val/test labels; any "
+    "group spanning >1 split is evaluation-set contamination (the "
+    "test set 'knows' training content). The full near-dup extension "
+    "runs the same join against dedup_clusters' pair output. This is "
+    "the audit that motivates dedup-BEFORE-split ordering in "
+    "pipeline_curation_e2e — and the fixture's near-dups really do "
+    "straddle splits (pytest pins leaks>0 and re-derives every "
+    "group). One digest shuffle; output O(duplicate groups).",
+    tags=("curation", "quality", "r4c"),
+)
+def text_split_leakage_audit(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    assigned = d.select(
+        "doc_id", F.md5(prefix).alias("digest"), split.alias("split")
+    )
+    groups = (
+        assigned.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("split").alias("n_splits"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    return groups.select(
+        "digest",
+        "n_copies",
+        "n_splits",
+        "example_doc",
+        (F.col("n_splits") > 1).cast("integer").alias("leaks"),
+    )

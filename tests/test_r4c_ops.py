@@ -1132,3 +1132,40 @@ def test_benford_digits_partition_orders(spark, catalog):
         int(str(round(r["o_totalprice"] * 100))[0]) for r in o.collect()
     )
     assert {r["first_digit"]: r["n"] for r in rows} == dict(expect)
+
+
+def test_split_leakage_audit_matches_replica(spark, catalog):
+    import hashlib
+
+    from data_pipeline_4_online_retail_spark.operators.curation import (
+        text_split_leakage_audit,
+    )
+
+    docs = catalog.table("documents").select("doc_id", "text").collect()
+
+    def split_of(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        return "train" if h <= "b" else ("val" if h <= "d" else "test")
+
+    groups: dict[str, list] = {}
+    for r in docs:
+        prefix = " ".join(r["text"].split(" ")[:8])
+        d = hashlib.md5(prefix.encode()).hexdigest()
+        groups.setdefault(d, []).append(r["doc_id"])
+    expect = {
+        d: (
+            len(ids),
+            len({split_of(i) for i in ids}),
+            min(ids),
+        )
+        for d, ids in groups.items()
+        if len(ids) > 1
+    }
+    got = {
+        r["digest"]: (r["n_copies"], r["n_splits"], r["example_doc"])
+        for r in text_split_leakage_audit(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
+    # the leak path is real in this fixture
+    leaks = [d for d, (_, ns, _) in expect.items() if ns > 1]
+    assert leaks
