@@ -1541,3 +1541,162 @@ def ev_rolling_wau(spark, sf_dir):
     )
     observed = e.select(F.col("ts").cast("date").alias("day")).distinct()
     return wau.join(observed, "day")
+
+
+@register(
+    "ev_funnel_dropoff",
+    """
+    WITH s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+                   AS signup_ts
+        FROM events GROUP BY user_id),
+    v AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS view_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+        GROUP BY e.user_id),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.view_ts
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.click_ts
+        GROUP BY e.user_id),
+    stages AS (
+        SELECT s.user_id,
+               CASE WHEN p.purchase_ts IS NOT NULL THEN 4
+                    WHEN c.click_ts IS NOT NULL THEN 3
+                    WHEN v.view_ts IS NOT NULL THEN 2
+                    WHEN s.signup_ts IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM s
+        LEFT JOIN v ON s.user_id = v.user_id
+        LEFT JOIN c ON s.user_id = c.user_id
+        LEFT JOIN p ON s.user_id = p.user_id
+        WHERE s.signup_ts IS NOT NULL),
+    counts AS (
+        SELECT st.stage,
+               CAST(SUM(CASE WHEN funnel_stage >= st.stage THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reached
+        FROM stages, LATERAL (
+            SELECT unnest(ARRAY[1, 2, 3, 4]) AS stage) st
+        GROUP BY st.stage)
+    SELECT stage, n_reached,
+           lag(n_reached) OVER (ORDER BY stage) AS n_previous,
+           CAST(n_reached AS DOUBLE)
+               / lag(n_reached) OVER (ORDER BY stage) AS step_conversion,
+           CAST(n_reached AS DOUBLE)
+               / first_value(n_reached) OVER (ORDER BY stage
+                   ROWS UNBOUNDED PRECEDING) AS overall_conversion
+    FROM counts
+    """,
+    doc="product analytics: the funnel DROP-OFF report — per-stage "
+    "reached counts (a bounded x4 stage explode over ev_funnel's "
+    "stage assignment), step conversion n_k/n_{k-1} and overall "
+    "conversion n_k/n_1; the table a growth dashboard renders beside "
+    "the raw funnel. Ratios divide exact integers (IEEE-identical); "
+    "the 4-row window pass is trivially small. Same single user_id "
+    "partitioning as ev_funnel underneath.",
+    tags=("events", "analytics", "r4c"),
+)
+def ev_funnel_dropoff(spark, sf_dir):
+    stages = ev_funnel(spark, sf_dir).filter(
+        F.col("signup_ts").isNotNull()
+    ).select("funnel_stage")
+    exploded = stages.select(
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("stage"),
+        "funnel_stage",
+    )
+    counts = exploded.groupBy("stage").agg(
+        F.sum(
+            (F.col("funnel_stage") >= F.col("stage")).cast("long")
+        ).alias("n_reached")
+    )
+    w = Window.orderBy("stage")
+    prev = F.lag("n_reached").over(w)
+    first = F.first("n_reached").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        "stage",
+        "n_reached",
+        prev.alias("n_previous"),
+        (F.col("n_reached").cast("double") / prev).alias("step_conversion"),
+        (F.col("n_reached").cast("double") / first).alias(
+            "overall_conversion"
+        ),
+    )
+
+
+@register(
+    "ev_peak_concurrency",
+    f"""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) - {COVERAGE_HALF_WINDOW_US} AS s,
+               epoch_us(ts) + {COVERAGE_HALF_WINDOW_US} AS e
+        FROM events),
+    endpoints AS (
+        SELECT s AS t, 1 AS delta, 0 AS is_end FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS delta, 1 AS is_end FROM iv),
+    swept AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, is_end, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM endpoints)
+    SELECT CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(MIN(CASE WHEN live = (SELECT MAX(live) FROM swept)
+                         THEN t END) AS BIGINT) AS first_peak_us
+    FROM swept
+    """,
+    doc="capacity planning: peak concurrency via the sweep line — every "
+    "attention interval contributes a +1 start and -1 end endpoint; "
+    "the running sum over time-ordered endpoints is the live count and "
+    "its max is the staffing peak (starts sort before ends at the same "
+    "instant — delta DESC — so touching intervals count as "
+    "overlapping, matching the closed-interval convention of "
+    "ev_interval_coverage; which reports union LENGTH, while this "
+    "reports overlap DEPTH). first_peak_us pins WHEN capacity is "
+    "needed. The global endpoint sort is the one wide op; at 100 TB "
+    "range-partition by time and carry per-partition boundary sums — "
+    "the same hierarchical prefix trick as op_skyline_pareto.",
+    tags=("events", "r4c"),
+)
+def ev_peak_concurrency(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        (F.unix_micros("ts") - COVERAGE_HALF_WINDOW_US).alias("s"),
+        (F.unix_micros("ts") + COVERAGE_HALF_WINDOW_US).alias("e"),
+    )
+    starts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("is_end")
+    )
+    ends = iv.select(
+        F.col("e").alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("is_end"),
+    )
+    endpoints = starts.unionByName(ends)
+    w = Window.orderBy("t", "is_end", F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = endpoints.withColumn("live", F.sum("delta").over(w))
+    peak = F.max("live").over(Window.partitionBy())
+    return (
+        swept.withColumn("peak", peak)
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.min(
+                F.when(F.col("live") == F.col("peak"), F.col("t"))
+            )
+            .cast("long")
+            .alias("first_peak_us"),
+        )
+    )

@@ -769,3 +769,53 @@ def op_benford_first_digit(spark, sf_dir):
             "observed_frac"
         ),
     )
+
+
+@register(
+    "op_weighted_median",
+    """
+    WITH w AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS val,
+               CAST(o_orderkey % 5 + 1 AS BIGINT) AS wt
+        FROM orders),
+    ranked AS (
+        SELECT grp, val, wt,
+               SUM(wt) OVER (PARTITION BY grp ORDER BY val, wt
+                             ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               SUM(wt) OVER (PARTITION BY grp) AS total_wt
+        FROM w)
+    SELECT grp,
+           MIN(CASE WHEN 2 * cum_wt >= total_wt THEN val END)
+               AS weighted_median,
+           CAST(MAX(total_wt) AS BIGINT) AS total_weight
+    FROM ranked GROUP BY grp
+    """,
+    doc="statistics: weighted median per group — sort by value, running "
+    "weight sum, first value whose cumulative weight crosses half the "
+    "total (the lower weighted median; deterministic (val, wt) "
+    "tie-break). Integer weights keep the crossing test exact — the "
+    "2*cum >= total form avoids the float half-total entirely. The "
+    "estimator behind weighted-sample medians (pairs with "
+    "text_weighted_sample_ares) and cost-weighted SLO percentiles. "
+    "One group shuffle shared by both window passes and the final "
+    "aggregate.",
+    tags=("stats", "r4c"),
+)
+def op_weighted_median(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("val"),
+        (F.col("o_orderkey") % 5 + 1).cast("long").alias("wt"),
+    )
+    win = Window.partitionBy("grp").orderBy("val", "wt")
+    ranked = w.withColumn(
+        "cum_wt",
+        F.sum("wt").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("total_wt", F.sum("wt").over(Window.partitionBy("grp")))
+    return ranked.groupBy("grp").agg(
+        F.min(
+            F.when(2 * F.col("cum_wt") >= F.col("total_wt"), F.col("val"))
+        ).alias("weighted_median"),
+        F.max("total_wt").cast("long").alias("total_weight"),
+    )

@@ -568,3 +568,73 @@ def wh_data_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("min_d_o") == F.col("min_d_n")).cast("integer").alias("min_date_same"),
         (F.col("max_d_o") == F.col("max_d_n")).cast("integer").alias("max_date_same"),
     )
+
+
+@register(
+    "wh_cdc_apply_with_deletes",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 != 0),
+    feed AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 1 THEN 'D' ELSE 'U' END AS op,
+               'X' AS o_orderstatus, o_totalprice + 5.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+        SELECT COALESCE(f.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN f.op = 'D' THEN NULL
+                    WHEN f.o_orderkey IS NOT NULL THEN f.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN f.op = 'D' THEN NULL
+                    WHEN f.o_orderkey IS NOT NULL THEN f.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN f.op = 'D' THEN 1 ELSE 0 END AS deleted
+        FROM base b FULL OUTER JOIN feed f ON b.o_orderkey = f.o_orderkey)
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM merged WHERE deleted = 0
+    """,
+    doc="warehouse: CDC apply WITH delete tombstones — the change feed "
+    "carries op IN ('U','D'); upserts overwrite-or-insert (full-outer "
+    "on the key, feed side wins) and tombstones REMOVE the row; a delete for a key the base never had "
+    "falls through the same CASE chain as a no-op. Completes wh_merge_upsert (no deletes) and "
+    "wh_snapshot_diff (which EXTRACTS such feeds): extract -> apply "
+    "round-trips a table. One keyed shuffle; output O(base + feed). "
+    "On a transactional format the same semantics are MERGE ... WHEN "
+    "MATCHED AND op='D' THEN DELETE.",
+    tags=("warehouse", "r4c"),
+)
+def wh_cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 1, "D").otherwise("U").alias("op"),
+        F.lit("X").alias("f_status"),
+        (F.col("o_totalprice") + 5.0).alias("f_price"),
+    )
+    j = base.alias("b").join(
+        feed.alias("f"), F.col("b.o_orderkey") == F.col("f.o_orderkey"), "full_outer"
+    )
+    in_feed = F.col("f.o_orderkey").isNotNull()
+    deleted = F.col("f.op") == "D"
+    return (
+        j.select(
+            F.coalesce(F.col("f.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(deleted, F.lit(None))
+            .when(in_feed, F.col("f.f_status"))
+            .otherwise(F.col("b.o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(deleted, F.lit(None))
+            .when(in_feed, F.col("f.f_price"))
+            .otherwise(F.col("b.o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(deleted, 1).otherwise(0).alias("deleted"),
+        )
+        .filter(F.col("deleted") == 0)
+        .drop("deleted")
+    )

@@ -1169,3 +1169,110 @@ def test_split_leakage_audit_matches_replica(spark, catalog):
     # the leak path is real in this fixture
     leaks = [d for d, (_, ns, _) in expect.items() if ns > 1]
     assert leaks
+
+
+def test_funnel_dropoff_monotone_and_consistent(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_funnel,
+        ev_funnel_dropoff,
+    )
+
+    rows = sorted(
+        ev_funnel_dropoff(spark, SF_DIR).collect(), key=lambda r: r["stage"]
+    )
+    stages = [
+        r["funnel_stage"]
+        for r in ev_funnel(spark, SF_DIR).collect()
+        if r["signup_ts"] is not None
+    ]
+    for r in rows:
+        assert r["n_reached"] == sum(1 for s in stages if s >= r["stage"])
+    reached = [r["n_reached"] for r in rows]
+    assert reached == sorted(reached, reverse=True)  # funnel never grows
+    assert rows[0]["n_previous"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["step_conversion"] == cur["n_reached"] / prev["n_reached"]
+        assert cur["overall_conversion"] == cur["n_reached"] / rows[0]["n_reached"]
+
+
+def test_weighted_median_matches_replica(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+        op_weighted_median,
+    )
+
+    o = catalog.table("orders").collect()
+    groups: dict[str, list] = {}
+    for r in o:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            (r["o_totalprice"], r["o_orderkey"] % 5 + 1)
+        )
+    out = {r["grp"]: r for r in op_weighted_median(spark, SF_DIR).collect()}
+    for grp, pts in groups.items():
+        pts.sort()
+        total = sum(w for _, w in pts)
+        cum = 0
+        med = None
+        for v, w in pts:
+            cum += w
+            if 2 * cum >= total:
+                med = v
+                break
+        assert out[grp]["weighted_median"] == med
+        assert out[grp]["total_weight"] == total
+
+
+def test_cdc_apply_with_deletes_semantics(spark, catalog):
+    from data_pipeline_4_online_retail_spark.operators.warehouse import (
+        wh_cdc_apply_with_deletes,
+    )
+
+    o = catalog.table("orders").collect()
+    base = {r["o_orderkey"] for r in o if r["o_orderkey"] % 4 != 0}
+    feed = {r["o_orderkey"]: ("D" if r["o_orderkey"] % 10 == 1 else "U") for r in o if r["o_orderkey"] % 3 == 0}
+    out = {r["o_orderkey"]: r for r in wh_cdc_apply_with_deletes(spark, SF_DIR).collect()}
+    expect_keys = (base | {k for k, op in feed.items() if op == "U"}) - {
+        k for k, op in feed.items() if op == "D"
+    }
+    assert set(out) == expect_keys
+    # upserted rows show the feed's values; untouched rows keep base's
+    for k, r in out.items():
+        if feed.get(k) == "U":
+            assert r["o_orderstatus"] == "X"
+        else:
+            assert r["o_orderstatus"] != "X"
+    # deletes removed rows the base HAD (no mod-arithmetic key can be a
+    # ghost delete in this fixture: %10==1 implies odd, %4==0 even)
+    real_deletes = {k for k, op in feed.items() if op == "D"} & base
+    assert real_deletes and not (real_deletes & set(out))
+    # feed-only upserts INSERTED new keys
+    inserts = {k for k, op in feed.items() if op == "U"} - base
+    assert inserts and inserts <= set(out)
+
+
+def test_peak_concurrency_matches_sweep_replica(spark, catalog):
+    import pandas as pd
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        COVERAGE_HALF_WINDOW_US,
+        ev_peak_concurrency,
+    )
+
+    ev = catalog.table("events").select("ts").collect()
+    pts = []
+    for r in ev:
+        us = pd.Timestamp(r["ts"]).value // 1000
+        pts.append((us - COVERAGE_HALF_WINDOW_US, 1))
+        pts.append((us + COVERAGE_HALF_WINDOW_US, -1))
+    # starts before ends at equal t (closed intervals)
+    pts.sort(key=lambda p: (p[0], -p[1]))
+    live = peak = 0
+    first_peak = None
+    for t, d in pts:
+        live += d
+        if live > peak:
+            peak, first_peak = live, t
+    r = ev_peak_concurrency(spark, SF_DIR).collect()[0]
+    assert r["peak_concurrent"] == peak
+    assert r["n_intervals"] == len(ev)
+    assert r["first_peak_us"] == first_peak
+    assert peak > 1  # overlaps actually exist
