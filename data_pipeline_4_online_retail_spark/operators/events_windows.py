@@ -1700,3 +1700,49 @@ def ev_peak_concurrency(spark, sf_dir):
             .alias("first_peak_us"),
         )
     )
+
+
+@register(
+    "ev_bounce_rate",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSIONIZE_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tagged AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_no
+        FROM ordered),
+    sessions AS (
+        SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM tagged GROUP BY user_id, session_no)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS bounce_rate
+    FROM sessions
+    """,
+    doc="engagement: bounce rate — single-event sessions over total "
+    "sessions (the classic web-analytics KPI), on the same gaps-and-"
+    "islands sessionization as ev_sessionize; the ratio divides two "
+    "exact integers. One user_id shuffle end-to-end, final 1-row "
+    "aggregate.",
+    tags=("events", "r4c"),
+)
+def ev_bounce_rate(spark, sf_dir):
+    sessions = ev_sessionize(spark, sf_dir)
+    bounces = F.sum(
+        (F.col("n_events") == 1).cast("long")
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )

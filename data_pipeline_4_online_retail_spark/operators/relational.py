@@ -1663,3 +1663,52 @@ def op_sql_pipe_syntax(spark, sf_dir):
                   CAST(total_dec AS DOUBLE) AS total
         """
     )
+
+
+@register(
+    "op_moving_average_centered",
+    """
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1, 2)
+    SELECT year, month, revenue,
+           AVG(revenue) OVER (ORDER BY year, month
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+               AS ma3_centered,
+           CAST(COUNT(*) OVER (ORDER BY year, month
+                               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS BIGINT) AS window_n
+    FROM monthly
+    """,
+    doc="time-series smoothing: centered 3-month moving average over "
+    "the monthly revenue series — the FOLLOWING-frame window "
+    "(trend-extraction convention; op_window_range_frame covers the "
+    "trailing form). Edge months average over the truncated window "
+    "(window_n exposes the divisor, so consumers can mask partial "
+    "edges). AVG here is safe for the hash-compare because each frame "
+    "holds <= 3 identically-derived doubles summed in frame order on "
+    "both engines. Month frame is tiny; the window runs post-"
+    "aggregate.",
+    tags=("analytics", "r4c"),
+)
+def op_moving_average_centered(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("integer").alias("year"),
+        F.month("o_orderdate").cast("integer").alias("month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("year", "month").rowsBetween(-1, 1)
+    return monthly.select(
+        "year",
+        "month",
+        "revenue",
+        F.avg("revenue").over(w).alias("ma3_centered"),
+        F.count(F.lit(1)).over(w).cast("long").alias("window_n"),
+    )

@@ -1276,3 +1276,34 @@ def test_peak_concurrency_matches_sweep_replica(spark, catalog):
     assert r["n_intervals"] == len(ev)
     assert r["first_peak_us"] == first_peak
     assert peak > 1  # overlaps actually exist
+
+
+def test_moving_average_centered_window_math(spark):
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_moving_average_centered,
+    )
+
+    rows = sorted(
+        op_moving_average_centered(spark, SF_DIR).collect(),
+        key=lambda r: (r["year"], r["month"]),
+    )
+    assert rows[0]["window_n"] == 2 and rows[-1]["window_n"] == 2
+    assert all(r["window_n"] == 3 for r in rows[1:-1])
+    for i, r in enumerate(rows):
+        lo, hi = max(0, i - 1), min(len(rows), i + 2)
+        frame = [rows[j]["revenue"] for j in range(lo, hi)]
+        assert abs(r["ma3_centered"] - sum(frame) / len(frame)) < 1e-9
+
+
+def test_bounce_rate_consistent_with_sessionize(spark):
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_bounce_rate,
+        ev_sessionize,
+    )
+
+    sessions = ev_sessionize(spark, SF_DIR).collect()
+    r = ev_bounce_rate(spark, SF_DIR).collect()[0]
+    assert r["n_sessions"] == len(sessions)
+    n_bounce = sum(1 for s in sessions if s["n_events"] == 1)
+    assert r["n_bounces"] == n_bounce
+    assert r["bounce_rate"] == n_bounce / len(sessions)
