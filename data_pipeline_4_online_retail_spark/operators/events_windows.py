@@ -1746,3 +1746,89 @@ def ev_bounce_rate(spark, sf_dir):
         bounces.alias("n_bounces"),
         (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-lag distribution (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_conversion_lag",
+    """
+    WITH f AS (
+        SELECT user_id, MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= f.first_click
+        GROUP BY e.user_id),
+    lags AS (
+        SELECT f.user_id,
+               CAST(epoch_us(first_purchase) - epoch_us(first_click)
+                    AS BIGINT) AS lag_us
+        FROM f JOIN p ON f.user_id = p.user_id)
+    SELECT user_id, lag_us,
+           CAST(ntile(4) OVER (ORDER BY lag_us, user_id) AS INT)
+               AS lag_quartile,
+           (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)
+                   AS BIGINT) FROM lags) AS p50_lag_us,
+           (SELECT CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)
+                   AS BIGINT) FROM lags) AS p90_lag_us
+    FROM lags
+    """,
+    doc="events: conversion-lag distribution — per user, the exact "
+    "microsecond lag from first click to first at-or-after purchase, "
+    "quartile-bucketed (deterministic (lag, user) tie-break) and "
+    "annotated with the global p50/p90 lag (percentile_disc: an actual "
+    "data element, no interpolation arithmetic — engine-exact on BIGINT "
+    "micros; the fixture's timestamps all carry sub-second micros, so "
+    "second-floored lags would be engine-ambiguous, micros are not). "
+    "Plan: two keyed aggregates + one equi-join, then a report-sized "
+    "window (one row per converting user) and a broadcast 1-row "
+    "percentile frame. Scale: the event scans aggregate partial-first "
+    "on user_id; only the per-user lag table (users, not events) "
+    "reaches the window/percentile passes — at 100 TB swap "
+    "percentile_disc for approx_percentile (op_percentiles_approx) and "
+    "the ntile for a bucketed histogram if even the user table "
+    "outgrows a sort. The funnel/attribution family's time-to-convert "
+    "report (GA4 'time to purchase').",
+    tags=("events", "analytics", "r4d"),
+)
+def ev_conversion_lag(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    f = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lags = f.join(p, "user_id").select(
+        "user_id",
+        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias(
+            "lag_us"
+        ),
+    )
+    pcts = lags.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("long")
+        .alias("p50_lag_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("long")
+        .alias("p90_lag_us"),
+    )
+    return (
+        lags.withColumn(
+            "lag_quartile",
+            F.ntile(4).over(Window.orderBy("lag_us", "user_id")),
+        )
+        .crossJoin(F.broadcast(pcts))
+        .select("user_id", "lag_us", "lag_quartile", "p50_lag_us", "p90_lag_us")
+    )

@@ -819,3 +819,78 @@ def op_weighted_median(spark, sf_dir):
         ).alias("weighted_median"),
         F.max("total_wt").cast("long").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moments (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_group_moments_mergeable",
+    """
+    WITH x AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                   AS x4
+        FROM lineitem),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x4 AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS s1,
+               CAST(SUM(CAST(x4 * x4 AS DECIMAL(30,0))) AS DOUBLE)
+                   / (10000.0 * 10000.0) AS s2
+        FROM x GROUP BY 1)
+    SELECT l_returnflag, n,
+           s1 AS sum_price,
+           s1 / n AS mean_price,
+           (s2 - s1 * s1 / n) / n AS var_pop_price
+    FROM s
+    """,
+    doc="aggregation: mergeable moments — per-group (n, Σx, Σx²) as ONE "
+    "partial-first aggregate, variance/mean derived from the three "
+    "moments afterwards (Chan et al.'s pairwise-mergeable form: the "
+    "partials combine associatively map-side, so the shuffle carries "
+    "3 numbers per (partition, group) — the same pattern approx "
+    "sketches use, but exact). The raw sums accumulate in DECIMAL "
+    "(order-independent, engine-identical), are pinned to one decimal "
+    "type, and only the FINAL derivation runs in double — identical "
+    "operands through identical IEEE expressions on both engines, so "
+    "the driver hash matches bit-exactly. Contrast var_pop()/stddev(): "
+    "engines implement different streaming update rules (Welford vs "
+    "textbook) whose float results differ; deriving from exact moments "
+    "sidesteps that entirely. At 100 TB this is also the UPDATABLE "
+    "form: stored (n, Σx, Σx²) per partition/day roll up to any "
+    "coarser grain without rescanning (the incremental-agg pattern of "
+    "incremental_agg_merge).",
+    tags=("aggregation", "r4d"),
+)
+def op_group_moments_mergeable(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    x4 = (F.col("l_extendedprice").cast("decimal(18,4)") * 10000).cast("long")
+    s = (
+        li.select("l_returnflag", x4.alias("x4"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("x4").cast("decimal(28,0)")).cast("double") / 10000.0
+            ).alias("s1"),
+            (
+                F.sum((F.col("x4") * F.col("x4")).cast("decimal(30,0)")).cast(
+                    "double"
+                )
+                / (10000.0 * 10000.0)
+            ).alias("s2"),
+        )
+    )
+    n = F.col("n")
+    s1 = F.col("s1")
+    s2 = F.col("s2")
+    return s.select(
+        "l_returnflag",
+        "n",
+        s1.alias("sum_price"),
+        (s1 / n).alias("mean_price"),
+        ((s2 - s1 * s1 / n) / n).alias("var_pop_price"),
+    )

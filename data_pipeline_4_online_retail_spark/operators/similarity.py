@@ -1037,3 +1037,56 @@ def sim_mmr_rerank(spark, sf_dir):
 
     out = [(rank + 1, vid, rel[vid]) for rank, vid in enumerate(selected)]
     return spark.createDataFrame(out, "mmr_rank INT, vec_id LONG, cosine DOUBLE")
+
+
+# ---------------------------------------------------------------------------
+# Radius / range search (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+RANGE_THRESHOLD = 0.3
+RANGE_QUERY_COUNT = 10
+
+
+@register(
+    "sim_range_search",
+    f"""
+    WITH qs AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {RANGE_QUERY_COUNT})
+    SELECT query_id, e.vec_id AS match_id, e.label
+    FROM embeddings e, qs
+    WHERE e.vec_id != query_id
+      AND list_cosine_similarity(e.embedding, qv) >= {RANGE_THRESHOLD}
+    """,
+    doc="similarity search: RANGE (radius) search — every corpus vector "
+    "with cosine >= 0.3 of each query vector, the retrieval mode behind "
+    "'find all near-duplicates of these N items' (top-k bounds the "
+    "result count; radius bounds the similarity — recall-complete for "
+    "its threshold). Plan: the query batch broadcasts (bounded: N "
+    "query vectors), the corpus streams once per partition through a "
+    "codegen'd cosine filter — ONE scan for the whole batch, no "
+    "shuffle at all (contrast sim_topk_batch's per-query heap merge; a "
+    "radius emit needs no ordering). At 100 TB the corpus scan "
+    "parallelizes per-file and the scale path swaps the full scan for "
+    "the IVF cell prune (sim_ann_ivf) with the same threshold filter. "
+    "Output excludes the float cos (vec ids + labels only) so the "
+    "hash compare is float-fold-free; boundary sensitivity is the "
+    "same list_cosine_similarity threshold discipline as "
+    "dedup_semantic_within_label.",
+    tags=("similarity", "r4d"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id") < RANGE_QUERY_COUNT).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    return (
+        emb.crossJoin(qs)
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (cosine_similarity("embedding", "qv") >= RANGE_THRESHOLD)
+        )
+        .select("query_id", F.col("vec_id").alias("match_id"), "label")
+    )

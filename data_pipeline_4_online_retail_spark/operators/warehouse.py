@@ -638,3 +638,141 @@ def wh_cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("deleted") == 0)
         .drop("deleted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension handling (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+# Simulated late arrival: every 5th part has not reached the dimension yet
+# when the fact lines referencing it load.
+LATE_DIM_MOD = 5
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+@register(
+    "wh_late_arriving_dim",
+    f"""
+    WITH dim AS (
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey % {LATE_DIM_MOD} != 0)
+    SELECT l_partkey AS part_id,
+           CASE WHEN d.p_partkey IS NULL THEN 1 ELSE 0 END AS is_inferred,
+           COALESCE(d.p_name, 'Unknown (late arriving)') AS description,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM({_REV_DEC}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem LEFT JOIN dim d ON l_partkey = d.p_partkey
+    GROUP BY 1, 2, 3
+    """,
+    doc="warehouse: late-arriving dimension handling (Kimball inferred "
+    "members) — fact lines whose dimension row has not arrived yet keep "
+    "flowing: LEFT join instead of the star's implicit-drop INNER join, "
+    "an is_inferred flag, and a placeholder description the real dim row "
+    "later overwrites (the MERGE in wh_merge_upsert is that backfill). "
+    "Contrast star_fct_invoice_line_value, where dropping unmatched "
+    "lines is the contract. Scale: identical join/agg shape to the fact "
+    "build — one equi-join (AQE picks broadcast when the dim side is "
+    "small) and one partial-first aggregate; the inferred-member branch "
+    "is a map-side CASE, no extra pass. Reference analogue: none "
+    "(WRITE_TRUNCATE rebuilds never face late arrivals; this is the "
+    "incremental-world counterpart).",
+    tags=("warehouse", "r4d"),
+)
+def wh_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.table("lineitem")
+    dim = (
+        cat.table("part")
+        .filter(F.col("p_partkey") % LATE_DIM_MOD != 0)
+        .select("p_partkey", "p_name")
+    )
+    revenue_dec = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(dim, li.l_partkey == dim.p_partkey, "left")
+        .groupBy(
+            F.col("l_partkey").alias("part_id"),
+            F.when(F.col("p_partkey").isNull(), 1).otherwise(0).alias("is_inferred"),
+            F.coalesce(F.col("p_name"), F.lit("Unknown (late arriving)")).alias(
+                "description"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue_dec)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+# Simulated file manifest: one "file" per (l_returnflag, ship day), sized at
+# 512 bytes/row. Next-fit bin packing into ~64 KiB compaction bins.
+COMPACTION_ROW_BYTES = 512
+COMPACTION_TARGET_BYTES = 64 * 1024
+
+
+@register(
+    "wh_compaction_plan",
+    f"""
+    WITH files AS (
+        SELECT l_returnflag AS layout_key,
+               CAST(date_trunc('day', l_shipdate) AS DATE) AS file_day,
+               CAST(COUNT(*) * {COMPACTION_ROW_BYTES} AS BIGINT) AS size_bytes
+        FROM lineitem
+        GROUP BY 1, 2),
+    planned AS (
+        SELECT layout_key, file_day, size_bytes,
+               COALESCE(SUM(size_bytes) OVER (
+                   ORDER BY layout_key, file_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bytes_before
+        FROM files)
+    SELECT layout_key, file_day, size_bytes,
+           CAST(FLOOR(bytes_before / {COMPACTION_TARGET_BYTES}.0) AS BIGINT)
+               AS bin_id
+    FROM planned
+    """,
+    doc="warehouse maintenance: small-file compaction planning — the "
+    "manifest (one row per data file with its size; simulated here as "
+    "one file per (returnflag, ship-day) at 512 B/row) is packed "
+    "next-fit into ~64 KiB target bins: files ordered by layout key, "
+    "bin = floor(running-bytes-before / target), so co-located files "
+    "land in the same bin and every bin except the last is filled to "
+    "target. Executing the plan is then one repartition-by-bin_id write. "
+    "Scale: the window runs over the MANIFEST, not the data — millions "
+    "of manifest rows, metadata-scale; the single-partition global "
+    "window is the deliberate trade for a strictly sequential next-fit "
+    "(a per-layout-key partitioned window is the parallel variant when "
+    "bins never span layout keys). All-integer arithmetic: hash-exact "
+    "across engines. Reference analogue: none (BigQuery manages its own "
+    "storage); this is the lakehouse OPTIMIZE/compact primitive.",
+    tags=("warehouse", "r4d"),
+)
+def wh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir).table("lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("layout_key"),
+        F.to_date(F.date_trunc("day", "l_shipdate")).alias("file_day"),
+    ).agg((F.count(F.lit(1)) * COMPACTION_ROW_BYTES).alias("size_bytes"))
+    w = (
+        Window.orderBy("layout_key", "file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "bytes_before", F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    )
+    return planned.select(
+        "layout_key",
+        "file_day",
+        "size_bytes",
+        F.floor(
+            F.col("bytes_before") / float(COMPACTION_TARGET_BYTES)
+        ).alias("bin_id"),
+    )
