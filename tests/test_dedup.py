@@ -181,3 +181,34 @@ def test_connected_components_matches_union_find(spark):
         assert got == expected
 
     check()
+
+
+def test_semantic_dedup_udf_twin_exact(spark):
+    """The Arrow sequential-fold dot must be bit-identical to the HOF
+    fold on real pair data — this licenses its use inside the oracle-
+    compared dedup_semantic_within_label."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_4_online_retail_spark.functions.vector import (
+        dot_product,
+        dot_product_seq_udf,
+    )
+    from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001").table("embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    both = pairs.select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        dot_product(F.col("a.embedding"), F.col("b.embedding")).alias("fold"),
+        dot_product_seq_udf()(
+            F.col("a.embedding"), F.col("b.embedding")
+        ).alias("arrow"),
+    ).collect()
+    assert both
+    assert all(r.fold == r.arrow for r in both)

@@ -87,7 +87,8 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "sim_ann_lsh",
         "sim_ann_pq_adc",  # broadcast M*K distance table (1 row)
         "sim_ann_ivf_pq",  # same broadcast table, cell-pruned scan
-        "sim_kmeans",  # broadcast 1-row centroid table
+        # (sim_kmeans left the list in-round: assignment is now an Arrow
+        # UDF over the cached scan — no centroid crossJoin remains)
         "sim_pq_encode",  # broadcast 1-row codebook table
         "text_mixture_sample",  # broadcast 1-row min_n frame
         "text_contamination",  # broadcast benchmark side (tiny by design)

@@ -129,3 +129,28 @@ def test_emb_vec_forms_match_exploded(spark):
         assert abs(sum(u * u for u in r.unit) - 1.0) < 1e-9
     # quantized components are clamped int8-symmetric
     assert all(-127 <= v[1] <= 127 for v in qvec.values())
+
+
+def test_kmeans_assign_udf_matches_expr(spark):
+    """The Arrow assignment twin must be BIT-IDENTICAL to the built-in
+    HOF expression on real data (same fold order, same first-min tie
+    rule) — this is what licenses the fast path inside sim_kmeans."""
+    sf = "/root/testdata/sf0.001"
+    from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+    e = load_tables(spark, sf).table("embeddings").select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(S.KMEANS_K).collect()
+    centroids = [[float(x) for x in r.embedding] for r in seed]
+    via_expr = {
+        r.vec_id: r.c
+        for r in S._with_centroids(e, centroids)
+        .select("vec_id", S._assign_expr().alias("c"))
+        .collect()
+    }
+    via_udf = {
+        r.vec_id: r.c
+        for r in e.select(
+            "vec_id", S._assign_pandas_udf(centroids)("embedding").alias("c")
+        ).collect()
+    }
+    assert via_expr == via_udf
