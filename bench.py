@@ -77,6 +77,16 @@ EXTRA = [
     "ev_journey_paths",
     "op_bitmap_distinct",
     "dedup_url_canonicalize",
+    # round-4d additions (same caveat)
+    "wh_late_arriving_dim",
+    "wh_compaction_plan",
+    "sim_range_search",
+    "op_group_moments_mergeable",
+    "ev_conversion_lag",
+    "op_explode_outer",
+    "gov_row_level_security",
+    "wh_dim_surrogate_assign",
+    "text_vocab_growth",
 ]
 
 # Round-4 (cont.) classic-warehouse tier — timed separately so headline

@@ -157,3 +157,75 @@ def gov_pii_scan_report(spark, sf_dir):
         F.sum("f").cast("long").alias("n_flagged"),
         (F.sum("f").cast("double") / F.count(F.lit(1))).alias("flag_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level security (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+# (role, visible region) policy entries — the grant table an RLS layer
+# consults; auditor sees every region.
+RLS_POLICIES = [
+    ("analyst_emea", 0),
+    ("analyst_emea", 3),
+    ("analyst_apac", 1),
+    ("analyst_apac", 4),
+    ("auditor", 0),
+    ("auditor", 1),
+    ("auditor", 2),
+    ("auditor", 3),
+    ("auditor", 4),
+]
+
+_RLS_VALUES = ", ".join(f"('{r}', {k})" for r, k in RLS_POLICIES)
+
+
+@register(
+    "gov_row_level_security",
+    f"""
+    WITH policies(role, regionkey) AS (VALUES {_RLS_VALUES}),
+    vis AS (
+        SELECT p.role, c.c_custkey, c.c_acctbal, n.n_nationkey
+        FROM customer c
+        JOIN nation n ON c_nationkey = n_nationkey
+        JOIN policies p ON n.n_regionkey = p.regionkey)
+    SELECT role,
+           CAST(COUNT(*) AS BIGINT) AS n_visible_customers,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_visible_nations,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS visible_acctbal
+    FROM vis GROUP BY role
+    """,
+    doc="governance: row-level security audit — a (role, visible-region) "
+    "policy table joins into the customer⋈nation row space and the "
+    "audit reports, per role, exactly what that role can see (row "
+    "count, nation spread, account-balance exposure). The enforcement "
+    "form is the same join with the session's role bound as a literal "
+    "(one broadcast hash probe per row, map-side — RLS as Spark "
+    "implements it in view predicates); the audit form here runs ALL "
+    "roles in one pass, which is also the access-review report a "
+    "governance team ships quarterly. Policy table is a LocalRelation "
+    "literal (like the reference's country seed, include/table/"
+    "country.sql:11-250) and broadcasts; decimal-exact balance sums. "
+    "Scale: fact side never shuffles — the aggregate is partial-first "
+    "on a 3-value key.",
+    tags=("governance", "r4d"),
+)
+def gov_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    c = cat.table("customer")
+    n = cat.table("nation")
+    policies = F.broadcast(
+        spark.createDataFrame(RLS_POLICIES, "role string, regionkey int")
+    )
+    vis = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        policies, F.col("n_regionkey") == F.col("regionkey")
+    )
+    return vis.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_visible_customers"),
+        F.countDistinct("n_nationkey").alias("n_visible_nations"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("visible_acctbal"),
+    )

@@ -1712,3 +1712,44 @@ def op_moving_average_centered(spark, sf_dir):
         F.avg("revenue").over(w).alias("ma3_centered"),
         F.count(F.lit(1)).over(w).cast("long").alias("window_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-preserving explode (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_explode_outer",
+    """
+    SELECT o_orderkey, u.v
+    FROM orders LEFT JOIN LATERAL (
+        SELECT unnest(generate_series(1, CAST(o_orderkey % 4 AS INT))) AS v
+    ) u ON TRUE
+    """,
+    doc="generator family: explode_outer — the null-preserving explode. "
+    "A per-row array (here sequence(1, key%4); empty for every 4th key) "
+    "fans out to one row per element, and rows whose array is EMPTY "
+    "survive with v = NULL instead of vanishing — the left-join-lateral "
+    "semantics plain explode silently breaks when downstream counts "
+    "must still see every parent row (the classic lost-orders bug when "
+    "exploding an optional line-tags column). Spark plans Generate "
+    "with outer=true, map-side, no shuffle; the DuckDB oracle spells "
+    "the LEFT JOIN LATERAL unnest directly. Note the engine trap the "
+    "operator papers over: Spark's sequence(1, 0) yields a DESCENDING "
+    "[1, 0], not the empty list DuckDB's generate_series gives — the "
+    "CASE guard pins empty-array semantics on both. Reference "
+    "analogue: none (no nested data); SURVEY §2.9's array extension "
+    "surface.",
+    tags=("relational", "r4d"),
+)
+def op_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 4).cast("int")
+    arr = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # (generators can't nest inside expressions — cast in a second select)
+    return o.select("o_orderkey", F.explode_outer(arr).alias("v")).select(
+        "o_orderkey", F.col("v").cast("long").alias("v")
+    )

@@ -806,3 +806,70 @@ def text_dsir_weights(spark, sf_dir):
             F.sum(per_tok).alias("log_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_growth",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY doc_id),
+    firsts AS (
+        SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w),
+    new_per_doc AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_words
+        FROM firsts GROUP BY first_doc)
+    SELECT c.doc_id,
+           CAST(SUM(c.n_tokens) OVER (ORDER BY c.doc_id) AS BIGINT)
+               AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_words, 0)) OVER (ORDER BY c.doc_id)
+                AS BIGINT) AS cum_vocab
+    FROM counts c LEFT JOIN new_per_doc n ON c.doc_id = n.doc_id
+    """,
+    doc="text analysis: vocabulary growth curve (Heaps'-law measurement) "
+    "— cumulative corpus tokens vs cumulative DISTINCT vocabulary in "
+    "doc_id ingestion order. The naive form (distinct-union state per "
+    "prefix) is quadratic; this is the first-touch rewrite (the "
+    "ev_cumulative_distinct_users mechanism applied to words): each "
+    "word contributes at its MIN(doc_id), so two keyed aggregates + "
+    "one cumulative sum produce the whole curve. The growth exponent "
+    "this curve exposes (V ~ k*N^beta) is the corpus-health signal "
+    "dedup pipelines watch: a flattening curve means incoming data "
+    "stopped contributing new vocabulary. Scale: the token explode "
+    "partial-aggregates map-side on (word); the cumulative window "
+    "runs over the per-DOC table only — at 100 TB checkpoint the "
+    "curve per shard/day and sum shard partials instead of "
+    "single-partitioning a billion-doc window. All-integer outputs: "
+    "hash-exact.",
+    tags=("text", "curation", "r4d"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    new_per_doc = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    w = Window.orderBy("doc_id").rangeBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )

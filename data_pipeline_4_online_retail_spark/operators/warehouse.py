@@ -776,3 +776,72 @@ def wh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bytes_before") / float(COMPACTION_TARGET_BYTES)
         ).alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Surrogate-id assignment with a high-water mark (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+SURROGATE_EXISTING_MOD = 3
+
+
+@register(
+    "wh_dim_surrogate_assign",
+    f"""
+    WITH existing AS (
+        SELECT p_partkey,
+               CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT)
+                   AS surrogate_id
+        FROM part WHERE p_partkey % {SURROGATE_EXISTING_MOD} = 0),
+    hw AS (SELECT COALESCE(MAX(surrogate_id), 0) AS high_water FROM existing),
+    incoming AS (
+        SELECT p_partkey FROM part
+        WHERE p_partkey % {SURROGATE_EXISTING_MOD} != 0)
+    SELECT p_partkey, surrogate_id, CAST(0 AS INT) AS is_new FROM existing
+    UNION ALL
+    SELECT i.p_partkey,
+           hw.high_water
+               + CAST(row_number() OVER (ORDER BY i.p_partkey) AS BIGINT)
+               AS surrogate_id,
+           CAST(1 AS INT) AS is_new
+    FROM incoming i, hw
+    """,
+    doc="warehouse: monotonic surrogate-id assignment for new dimension "
+    "members — incoming natural keys get high_water + row_number() ids "
+    "(deterministic natural-key order), existing members keep theirs; "
+    "the id sequence never reuses or gaps. This is the identity-column "
+    "pattern where the table format has none (Kimball surrogate "
+    "pipeline, step 2 after the wh_late_arriving_dim inference). The "
+    "1-row high-water frame broadcasts. Scale: row_number over a "
+    "global order single-partitions the NEW-member slice only (dim "
+    "deltas are metadata-scale); for fact-scale id assignment swap in "
+    "monotonically_increasing_id + a per-partition offset fixup — "
+    "contiguity costs a sort, uniqueness alone does not. Contrast "
+    "functions/keys.surrogate_key (md5, content-addressed): hash keys "
+    "survive reruns, integer keys stay join/sort-friendly and 8 bytes.",
+    tags=("warehouse", "r4d"),
+)
+def wh_dim_surrogate_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir).table("part")
+    w = Window.orderBy("p_partkey")
+    existing = (
+        p.filter(F.col("p_partkey") % SURROGATE_EXISTING_MOD == 0)
+        .select("p_partkey")
+        .withColumn("surrogate_id", F.row_number().over(w).cast("long"))
+    )
+    hw = existing.agg(
+        F.coalesce(F.max("surrogate_id"), F.lit(0)).alias("high_water")
+    )
+    incoming = (
+        p.filter(F.col("p_partkey") % SURROGATE_EXISTING_MOD != 0)
+        .select("p_partkey")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    new_rows = incoming.crossJoin(F.broadcast(hw)).select(
+        "p_partkey",
+        (F.col("high_water") + F.col("rn")).alias("surrogate_id"),
+        F.lit(1).alias("is_new"),
+    )
+    return existing.select(
+        "p_partkey", "surrogate_id", F.lit(0).alias("is_new")
+    ).unionByName(new_rows)

@@ -145,3 +145,74 @@ def test_conversion_lag_percentiles_and_quartiles(spark, qs):
         sizes[r.lag_quartile] = sizes.get(r.lag_quartile, 0) + 1
     assert set(sizes) == {1, 2, 3, 4}
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_explode_outer_preserves_empty_array_rows(spark, catalog, qs):
+    """Every 4th order has an empty array and must survive with v NULL;
+    total row count is sum of array lengths plus the empty-array rows."""
+    out = qs["op_explode_outer"](spark, SF_DIR)
+    o = catalog.table("orders")
+    n_orders = o.count()
+    n_empty = o.filter(F.col("o_orderkey") % 4 == 0).count()
+    null_rows = out.filter(F.col("v").isNull()).count()
+    assert null_rows == n_empty
+    assert out.select("o_orderkey").distinct().count() == n_orders
+
+
+def test_rls_auditor_sees_everything(spark, catalog, qs):
+    """auditor's visible set must equal the full customer⋈nation row
+    space; analyst partitions are disjoint region subsets."""
+    rows = {r.role: r for r in qs["gov_row_level_security"](spark, SF_DIR).collect()}
+    n_all = (
+        catalog.table("customer")
+        .join(
+            catalog.table("nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .count()
+    )
+    assert rows["auditor"].n_visible_customers == n_all
+    assert rows["auditor"].n_visible_nations == 25
+    assert rows["analyst_emea"].n_visible_nations == 10
+    assert rows["analyst_apac"].n_visible_nations == 10
+    assert (
+        rows["analyst_emea"].n_visible_customers
+        + rows["analyst_apac"].n_visible_customers
+        < n_all
+    )
+
+
+def test_surrogate_assign_dense_and_stable(spark, qs):
+    """ids are 1..N dense with no reuse; existing members keep the ids a
+    re-run of the existing slice alone would produce."""
+    rows = qs["wh_dim_surrogate_assign"](spark, SF_DIR).collect()
+    ids = sorted(r.surrogate_id for r in rows)
+    assert ids == list(range(1, len(rows) + 1))
+    existing = sorted(
+        (r.p_partkey, r.surrogate_id) for r in rows if r.is_new == 0
+    )
+    # existing ids are exactly row_number over the existing natural keys
+    keys = [k for k, _ in existing]
+    assert [s for _, s in existing] == list(range(1, len(keys) + 1))
+    assert keys == sorted(keys)
+    # every new id is above the high-water mark
+    hw = len(keys)
+    assert all(r.surrogate_id > hw for r in rows if r.is_new == 1)
+
+
+def test_vocab_growth_monotone_and_totals(spark, qs):
+    """Both curves are nondecreasing; the final points equal the corpus
+    token total and the corpus distinct-word count."""
+    rows = (
+        qs["text_vocab_growth"](spark, SF_DIR).orderBy("doc_id").collect()
+    )
+    assert rows
+    toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    assert rows[-1].cum_tokens == toks.count()
+    assert rows[-1].cum_vocab == toks.distinct().count()
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens >= a.cum_tokens
+        assert b.cum_vocab >= a.cum_vocab
