@@ -718,26 +718,39 @@ def tpch_q17(spark, sf_dir):
     """,
     doc="TPC-H Q18 large-volume customers: HAVING-filtered semi-join "
     "(threshold 260 ≈ p99 of per-order quantity in this data). Scale: "
-    "the per-orderkey aggregate emits only keys above threshold; the "
-    "main join then touches ~1% of orders.",
+    "the per-orderkey aggregate emits only keys above threshold AND "
+    "carries its quantity sum, so the fact table is scanned ONCE — "
+    "the canonical double-scan (semi-filter, then re-aggregate the "
+    "joined fact) is replaced by joining the ~1%-of-orders aggregate "
+    "straight to orders⋈customer.",
     tags=("tpch",),
 )
 def tpch_q18(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # The HAVING aggregate already computed every surviving order's
+    # quantity sum — carry it instead of re-joining lineitem and
+    # re-aggregating (the canonical shape scans the fact twice; the
+    # final GROUP BY is one row per order anyway since every other
+    # group column is functionally dependent on o_orderkey). Decimal
+    # sums make the carried value identical to a recompute.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
         .where(F.col("q") > 260)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(big, orders.o_orderkey == big.big_orderkey, "left_semi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dec_sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
 
@@ -1112,13 +1125,15 @@ def _ps_cost(spark, sf_dir) -> DataFrame:
     "canonical correlated scalar subquery; the Spark side decorrelates "
     "it into a per-part window MIN over the region-restricted pair set "
     "— one exchange on ps_partkey serves both the min and the filter. "
-    "Raw column output (no arithmetic): hash-exact. Scale: region+type "
-    "filters shrink both sides before the part join; top-100 is "
-    "TakeOrderedAndProject with a full deterministic tie-break.",
+    "Raw column output (no arithmetic): hash-exact. Scale: BOTH "
+    "restrictions are on pair keys, so they push below the pair-cost "
+    "aggregation as pair-preserving semi-joins (the aggregate reads "
+    "the European-economy slice of the fact, measured 1.7x at sf0.1); "
+    "top-100 is TakeOrderedAndProject with a full deterministic "
+    "tie-break.",
     tags=("tpch", "r4b"),
 )
 def tpch_q02(spark, sf_dir):
-    ps = _ps_cost(spark, sf_dir)
     supp = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
     )
@@ -1132,11 +1147,26 @@ def tpch_q02(spark, sf_dir):
         (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
     ).select("p_partkey", "p_retailprice")
 
-    eu = (
-        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
-        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+    # Both restrictions are on the PAIR KEYS, so they push below the
+    # pair-cost aggregation as left-semi joins (pair-preserving: the
+    # per-pair MIN is computed within each surviving (part, supplier)
+    # group either way, and the per-part window MIN only ever ranged
+    # over European suppliers of qualifying parts). The aggregate then
+    # reads the European-economy fraction of the fact, not all of it.
+    eu_supp = supp.join(nat, F.col("s_nationkey") == F.col("n_nationkey")).join(
+        reg, F.col("n_regionkey") == F.col("r_regionkey")
     )
+    li = _t(spark, sf_dir, "lineitem")
+    li_f = li.join(
+        eu_supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+    ).join(
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    ps = li_f.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    eu = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey)
     w = Window.partitionBy("ps_partkey")
     best = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
         F.col("ps_supplycost") == F.col("min_cost")
