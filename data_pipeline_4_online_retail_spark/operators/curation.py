@@ -354,10 +354,6 @@ BM25_TERMS = ("spark", "table", "join")
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-def _eq_lit(term: str):
-    return lambda x: x == term
-
-
 def _bm25_term_sql(i: int) -> str:
     # Parenthesization mirrors the Spark expression exactly — IEEE +,-,*,/
     # are correctly rounded, so identical operation order => identical bits.
@@ -398,16 +394,19 @@ def _bm25_term_sql(i: int) -> str:
     tags=("curation",),
 )
 def text_bm25(spark, sf_dir):
-    t = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
-    toks = F.col("toks")
-    base = t.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        # one-arg closure builder: a `lambda x, term=term:` default arg
-        # would make PySpark infer a 2-ary (element, index) lambda and
-        # silently compare against the index instead of the term.
+    # tf/dl via explode + conditional partial-first aggregate: the
+    # per-term array-filter HOFs this replaced run interpreted (per-
+    # element lambda dispatch x |terms|); the exploded form stays in
+    # whole-stage codegen and map-side-combines to one row per doc
+    # before the shuffle (split() of a non-empty string is never an
+    # empty array, so no doc is lost to the explode).
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    base = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
         *[
-            F.size(F.filter(toks, _eq_lit(term))).alias(f"tf_{i}")
+            F.sum((F.col("w") == F.lit(term)).cast("int")).alias(f"tf_{i}")
             for i, term in enumerate(BM25_TERMS)
         ],
     )
