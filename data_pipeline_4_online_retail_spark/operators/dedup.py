@@ -1091,3 +1091,116 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. LSH quality evaluation (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {_MINHASH_MINS_SQL} FROM sharr),
+bands AS (SELECT doc_id, {_MINHASH_BANDS_SQL} FROM sig),
+banded AS (
+    SELECT doc_id, band_idx, band_hash FROM bands
+    UNPIVOT (band_hash FOR band_idx IN ({", ".join(f"band{b}" for b in range(N_BANDS))}))
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x JOIN banded y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id
+),
+coll AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+truth AS (
+    SELECT c.doc_a, c.doc_b
+    FROM coll c
+    JOIN sharr a ON c.doc_a = a.doc_id
+    JOIN sharr b ON c.doc_b = b.doc_id
+    WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+),
+merged AS (
+    SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+           CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+    FROM truth t FULL OUTER JOIN cand c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_true * is_cand) AS BIGINT) AS n_hits,
+       CAST(SUM(is_true) - SUM(is_true * is_cand) AS BIGINT) AS n_missed,
+       CAST(SUM(is_true * is_cand) AS DOUBLE) / SUM(is_cand) AS lsh_precision,
+       CAST(SUM(is_true * is_cand) AS DOUBLE) / SUM(is_true) AS lsh_recall
+FROM merged
+"""
+
+
+@register(
+    "dedup_lsh_recall_report",
+    _LSH_RECALL_SQL,
+    doc="dedup quality evaluation: the LSH index measured IN-ENGINE "
+    "against exact truth — candidate pairs from the MinHash(16)/LSH(8x2) "
+    "band join vs the complete Jaccard>=0.6 pair set (colliding-pair "
+    "generation is truth-complete: any pair above a positive threshold "
+    "shares a shingle), merged with one FULL OUTER join into a 1-row "
+    "precision/recall report. This is the tuning harness for the band "
+    "geometry (r rows x b bands sets the s-curve): rerun after changing "
+    "N_BANDS/ROWS_PER_BAND and read recall directly; pytest pins "
+    "n_true == |dedup_ngram_jaccard| and n_hits == |dedup_minhash_lsh| "
+    "so the report provably measures the same pipelines it ships. "
+    "Scale: the truth side is the O(colliding pairs) verification "
+    "baseline — at 100 TB run the report on a sampled shard (the "
+    "candidate side stays full-scale; recall estimates only need the "
+    "truth sample), exactly how production dedup recall is audited. "
+    "Integer counts + two identically-spelled double divisions: "
+    "hash-exact.",
+    tags=("dedup", "evaluation", "r4d"),
+)
+def dedup_lsh_recall_report(spark, sf_dir):
+    release_caches()
+    sharr = _persist(shingled_docs(_docs(spark, sf_dir)))
+    sig = minhash_signature_md5(sharr)
+    cand = lsh_candidate_pairs(sig)
+    sh = sharr.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    coll = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sharr.alias("sa"), sharr.alias("sb")
+    truth = (
+        coll.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            _jaccard(F.col("sa.shingles"), F.col("sb.shingles"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    merged = truth.withColumn("is_true", F.lit(1)).join(
+        cand.withColumn("is_cand", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    is_true = F.coalesce("is_true", F.lit(0))
+    is_cand = F.coalesce("is_cand", F.lit(0))
+    return merged.agg(
+        F.sum(is_true).alias("n_true"),
+        F.sum(is_cand).alias("n_candidates"),
+        F.sum(is_true * is_cand).alias("n_hits"),
+        (F.sum(is_true) - F.sum(is_true * is_cand)).alias("n_missed"),
+        (
+            F.sum(is_true * is_cand).cast("double") / F.sum(is_cand)
+        ).alias("lsh_precision"),
+        (
+            F.sum(is_true * is_cand).cast("double") / F.sum(is_true)
+        ).alias("lsh_recall"),
+    )

@@ -1127,3 +1127,133 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", F.col("vec_id").alias("match_id"), "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ann_recall_report",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < {BATCH_QUERIES}),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(e.embedding, q.qv)
+                                DESC, e.vec_id) AS rnk
+            FROM embeddings e JOIN q ON e.vec_id != q.qid)
+        WHERE rnk <= {TOP_K}),
+    ivf AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(e.embedding, q.qv)
+                                DESC, e.vec_id) AS rnk
+            FROM embeddings e
+            JOIN q ON e.vec_id != q.qid AND e.label = q.qlabel)
+        WHERE rnk <= {TOP_K}),
+    cells AS (
+        SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS cell_size
+        FROM embeddings e
+        JOIN q ON e.label = q.qlabel AND e.vec_id != q.qid
+        GROUP BY q.qid),
+    corpus AS (SELECT COUNT(*) AS n FROM embeddings),
+    hits AS (
+        SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM exact e JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
+        GROUP BY e.qid)
+    SELECT q.qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k,
+           c.cell_size,
+           CAST(c.cell_size AS DOUBLE) / corpus.n AS scan_fraction
+    FROM q
+    JOIN cells c ON q.qid = c.qid
+    LEFT JOIN hits h ON q.qid = h.qid
+    CROSS JOIN corpus
+    """,
+    doc="similarity quality evaluation: IVF recall measured IN-ENGINE — "
+    "for each query in the batch, exact top-10 (full-scan truth) vs "
+    "the cell-pruned top-10, reported as recall@k NEXT TO the scan "
+    "fraction the pruning bought. This pair of numbers is the whole "
+    "ANN trade: recall lost vs corpus fraction not scanned; rerun the "
+    "report after changing the cell count (or swapping sim_kmeans "
+    "labels in for the fixture's labels) and read the trade directly. "
+    "One corpus scan serves both sides (broadcast Q-row batch, two "
+    "WindowGroupLimit-pruned per-query top-k windows, one keyed "
+    "intersection). Scale: truth is the linear-scan baseline — at "
+    "100 TB the recall audit runs on a query SAMPLE (truth cost is "
+    "per-query, the IVF side stays indexed), the standard ANN-bench "
+    "protocol. Integer counts + identically-spelled divisions: "
+    "hash-exact.",
+    tags=("similarity", "evaluation", "r4d"),
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < BATCH_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine_similarity("embedding", "qv").alias("cos"),
+        )
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    ivf = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    cells = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )
+    corpus = e.agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        exact.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("qid")
+        .join(cells, "qid")
+        .join(hits, "qid", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+            "cell_size",
+            (F.col("cell_size").cast("double") / F.col("n")).alias(
+                "scan_fraction"
+            ),
+        )
+    )

@@ -216,3 +216,42 @@ def test_vocab_growth_monotone_and_totals(spark, qs):
     for a, b in zip(rows, rows[1:]):
         assert b.cum_tokens >= a.cum_tokens
         assert b.cum_vocab >= a.cum_vocab
+
+
+def test_lsh_recall_report_measures_shipped_pipelines(spark, qs):
+    """The report's truth/hit counts must equal the row counts of the
+    operators it claims to measure (ngram-Jaccard truth, verified LSH
+    output), and the ratios must be consistent."""
+    r = qs["dedup_lsh_recall_report"](spark, SF_DIR).collect()[0]
+    n_truth = qs["dedup_ngram_jaccard"](spark, SF_DIR).count()
+    n_verified = qs["dedup_minhash_lsh"](spark, SF_DIR).count()
+    assert r.n_true == n_truth
+    # verified LSH output = candidates that pass the exact-Jaccard gate
+    # = exactly the report's hits
+    assert r.n_hits == n_verified
+    assert r.n_missed == r.n_true - r.n_hits
+    assert 0.0 < r.lsh_precision <= 1.0
+    assert r.lsh_recall == r.n_hits / r.n_true
+    assert r.n_candidates >= r.n_hits
+
+
+def test_ann_recall_report_consistency(spark, qs):
+    """One row per batch query; hits bounded by k; recall and scan
+    fraction derive exactly from their integer numerators; the qid=0
+    row agrees with the standalone single-query operators."""
+    from data_pipeline_4_online_retail_spark.operators.similarity import (
+        BATCH_QUERIES,
+        TOP_K,
+    )
+
+    rows = qs["sim_ann_recall_report"](spark, SF_DIR).collect()
+    assert len(rows) == BATCH_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= TOP_K
+        assert r.recall_at_k == r.n_hits / TOP_K
+        assert 0 < r.scan_fraction < 1
+    # cross-pin against the standalone operators for query 0
+    exact0 = {x.vec_id for x in qs["sim_topk_bruteforce"](spark, SF_DIR).collect()}
+    ivf0 = {x.vec_id for x in qs["sim_ann_ivf"](spark, SF_DIR).collect()}
+    r0 = next(r for r in rows if r.qid == 0)
+    assert r0.n_hits == len(exact0 & ivf0)

@@ -100,6 +100,7 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "text_lm_score",  # broadcast vocab-total row
         "text_repetition_stats",
         "sim_topk_batch",  # broadcast Q-row query batch (Q=5)
+        "sim_ann_recall_report",  # same Q-row batch + 1-row corpus count
         "sim_knn_classify",  # same broadcast Q-row query batch
         "text_dsir_weights",  # broadcast 1-row target/raw token totals
         "tpch_q22",  # broadcast 1-row avg-acctbal threshold (scalar subquery)
