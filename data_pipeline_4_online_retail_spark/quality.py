@@ -408,4 +408,29 @@ def check_curation(spark, sf_dir: str) -> QualityReport:
             f"{got_events} / {n_events} events",
         )
     )
+
+    # r4d gates: the quality-evaluation reports become ENFORCEMENT — a
+    # band-geometry or cell-count change that silently tanks index
+    # quality now fails the pipeline instead of shipping a bad corpus.
+    from data_pipeline_4_online_retail_spark.operators import similarity as S
+
+    lsh = D.dedup_lsh_recall_report(spark, sf_dir).head()
+    rep.add(
+        CheckResult(
+            "dedup_lsh_recall_report",
+            "LSH recall >= 0.9 against exact Jaccard truth",
+            lsh.lsh_recall >= 0.9,
+            f"recall {lsh.lsh_recall:.3f} ({lsh.n_hits}/{lsh.n_true})",
+        )
+    )
+    ann = S.sim_ann_recall_report(spark, sf_dir)
+    worst = ann.agg(F.min("recall_at_k"), F.max("scan_fraction")).head()
+    rep.add(
+        CheckResult(
+            "sim_ann_recall_report",
+            "IVF pruning actually prunes (scan fraction < 0.5 per query)",
+            worst[1] < 0.5,
+            f"min recall {worst[0]:.2f}, max scan fraction {worst[1]:.3f}",
+        )
+    )
     return rep
