@@ -601,3 +601,93 @@ def mm_ppm_features(spark, sf_dir):
             )
 
     return docs.mapInPandas(run, PPM_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real resize on the P6 codec (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+RESIZE_W = 8
+RESIZE_H = 8
+
+
+def resize_rgb_nearest(
+    rgb: bytes, src_w: int, src_h: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize on a raw RGB raster: source index =
+    floor(out_index * src / out) — pure integer arithmetic, deterministic
+    across platforms (the thumbnail step every image pipeline runs before
+    feature extraction)."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = y * src_h // out_h
+        row = sy * src_w * 3
+        o = y * out_w * 3
+        for x in range(out_w):
+            sx = x * src_w // out_w
+            s = row + sx * 3
+            out[o : o + 3] = rgb[s : s + 3]
+            o += 3
+    return bytes(out)
+
+
+PPM_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("out_ppm", T.BinaryType(), False),
+        T.StructField("out_sum_r", T.LongType(), False),
+        T.StructField("out_sum_g", T.LongType(), False),
+        T.StructField("out_sum_b", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "mm_ppm_resize",
+    None,  # binary container I/O — pytest replica cross-check
+    doc="multimodal: REAL image RESIZE on the P6 container — decode the "
+    "document-derived PPM (same raster construction as "
+    "mm_ppm_features), nearest-neighbor downsample to a fixed 8x8 "
+    "thumbnail (integer source-index arithmetic, platform-"
+    "deterministic), re-encode as a genuine P6 and re-decode the "
+    "OUTPUT for its channel sums — so every emitted row proves its "
+    "own round-trip. This is the decode→transform→re-encode shape of "
+    "a production thumbnailing job: per-row CPU inside mapInPandas "
+    "(Arrow batches), zero shuffle, partition count = parallelism "
+    "dial; the emitted binary column is what a downstream "
+    "feature-extract or dedup stage (e.g. embedding-cosine over "
+    "thumbnails) consumes. Interpolating resizes (bilinear/Lanczos) "
+    "stay gated on Pillow like the PNG/JPEG stubs — float kernels "
+    "without a reference library would be fake precision; "
+    "nearest-neighbor is exactly reproducible stdlib-side.",
+    tags=("multimodal", "r4d"),
+)
+def mm_ppm_resize(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                n_px = max(1, len(raw) // 3)
+                h = max(1, n_px // PPM_WIDTH)
+                rgb = (raw * 3)[: PPM_WIDTH * h * 3]
+                src = encode_ppm_p6(PPM_WIDTH, h, rgb)
+                # decode (header walk) then transform then re-encode
+                parts = src.split(b"\n", 3)
+                w, sh = (int(x) for x in parts[1].split())
+                small = resize_rgb_nearest(parts[3], w, sh, RESIZE_W, RESIZE_H)
+                out = encode_ppm_p6(RESIZE_W, RESIZE_H, small)
+                ow, oh, sr, sg, sb = decode_ppm_p6(out)
+                assert (ow, oh) == (RESIZE_W, RESIZE_H)
+                rows.append((int(doc_id), w, sh, out, sr, sg, sb))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_RESIZE_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(run, PPM_RESIZE_SCHEMA)

@@ -139,3 +139,44 @@ def test_ppm_decoder_quarantines_malformed():
         decode_ppm_p6(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError, match="size mismatch"):
         decode_ppm_p6(encode_ppm_p6(2, 1, bytes(6))[:-2])
+
+
+def test_ppm_resize_roundtrip_and_replica(spark):
+    """Every output row is a valid 8x8 P6 whose channel sums match an
+    independent pure-Python nearest-neighbor replay from the document
+    text; resize indices cover the source raster's corners."""
+    from data_pipeline_4_online_retail_spark.operators import multimodal as M
+
+    rows = M.mm_ppm_resize(spark, "/root/testdata/sf0.001").limit(20).collect()
+    assert rows
+    for r in rows:
+        b = bytes(r.out_ppm)
+        assert b.startswith(b"P6\n8 8\n255\n")
+        px = b.split(b"\n", 3)[3]
+        assert len(px) == 8 * 8 * 3
+        assert (r.out_sum_r, r.out_sum_g, r.out_sum_b) == (
+            sum(px[0::3]),
+            sum(px[1::3]),
+            sum(px[2::3]),
+        )
+    # replica for one row, straight from the document text
+    from pyspark.sql import functions as F
+
+    doc = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") == rows[0].doc_id)
+        .head()
+    )
+    raw = doc.text.encode("utf-8")
+    n_px = max(1, len(raw) // 3)
+    h = max(1, n_px // M.PPM_WIDTH)
+    rgb = (raw * 3)[: M.PPM_WIDTH * h * 3]
+    want = []
+    for y in range(8):
+        sy = y * h // 8
+        for x in range(8):
+            sx = x * M.PPM_WIDTH // 8
+            s = (sy * M.PPM_WIDTH + sx) * 3
+            want.extend(rgb[s : s + 3])
+    got = bytes(rows[0].out_ppm).split(b"\n", 3)[3]
+    assert bytes(want) == got
