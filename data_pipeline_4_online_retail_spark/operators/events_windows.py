@@ -1832,3 +1832,127 @@ def ev_conversion_lag(spark, sf_dir):
         .crossJoin(F.broadcast(pcts))
         .select("user_id", "lag_us", "lag_quartile", "p50_lag_us", "p90_lag_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature-store join (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_feature_store_pit",
+    """
+    WITH spine AS (
+        SELECT event_id AS label_id, user_id, ts AS label_ts,
+               value AS label_value
+        FROM events WHERE event_type = 'purchase'),
+    views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+    clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    f1 AS (
+        SELECT s.label_id, v.value AS last_view_value
+        FROM spine s ASOF LEFT JOIN views v
+          ON s.user_id = v.user_id AND v.ts < s.label_ts),
+    f2 AS (
+        SELECT s.label_id, CAST(COUNT(c.user_id) AS BIGINT) AS n_clicks_7d
+        FROM spine s LEFT JOIN clicks c
+          ON c.user_id = s.user_id
+         AND c.ts >= s.label_ts - INTERVAL 7 DAY
+         AND c.ts < s.label_ts
+        GROUP BY s.label_id)
+    SELECT s.label_id, s.user_id, s.label_ts, s.label_value,
+           f1.last_view_value, f2.n_clicks_7d
+    FROM spine s
+    JOIN f1 ON s.label_id = f1.label_id
+    JOIN f2 ON s.label_id = f2.label_id
+    """,
+    doc="training data: POINT-IN-TIME-correct feature-store join — the "
+    "label spine (every purchase) is enriched with features computed "
+    "strictly BEFORE each label's timestamp: the last view value "
+    "(as-of with a STRICT inequality — a view at exactly label time "
+    "is future knowledge) and the 7-day click count ending just "
+    "before the label. This is the leakage-safe training-set build "
+    "every tabular-ML pipeline needs; the pytest replays every row "
+    "and proves no feature reads ts >= label_ts. Spark plan: the "
+    "as-of feature is the union-then-window rewrite (one user_id "
+    "exchange; spine rows sort BEFORE same-instant views so the "
+    "strict bound is positional, no inequality join), the windowed "
+    "count is an equi-join on user_id with the range as a post-join "
+    "filter + one keyed aggregate. The DuckDB oracle uses its native "
+    "ASOF LEFT JOIN — two independent engines, two different as-of "
+    "algorithms, one hash. Scale: both features shuffle on user_id "
+    "only; N features = N window passes over ONE sorted exchange "
+    "when they share the entity key.",
+    tags=("events", "curation", "r4d"),
+)
+def ev_feature_store_pit(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("value").alias("label_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    # as-of: union spine+views; kind orders spine FIRST at equal ts so a
+    # same-instant view never leaks into its own label's feature.
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("value").alias("view_value"),
+        F.lit(None).cast("long").alias("label_id"),
+    ).unionByName(
+        spine.select(
+            "user_id",
+            F.col("label_ts").alias("ts"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("double").alias("view_value"),
+            "label_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f1 = (
+        tagged.withColumn(
+            "last_view_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("label_id").isNotNull())
+        .select("label_id", "last_view_value")
+    )
+    f2 = (
+        spine.join(
+            clicks.withColumnRenamed("ts", "c_ts"), "user_id", "left"
+        )
+        .withColumn(
+            "in_window",
+            (F.col("c_ts") >= F.col("label_ts") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("c_ts") < F.col("label_ts")),
+        )
+        .groupBy("label_id")
+        .agg(
+            F.sum(F.when(F.col("in_window"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks_7d")
+        )
+    )
+    return (
+        spine.join(f1, "label_id")
+        .join(f2, "label_id")
+        .select(
+            "label_id",
+            "user_id",
+            "label_ts",
+            "label_value",
+            "last_view_value",
+            "n_clicks_7d",
+        )
+    )

@@ -255,3 +255,35 @@ def test_ann_recall_report_consistency(spark, qs):
     ivf0 = {x.vec_id for x in qs["sim_ann_ivf"](spark, SF_DIR).collect()}
     r0 = next(r for r in rows if r.qid == 0)
     assert r0.n_hits == len(exact0 & ivf0)
+
+
+def test_feature_store_pit_no_leakage(spark, qs):
+    """Replay every label row from raw events: the as-of feature must be
+    the latest view STRICTLY before the label, the click count must
+    cover exactly [label-7d, label), and no feature may see ts >=
+    label_ts (the leakage contract)."""
+    import datetime as dt
+
+    rows = qs["ev_feature_store_pit"](spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for r in rows:
+        views = [
+            e
+            for e in by_user[r.user_id]
+            if e.event_type == "view" and e.ts < r.label_ts
+        ]
+        want_view = (
+            max(views, key=lambda e: e.ts).value if views else None
+        )
+        assert r.last_view_value == want_view, (r.label_id, r.last_view_value)
+        lo = r.label_ts - dt.timedelta(days=7)
+        want_clicks = sum(
+            1
+            for e in by_user[r.user_id]
+            if e.event_type == "click" and lo <= e.ts < r.label_ts
+        )
+        assert r.n_clicks_7d == want_clicks, r.label_id
