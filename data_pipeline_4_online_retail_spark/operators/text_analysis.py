@@ -873,3 +873,75 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("new_words", F.lit(0))).over(w).alias("cum_vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_N = 1000
+
+
+@register(
+    "text_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (
+                ORDER BY COUNT(*) DESC, w) AS rnk
+            FROM toks GROUP BY w)
+        WHERE rnk <= {VOCAB_TOP_N}),
+    flagged AS (
+        SELECT t.doc_id,
+               CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="text analysis: tokenizer vocabulary coverage — per-document "
+    "out-of-vocabulary rate against the corpus's own top-1000 word "
+    "vocabulary (deterministic frequency-then-lexicographic rank). "
+    "The report a tokenizer-training pipeline reads before freezing a "
+    "vocab: a rising OOV tail means the vocab under-covers incoming "
+    "sources (pairs with text_vocab_growth's curve — growth says NEW "
+    "words exist, OOV says how much text they carry). Plan: one "
+    "explode feeds both the vocab ranking (word-keyed partial "
+    "aggregate + top-N) and the coverage join (broadcast: the vocab "
+    "is N rows by construction); one doc-keyed aggregate emits the "
+    "report. Scale: the vocab side is bounded (top-N), the flagged "
+    "join is map-side broadcast — only the per-doc aggregate "
+    "shuffles, on doc_id. Integer counts + one identically-spelled "
+    "division: hash-exact.",
+    tags=("text", "curation", "r4d"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    wr = Window.orderBy(F.desc("cnt"), "w")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= VOCAB_TOP_N)
+        .select("w")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )

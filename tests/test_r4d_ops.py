@@ -287,3 +287,30 @@ def test_feature_store_pit_no_leakage(spark, qs):
             if e.event_type == "click" and lo <= e.ts < r.label_ts
         )
         assert r.n_clicks_7d == want_clicks, r.label_id
+
+
+def test_oov_rate_replica(spark, qs):
+    """Replay the vocab construction and per-doc OOV counts in Python."""
+    from collections import Counter
+
+    rows = {r.doc_id: r for r in qs["text_oov_rate"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    counts = Counter()
+    for d in docs:
+        counts.update(d.text.split(" "))
+    from data_pipeline_4_online_retail_spark.operators.text_analysis import (
+        VOCAB_TOP_N,
+    )
+
+    vocab = {
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_TOP_N
+        ]
+    }
+    for d in docs:
+        toks = d.text.split(" ")
+        oov = sum(1 for t in toks if t not in vocab)
+        r = rows[d.doc_id]
+        assert (r.n_tokens, r.n_oov) == (len(toks), oov), d.doc_id
+        assert r.oov_rate == oov / len(toks)
