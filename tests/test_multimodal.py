@@ -180,3 +180,20 @@ def test_ppm_resize_roundtrip_and_replica(spark):
             want.extend(rgb[s : s + 3])
     got = bytes(rows[0].out_ppm).split(b"\n", 3)[3]
     assert bytes(want) == got
+
+
+def test_binaryfile_source_matches_features_path(spark):
+    """The filesystem route (real .ppm files through Spark's binaryFile
+    source) must agree row-for-row with the in-engine construction."""
+    from data_pipeline_4_online_retail_spark.operators import multimodal as M
+
+    via_files = {
+        r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in M.mm_binaryfile_source(spark, "/root/testdata/sf0.001").collect()
+    }
+    via_engine = {
+        r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in M.mm_ppm_features(spark, "/root/testdata/sf0.001").collect()
+        if r.doc_id < M.BINARY_SOURCE_DOCS
+    }
+    assert via_files == via_engine and len(via_files) == M.BINARY_SOURCE_DOCS
