@@ -1753,3 +1753,100 @@ def op_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", F.explode_outer(arr).alias("v")).select(
         "o_orderkey", F.col("v").cast("long").alias("v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-ops + null-safe equality (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_set_ops_all",
+    """
+    WITH a AS (SELECT c_nationkey AS k FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+    b AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a UNION ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all', k, CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+    """,
+    doc="set ops, MULTISET variants — UNION ALL / EXCEPT ALL / "
+    "INTERSECT ALL preserve duplicate multiplicities (|A|+|B|, "
+    "max(0, cnt_a-cnt_b), min(cnt_a, cnt_b) per value), which the "
+    "distinct forms (op_set_union/except/intersect) silently collapse "
+    "— the difference matters whenever rows are observations, not "
+    "identities (bag-semantics reconciliation, audit diffs of "
+    "duplicated feeds). Spark plans except/intersect-ALL as "
+    "count-and-replicate aggregates, not joins; the per-key counts "
+    "here pin the multiplicities across engines, not just membership. "
+    "Scale: three partial-first aggregates on the same key, no "
+    "distinct-expand.",
+    tags=("relational", "r4d"),
+)
+def op_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("k")
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("k")
+    )
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "k", "n"
+        )
+
+    return (
+        counted(a.unionAll(b), "union_all")
+        .unionByName(counted(a.exceptAll(b), "except_all"))
+        .unionByName(counted(a.intersectAll(b), "intersect_all"))
+    )
+
+
+@register(
+    "op_null_safe_join",
+    """
+    WITH a AS (
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        FROM customer WHERE c_custkey % 2 = 0),
+    b AS (
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        FROM customer WHERE c_custkey % 3 = 0)
+    SELECT COALESCE(CAST(a.seg AS VARCHAR), '<null>') AS seg_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    GROUP BY 1
+    """,
+    doc="join family: NULL-SAFE equality (<=> / IS NOT DISTINCT FROM) — "
+    "NULL keys MATCH each other instead of silently dropping, the "
+    "semantics every dedup-by-nullable-column and CDC key-compare "
+    "actually wants (plain = drops every NULL row from an inner join; "
+    "the reference's J2 implicit-drop is that trap institutionalized). "
+    "Spark plans <=> as an ordinary hash-join key (null-safe keys "
+    "hash like values — no nested loop, unlike an OR-of-IS-NULL "
+    "rewrite); the per-key pair counts pin that the NULL bucket "
+    "really joined (segment 'BUILDING' maps to NULL on both sides). "
+    "Scale: one equi-shuffle; the NULL bucket is a skew key by "
+    "construction — AQE skew-split or pre-count it.",
+    tags=("relational", "r4d"),
+)
+def op_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", seg)
+    b = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey", seg)
+    return (
+        a.join(b, a["seg"].eqNullSafe(b["seg"]))
+        .groupBy(
+            F.coalesce(a["seg"].cast("string"), F.lit("<null>")).alias(
+                "seg_key"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

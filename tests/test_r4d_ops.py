@@ -314,3 +314,51 @@ def test_oov_rate_replica(spark, qs):
         r = rows[d.doc_id]
         assert (r.n_tokens, r.n_oov) == (len(toks), oov), d.doc_id
         assert r.oov_rate == oov / len(toks)
+
+
+def test_set_ops_all_multiplicities(spark, catalog, qs):
+    """Multiset identities per key: union = a+b, except = max(0, a-b),
+    intersect = min(a, b)."""
+    c = catalog.table("customer")
+    a = {
+        r.k: r.n
+        for r in c.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    b = {
+        r.k: r.n
+        for r in c.filter(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got: dict[tuple, int] = {}
+    for r in qs["op_set_ops_all"](spark, SF_DIR).collect():
+        got[(r.op, r.k)] = r.n
+    keys = set(a) | set(b)
+    for k in keys:
+        na, nb = a.get(k, 0), b.get(k, 0)
+        if na + nb:
+            assert got.get(("union_all", k), 0) == na + nb, k
+        if na - nb > 0:
+            assert got.get(("except_all", k), 0) == na - nb, k
+        if min(na, nb):
+            assert got.get(("intersect_all", k), 0) == min(na, nb), k
+
+
+def test_null_safe_join_null_bucket_matches(spark, qs):
+    """The '<null>' bucket (BUILDING on both sides) must be present and
+    equal the cross-product of per-side NULL-key counts; plain = would
+    produce zero pairs there."""
+    rows = {r.seg_key: r.n_pairs for r in qs["op_null_safe_join"](spark, SF_DIR).collect()}
+    assert "<null>" in rows and rows["<null>"] > 0
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    na = c.filter(
+        (F.col("c_custkey") % 2 == 0) & (F.col("c_mktsegment") == "BUILDING")
+    ).count()
+    nb = c.filter(
+        (F.col("c_custkey") % 3 == 0) & (F.col("c_mktsegment") == "BUILDING")
+    ).count()
+    assert rows["<null>"] == na * nb
