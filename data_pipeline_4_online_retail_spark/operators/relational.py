@@ -1850,3 +1850,47 @@ def op_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "op_collation_group",
+    """
+    WITH mixed AS (
+        SELECT CASE WHEN c_custkey % 2 = 1
+                    THEN upper(substr(c_mktsegment, 1, 1))
+                         || lower(substr(c_mktsegment, 2))
+                    ELSE c_mktsegment END AS seg
+        FROM customer)
+    SELECT lower(seg) AS seg_lc, CAST(COUNT(*) AS BIGINT) AS n
+    FROM mixed GROUP BY lower(seg)
+    """,
+    doc="Spark 4 collation surface: grouping under UTF8_LCASE — half the "
+    "rows carry an Initcap'd segment, and the case-insensitive "
+    "collation merges the variants into one group (the engine-level "
+    "answer to the lower()-everywhere normalization smeared through "
+    "ETL SQL; comparisons/joins/DISTINCT inherit the same rule once "
+    "the column is collated). The emitted key is lower(representative) "
+    "so the result is representative-choice-independent, and the "
+    "DuckDB oracle IS the lower()-normalization rewrite — proving the "
+    "two formulations equivalent. Scale: collation-aware grouping "
+    "hashes the collation key directly (one partial-first aggregate), "
+    "vs the rewrite's extra lower() projection — same shuffle either "
+    "way; the win is semantic (no normalization drift across queries). "
+    "Reference analogue: none (BigQuery CI collation was unused).",
+    tags=("relational", "spark4", "r4d"),
+)
+def op_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 1,
+        F.concat(
+            F.upper(F.substring("c_mktsegment", 1, 1)),
+            F.lower(F.expr("substr(c_mktsegment, 2)")),
+        ),
+    ).otherwise(F.col("c_mktsegment"))
+    return (
+        c.select(F.collate(mixed, "UTF8_LCASE").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("seg")).cast("string").alias("seg_lc"), "n")
+    )

@@ -362,3 +362,20 @@ def test_null_safe_join_null_bucket_matches(spark, qs):
         (F.col("c_custkey") % 3 == 0) & (F.col("c_mktsegment") == "BUILDING")
     ).count()
     assert rows["<null>"] == na * nb
+
+
+def test_collation_group_merges_case_variants(spark, catalog, qs):
+    """UTF8_LCASE grouping must produce exactly the lower()-normalized
+    groups, and the mixed-case construction really does create case
+    variants (so the merge is actually exercised)."""
+    rows = {r.seg_lc: r.n for r in qs["op_collation_group"](spark, SF_DIR).collect()}
+    c = catalog.table("customer")
+    want = {
+        r.k: r.n
+        for r in c.groupBy(F.lower("c_mktsegment").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == want
+    # sanity: the initcap arm fires (odd custkeys exist per segment)
+    assert c.filter(F.col("c_custkey") % 2 == 1).count() > 0
