@@ -197,3 +197,42 @@ def test_binaryfile_source_matches_features_path(spark):
         if r.doc_id < M.BINARY_SOURCE_DOCS
     }
     assert via_files == via_engine and len(via_files) == M.BINARY_SOURCE_DOCS
+
+
+def test_resize_nearest_properties_hypothesis():
+    """Pure-function properties of the nearest-neighbor kernel over
+    random rasters: exact output size, identity at equal dims, every
+    output pixel equals the source pixel at the integer-index mapping,
+    and corner pixels are preserved (index 0 maps to 0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        resize_rgb_nearest,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.randoms(use_true_random=False),
+    )
+    def prop(sw, sh, ow, oh, rnd):
+        rgb = bytes(rnd.randrange(256) for _ in range(sw * sh * 3))
+        out = resize_rgb_nearest(rgb, sw, sh, ow, oh)
+        assert len(out) == ow * oh * 3
+        if (sw, sh) == (ow, oh):
+            assert out == rgb
+        for y in range(oh):
+            sy = y * sh // oh
+            for x in range(ow):
+                sx = x * sw // ow
+                s = (sy * sw + sx) * 3
+                o = (y * ow + x) * 3
+                assert out[o : o + 3] == rgb[s : s + 3]
+        # top-left corner always preserved
+        assert out[0:3] == rgb[0:3]
+
+    prop()
