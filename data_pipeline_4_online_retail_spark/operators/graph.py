@@ -178,3 +178,107 @@ def graph_triangle_count(spark, sf_dir):
             F.col("e2.v").alias("c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+CF_TOP_N = 5
+
+
+@register(
+    "graph_itemcf_recs",
+    f"""
+    WITH bp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pop AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM bp GROUP BY l_partkey),
+    cooc AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_cooc
+        FROM bp a JOIN bp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT item_a, item_b, n_cooc,
+               CAST(n_cooc AS DOUBLE)
+                   / sqrt(CAST(pa.n_baskets AS DOUBLE)
+                          * CAST(pb.n_baskets AS DOUBLE)) AS cosine_sim
+        FROM cooc
+        JOIN pop pa ON item_a = pa.l_partkey
+        JOIN pop pb ON item_b = pb.l_partkey)
+    SELECT item_a, item_b, n_cooc, cosine_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY item_a
+            ORDER BY cosine_sim DESC, n_cooc DESC, item_b) AS rnk
+        FROM scored)
+    WHERE rnk <= {CF_TOP_N}
+    """,
+    doc="recommendations: item-item collaborative filtering over "
+    "co-purchase baskets — cosine similarity on binary basket "
+    "membership (cooc / sqrt(pop_a * pop_b), the classic Amazon "
+    "item-to-item form), top-5 neighbors per item with a fully "
+    "deterministic (sim, cooc, item) tie-break. All inputs are "
+    "integer counts and the single sqrt/division is IEEE-identical "
+    "cross-engine, so the float scores hash-match exactly. Plan: "
+    "basket de-dup (one (order, part) distinct), the per-basket "
+    "self-join (quadratic PER BASKET, bounded by basket size — the "
+    "same intra-key quadratic as op_market_basket_pairs, never "
+    "corpus-quadratic), two broadcast-able popularity joins, and a "
+    "WindowGroupLimit-pruned per-item top-N. Scale: the co-occurrence "
+    "aggregate shuffles on item pairs (bounded by sum of basket "
+    "sizes squared); at 100 TB cap basket size first (power-law "
+    "baskets are the known skew: a 10k-item basket contributes 1e8 "
+    "pairs — drop or sample mega-baskets, the standard itemCF "
+    "mitigation).",
+    tags=("graph", "retail", "similarity", "r4d"),
+)
+def graph_itemcf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_tables(spark, sf_dir).table("lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    pop = bp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_baskets"))
+    a = bp.alias("a")
+    b = bp.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    pa = pop.alias("pa")
+    pb = pop.alias("pb")
+    scored = (
+        cooc.join(pa, F.col("item_a") == F.col("pa.l_partkey"))
+        .join(pb, F.col("item_b") == F.col("pb.l_partkey"))
+        .select(
+            "item_a",
+            "item_b",
+            "n_cooc",
+            (
+                F.col("n_cooc").cast("double")
+                / F.sqrt(
+                    F.col("pa.n_baskets").cast("double")
+                    * F.col("pb.n_baskets").cast("double")
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("cosine_sim"), F.desc("n_cooc"), F.asc("item_b")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CF_TOP_N)
+    )

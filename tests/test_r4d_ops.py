@@ -379,3 +379,45 @@ def test_collation_group_merges_case_variants(spark, catalog, qs):
     assert rows == want
     # sanity: the initcap arm fires (odd custkeys exist per segment)
     assert c.filter(F.col("c_custkey") % 2 == 1).count() > 0
+
+
+def test_itemcf_recs_replica(spark, qs):
+    """Cosine scores and per-item ranking match a pure-Python replay of
+    basket membership; similarity is symmetric on the score level."""
+    import math
+    from collections import defaultdict
+
+    rows = qs["graph_itemcf_recs"](spark, SF_DIR).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    pop = defaultdict(int)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    for items in baskets.values():
+        for i in items:
+            pop[i] += 1
+    cooc = defaultdict(int)
+    for items in baskets.values():
+        for i in items:
+            for j in items:
+                if i != j:
+                    cooc[(i, j)] += 1
+    for r in rows:
+        want = cooc[(r.item_a, r.item_b)] / math.sqrt(
+            pop[r.item_a] * pop[r.item_b]
+        )
+        assert r.n_cooc == cooc[(r.item_a, r.item_b)]
+        assert abs(r.cosine_sim - want) < 1e-12
+        assert 1 <= r.rnk <= 5
+    # ranks are dense per item
+    per_item = defaultdict(list)
+    for r in rows:
+        per_item[r.item_a].append(r.rnk)
+    for ranks in per_item.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
