@@ -1956,3 +1956,60 @@ def ev_feature_store_pit(spark, sf_dir):
             "n_clicks_7d",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing with an engine-exact fold (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_ewma_level",
+    """
+    WITH seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> (acc + x) / 2) AS ewma_level
+    FROM seq
+    """,
+    doc="time series: per-user exponentially weighted level (simple "
+    "exponential smoothing, alpha = 1/2: s_1 = x_1, s_t = "
+    "(s_{t-1} + x_t) / 2) — the recency-weighted engagement score "
+    "behind 'current activity level' features. The deliberately chosen "
+    "alpha makes every step an IEEE halving of an addition, so the "
+    "sequential fold is BIT-EXACT across engines and this genuinely "
+    "RECURSIVE computation gets a full hash oracle (DuckDB list_reduce "
+    "seeds from the first element; Spark seeds aggregate() with "
+    "element_at(vals, 1) over the tail — identical op sequence). "
+    "Determinism discipline: the per-user sequence is sort_array over "
+    "(ts, event_id, value) structs vs DuckDB's list(... ORDER BY ts, "
+    "event_id) — same total order, (ts, event_id) is unique. Scale: "
+    "one user-keyed shuffle; per-user arrays are bounded by per-user "
+    "event counts (the same bound every sessionize/journey op here "
+    "carries); for unbounded users the streaming form is a "
+    "2-doubles-per-key applyInPandasWithState fold. General-alpha "
+    "EWMA leaves bit-exactness (0.3*x rounds differently than "
+    "repeated halving) — that variant belongs rows-only with a "
+    "replica, which is why the oracle-able alpha is pinned here.",
+    tags=("events", "analytics", "r4d"),
+)
+def ev_ewma_level(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda r: r["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, 2_147_483_000),
+        F.element_at(vals, 1),
+        lambda acc, x: (acc + x) / 2,
+    )
+    return seq.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_events"),
+        ewma.alias("ewma_level"),
+    )

@@ -894,3 +894,51 @@ def op_group_moments_mergeable(spark, sf_dir):
         (s1 / n).alias("mean_price"),
         ((s2 - s1 * s1 / n) / n).alias("var_pop_price"),
     )
+
+
+@register(
+    "op_median_absolute_deviation",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS median_price
+        FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           m.median_price,
+           percentile_disc(0.5) WITHIN GROUP (
+               ORDER BY abs(l.l_extendedprice - m.median_price)) AS mad_price
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY 1, 2
+    """,
+    doc="robust statistics: median absolute deviation per group — the "
+    "robust spread measure (50% breakdown point; stddev's breakdown is "
+    "0) behind outlier fences that survive corrupt feeds: |x - med| < "
+    "k*MAD flags points without the outliers poisoning the scale "
+    "estimate itself (op_winsorize clips by quantiles; MAD is the "
+    "detection side). Exactness: both percentile_disc calls return "
+    "ACTUAL data elements and the inner |x - med| is per-row IEEE "
+    "arithmetic on identical operands — no interpolation, bit-exact "
+    "cross-engine. Plan: two passes over the fact (group medians — "
+    "small, broadcast back — then deviation medians); at 100 TB swap "
+    "both percentile_disc calls for approx_percentile and keep the "
+    "identical shape (the op_winsorize scale note applies verbatim).",
+    tags=("robust", "r4d"),
+)
+def op_median_absolute_deviation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("median_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "median_price")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY abs(l_extendedprice - median_price))"
+            ).alias("mad_price")
+        )
+    )

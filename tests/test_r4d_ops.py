@@ -421,3 +421,45 @@ def test_itemcf_recs_replica(spark, qs):
         per_item[r.item_a].append(r.rnk)
     for ranks in per_item.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ewma_level_replica(spark, qs):
+    """Bit-exact sequential-halving replay per user from raw events."""
+    rows = {r.user_id: r for r in qs["ev_ewma_level"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    seqs: dict[int, list] = {}
+    for e in ev:
+        seqs.setdefault(e.user_id, []).append((e.ts, e.event_id, e.value))
+    for uid, seq in seqs.items():
+        seq.sort()
+        acc = seq[0][2]
+        for _, _, v in seq[1:]:
+            acc = (acc + v) / 2
+        r = rows[uid]
+        assert r.n_events == len(seq)
+        assert r.ewma_level == acc, uid
+
+
+def test_mad_is_robust_median_of_deviations(spark, qs):
+    """MAD equals the discrete median of |x - median| replayed in
+    Python, and both returned values are actual data(-derived)
+    elements."""
+    import math
+
+    out = {r.l_returnflag: r for r in qs["op_median_absolute_deviation"](
+        spark, SF_DIR
+    ).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups: dict[str, list[float]] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for flag, vals in groups.items():
+        vals.sort()
+        med = vals[math.ceil(0.5 * len(vals)) - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[math.ceil(0.5 * len(devs)) - 1]
+        r = out[flag]
+        assert r.median_price == med
+        assert r.mad_price == mad
