@@ -447,3 +447,86 @@ def anomaly_tracker(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the stateful twin of operators/events_windows.ev_ewma_level
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("level", T.DoubleType(), True),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("ewma_level", T.DoubleType(), True),
+    ]
+)
+
+
+def _update_ewma(key, pdf_iter, state: GroupState):
+    """Fold one user's micro-batch into (count, level) with the EXACT
+    arithmetic of the batch operator: s_1 = x_1, s_t = (s_{t-1} + x_t)/2
+    — two values of state per key, the minimal stateful footprint.
+
+    Ordering contract: within a batch events fold in (ts, event_id)
+    order; ACROSS batches the fold order is arrival order, so exact
+    batch-equality requires event-time-ordered delivery (the same
+    in-order frontier funnel_tracker documents). Out-of-order arrivals
+    degrade gracefully — the level remains a halving fold of all seen
+    values, just in arrival order."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        n, level = state.get
+    else:
+        n, level = 0, None
+    rows: list[tuple] = []
+    for pdf in pdf_iter:
+        for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            rows.append((ts, int(eid), float(v)))
+    rows.sort()
+    for _, _, v in rows:
+        level = v if n == 0 else (level + v) / 2
+        n += 1
+    state.update((n, level))
+    try:
+        state.setTimeoutDuration(60 * 60 * 1000)
+    except Exception:
+        pass
+    yield pd.DataFrame(
+        [(user_id, n, level)],
+        columns=["user_id", "n_events", "ewma_level"],
+    )
+
+
+def ewma_tracker(
+    events_stream: DataFrame, *, evict_idle: bool = False
+) -> DataFrame:
+    """Continuously maintained per-user exponential level (alpha = 1/2).
+
+    The batch twin (``ev_ewma_level``) carries the DuckDB hash oracle;
+    pytest proves stream == batch over an event-time-ordered multi-batch
+    feed. State is two scalars per user — bounded regardless of stream
+    length — with optional idle eviction."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_idle
+        else GroupStateTimeout.NoTimeout
+    )
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

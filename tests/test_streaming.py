@@ -1260,3 +1260,66 @@ def test_stream_progress_reports_bounded_state_size(spark, catalog, tmp_path_fac
         p["stateOperators"][0]["numRowsDroppedByWatermark"] == 0
         for p in progresses
     )  # in-order feed: nothing arrived late enough to be dropped
+
+
+def test_ewma_stream_matches_batch(spark, catalog, tmp_path_factory):
+    """Stateful streaming EWMA == the oracle-checked batch ev_ewma_level
+    bit-for-bit, with events delivered over three event-time-ordered
+    micro-batches so the two-scalar state actually carries across
+    batches."""
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_ewma_level,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.stateful import (
+        ewma_tracker,
+    )
+
+    src = str(tmp_path_factory.mktemp("ewma_stream"))
+    ev = catalog.table("events").select("user_id", "event_id", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= F.lit(bounds[i]))
+            & (
+                F.col("ts") <= F.lit(bounds[i + 1])
+                if i == 2
+                else F.col("ts") < F.lit(bounds[i + 1])
+            )
+        )
+        part.coalesce(1).write.parquet(f"{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        ewma_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table("t_ewma")
+    # update mode: one row per touched user per batch; the final state is
+    # the row with the highest event count
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma_level")).alias("s"))
+        .select("user_id", "s.n_events", "s.ewma_level")
+    )
+    got = {
+        r.user_id: (r.n_events, r.ewma_level) for r in final.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.ewma_level)
+        for r in ev_ewma_level(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want  # bit-exact, not approximate
+    assert len(want) > 0
