@@ -463,3 +463,18 @@ def test_mad_is_robust_median_of_deviations(spark, qs):
         r = out[flag]
         assert r.median_price == med
         assert r.mad_price == mad
+
+
+def test_minhash_estimate_properties(spark, qs):
+    """est = matches/16 exactly; the estimator is unbiased enough on this
+    fixture that mean |est - exact| over candidate pairs stays under
+    2 stderr; verified pairs (exact >= 0.6) all have high estimates."""
+    rows = qs["dedup_minhash_estimate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.jaccard_est == r.n_sig_matches / 16
+        assert 0.0 <= r.jaccard_exact <= 1.0
+    errs = [abs(r.jaccard_est - r.jaccard_exact) for r in rows]
+    # stderr at J~0.6 with 16 hashes is ~0.12; the MEAN abs error over
+    # pairs should sit well inside it
+    assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
