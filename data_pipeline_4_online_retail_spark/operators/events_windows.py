@@ -2013,3 +2013,70 @@ def ev_ewma_level(spark, sf_dir):
         F.size("s").cast("long").alias("n_events"),
         ewma.alias("ewma_level"),
     )
+
+
+@register(
+    "ev_forecast_backtest",
+    """
+    WITH seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id),
+    held AS (
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_events,
+               list_extract(vals, len(vals)) AS actual,
+               list_extract(vals, len(vals) - 1) AS pred_naive,
+               list_reduce(vals[1:len(vals) - 1], (acc, x) -> (acc + x) / 2)
+                   AS pred_ewma
+        FROM seq WHERE len(vals) >= 2)
+    SELECT user_id, n_events, actual, pred_naive, pred_ewma,
+           abs(actual - pred_naive) AS err_naive,
+           abs(actual - pred_ewma) AS err_ewma
+    FROM held
+    """,
+    doc="time series: hold-one-out forecast BACKTEST — per user, the last "
+    "event's value is held out and predicted two ways: naive "
+    "last-value carry-forward vs the exponential level of the prefix "
+    "(the alpha = 1/2 halving fold, engine-exact like ev_ewma_level). "
+    "Per-user absolute errors let the caller read which predictor "
+    "wins where (aggregate MAEs are one GROUP BY () away; left "
+    "per-user so the errors themselves stay raw IEEE doubles — "
+    "identical operands, identical ops, hash-exact — instead of an "
+    "order-dependent float sum). This is model evaluation IN-ENGINE: "
+    "the same no-leakage discipline as ev_feature_store_pit (the "
+    "prefix never includes the held-out point), run backwards over "
+    "history instead of forward over features. Scale: one user-keyed "
+    "shuffle; per-user arrays bounded as in the sessionize family.",
+    tags=("events", "analytics", "evaluation", "r4d"),
+)
+def ev_forecast_backtest(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda r: r["value"])
+    n = F.size(vals)
+    prefix = F.slice(vals, 1, n - 1)
+    pred_ewma = F.aggregate(
+        F.slice(prefix, 2, 2_147_483_000),
+        F.element_at(prefix, 1),
+        lambda acc, x: (acc + x) / 2,
+    )
+    held = seq.filter(n >= 2).select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        F.element_at(vals, -1).alias("actual"),
+        F.element_at(vals, n - 1).alias("pred_naive"),
+        pred_ewma.alias("pred_ewma"),
+    )
+    return held.select(
+        "user_id",
+        "n_events",
+        "actual",
+        "pred_naive",
+        "pred_ewma",
+        F.abs(F.col("actual") - F.col("pred_naive")).alias("err_naive"),
+        F.abs(F.col("actual") - F.col("pred_ewma")).alias("err_ewma"),
+    )

@@ -478,3 +478,28 @@ def test_minhash_estimate_properties(spark, qs):
     # stderr at J~0.6 with 16 hashes is ~0.12; the MEAN abs error over
     # pairs should sit well inside it
     assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
+
+
+def test_forecast_backtest_no_leakage_replica(spark, qs):
+    """Replay per user: the held-out point never enters either
+    predictor; EWMA prefix fold is bit-exact."""
+    rows = {r.user_id: r for r in qs["ev_forecast_backtest"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    seqs: dict[int, list] = {}
+    for e in ev:
+        seqs.setdefault(e.user_id, []).append((e.ts, e.event_id, e.value))
+    for uid, seq in seqs.items():
+        seq.sort()
+        if len(seq) < 2:
+            assert uid not in rows
+            continue
+        vals = [v for _, _, v in seq]
+        acc = vals[0]
+        for v in vals[1:-1]:
+            acc = (acc + v) / 2
+        r = rows[uid]
+        assert r.actual == vals[-1]
+        assert r.pred_naive == vals[-2]
+        assert r.pred_ewma == acc
+        assert r.err_naive == abs(vals[-1] - vals[-2])
+        assert r.err_ewma == abs(vals[-1] - acc)
