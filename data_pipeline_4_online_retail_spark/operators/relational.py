@@ -1894,3 +1894,52 @@ def op_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower(F.col("seg")).cast("string").alias("seg_lc"), "n")
     )
+
+
+@register(
+    "op_window_nth_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS final_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="window family: positional navigation — first_value / "
+    "nth_value(2) over the running frame and last_value over the FULL "
+    "frame. Pins the frame trap every SQL author hits once: "
+    "last_value under the DEFAULT frame (UNBOUNDED PRECEDING..CURRENT "
+    "ROW) returns the CURRENT row, so the full-frame spec is spelled "
+    "explicitly; nth_value is NULL until the frame holds n rows (the "
+    "running-frame semantics both engines share). Deterministic "
+    "(date, key) ordering; raw column values, no arithmetic — "
+    "hash-exact. One exchange serves all three functions (same "
+    "window spec family).",
+    tags=("relational", "r4d"),
+)
+def op_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(running).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(running).alias("second_price"),
+        F.last("o_totalprice").over(full).alias("final_price"),
+    )

@@ -845,3 +845,60 @@ def wh_dim_surrogate_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return existing.select(
         "p_partkey", "surrogate_id", F.lit(0).alias("is_new")
     ).unionByName(new_rows)
+
+
+# ---------------------------------------------------------------------------
+# SCD type 3 (round 4, continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wh_scd3_prior_value",
+    """
+    WITH versions AS (
+        SELECT o_custkey AS cust, o_orderkey AS version_key,
+               o_orderstatus AS status,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn,
+               LEAD(o_orderstatus) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS prior_status
+        FROM orders)
+    SELECT cust, version_key, status AS current_status, prior_status
+    FROM versions WHERE rn = 1
+    """,
+    doc="warehouse: SCD TYPE 3 — current value plus ONE prior value as "
+    "columns on the same row (the limited-history trade: type 1 "
+    "overwrites [wh_merge_upsert], type 2 keeps every version as rows "
+    "[wh_scd2_build], type 3 keeps exactly one step of history as a "
+    "column — the 'previous segment' reporting shape). Derived from "
+    "the orders change stream: latest status per customer + LEAD one "
+    "step down the same descending window, one rn=1 filter — a single "
+    "window pass, one exchange, WindowGroupLimit-prunable since only "
+    "rn=1 survives. NULL prior = customer has a single version (the "
+    "honest first-load state). Fully deterministic ordering "
+    "(date, key).",
+    tags=("warehouse", "r4d"),
+)
+def wh_scd3_prior_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("version_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.row_number().over(w).alias("rn"),
+            F.lead("o_orderstatus").over(w).alias("prior_status"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cust",
+            "version_key",
+            F.col("status").alias("current_status"),
+            "prior_status",
+        )
+    )

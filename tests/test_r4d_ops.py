@@ -503,3 +503,48 @@ def test_forecast_backtest_no_leakage_replica(spark, qs):
         assert r.pred_ewma == acc
         assert r.err_naive == abs(vals[-1] - vals[-2])
         assert r.err_ewma == abs(vals[-1] - acc)
+
+
+def test_scd3_prior_value_semantics(spark, qs):
+    """One row per customer; prior is the second-latest status or NULL
+    for single-version customers — replayed from raw orders."""
+    rows = {r.cust: r for r in qs["wh_scd3_prior_value"](spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    hist: dict[int, list] = {}
+    for r in o:
+        hist.setdefault(r.o_custkey, []).append(
+            (r.o_orderdate, r.o_orderkey, r.o_orderstatus)
+        )
+    assert len(rows) == len(hist)
+    for cust, versions in hist.items():
+        versions.sort(reverse=True)
+        r = rows[cust]
+        assert r.current_status == versions[0][2]
+        assert r.version_key == versions[0][1]
+        want_prior = versions[1][2] if len(versions) > 1 else None
+        assert r.prior_status == want_prior, cust
+
+
+def test_window_nth_value_frame_semantics(spark, qs):
+    """nth_value(2) is NULL on each partition's first row and constant
+    afterwards; last_value over the full frame equals the partition's
+    final price on every row."""
+    rows = qs["op_window_nth_value"](spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.o_custkey].append(r)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    hist = defaultdict(list)
+    for r in o:
+        hist[r.o_custkey].append((r.o_orderdate, r.o_orderkey, r.o_totalprice))
+    for cust, rs in per.items():
+        seq = sorted(hist[cust])
+        by_key = {r.o_orderkey: r for r in rs}
+        ordered = [by_key[k] for _, k, _ in seq]
+        assert ordered[0].second_price is None
+        if len(seq) > 1:
+            assert all(r.second_price == seq[1][2] for r in ordered[1:])
+        assert all(r.first_price == seq[0][2] for r in ordered)
+        assert all(r.final_price == seq[-1][2] for r in ordered)
