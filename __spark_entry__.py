@@ -45,12 +45,12 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 4 (final, after the in-round
-# continuation grew the registry to 219): the driver checks the FIRST
-# 50 registrations. 100 registrations have no driver row yet (90 of
-# them DuckDB-oracled; everything added after the window was fixed
-# joins the r5 backlog with local oracle_check + vanilla-sweep +
-# pytest evidence recorded in NOTES_r4), so slots go to (a) 4 controls — ev_asof_join
+# Driver-visible ordering, round 4 (window fixed mid-round at registry
+# size 219; the second continuation grew the registry to 257 — every
+# post-window addition joins the r5 rotation backlog with local
+# oracle_check + vanilla-sweep + pytest evidence recorded in NOTES_r4
+# and COVERAGE.md). The driver checks the FIRST 50 registrations;
+# slots go to (a) 4 controls — ev_asof_join
 # (the r3 red, code changed this round) and the two approx sketches
 # (upgraded to bounded within_bound oracles) plus one cross-round
 # star-schema control — and (b) 46 oracled never-checked queries
