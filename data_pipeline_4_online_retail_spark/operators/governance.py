@@ -229,3 +229,70 @@ def gov_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("visible_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+K_ANON_K = 10  # minimum group size before a QI combination is releasable
+L_DIVERSE_L = 3  # minimum distinct sensitive values per released group
+
+
+@register(
+    "gov_k_anonymity",
+    f"""
+    WITH qi AS (
+        SELECT c_nationkey,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 4500 THEN 'mid'
+                    ELSE 'high' END AS bal_band,
+               c_mktsegment
+        FROM customer)
+    SELECT c_nationkey, bal_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           CAST(COUNT(*) >= {K_ANON_K} AS INT) AS k_anonymous,
+           CAST(COUNT(DISTINCT c_mktsegment) >= {L_DIVERSE_L} AS INT)
+               AS l_diverse
+    FROM qi GROUP BY c_nationkey, bal_band
+    """,
+    doc="governance: k-anonymity / l-diversity release audit (Sweeney "
+    "2002; Machanavajjhala et al. 2007) — quasi-identifiers are "
+    "(nation, account-balance band); the sensitive attribute is the "
+    "market segment. A QI group re-identifies individuals when its "
+    "population is under k, and leaks the sensitive value even at size "
+    ">= k when all members share it (that is what l-diversity adds): "
+    "the report emits group_size, distinct-sensitive-value count, and "
+    "both release flags per group, which is exactly the suppression "
+    "work-list an anonymization pass consumes (suppress or generalize "
+    "the k_anonymous=0 rows, coarsen QIs for l_diverse=0 rows). The "
+    "band edges are pure comparisons on stored doubles (no arithmetic, "
+    "so both engines band identically). Scale: one partial-first "
+    "aggregate on a |nations| x 3 key space; COUNT(DISTINCT) expands "
+    "only within each tiny group — no global distinct shuffle.",
+    tags=("governance", "r4e"),
+)
+def gov_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir).table("customer")
+    bal_band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 4500, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select("c_nationkey", bal_band.alias("bal_band"), "c_mktsegment")
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "group_size",
+            "l_distinct",
+            (F.col("group_size") >= K_ANON_K).cast("int").alias("k_anonymous"),
+            (F.col("l_distinct") >= L_DIVERSE_L).cast("int").alias("l_diverse"),
+        )
+    )

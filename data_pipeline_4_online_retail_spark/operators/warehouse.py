@@ -902,3 +902,103 @@ def wh_scd3_prior_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_status",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal reconstruction (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+# The change log carries TWO time axes: valid time (when the fact was true
+# in the world — the event ts) and transaction time (when the warehouse
+# learned it — simulated as the event ts plus a deterministic 0-6 h
+# recording lag derived from event_id). Fixed literal cutoffs sit well
+# inside the fixture's Jan-2024 span at every SF; the tx cutoff trails
+# the valid cutoff by only 2 h so assertions recorded with a longer lag
+# are genuinely invisible at T (the bitemporal axis does real work).
+
+BITEMPORAL_TX_CUTOFF = "2024-01-15 02:00:00"
+BITEMPORAL_VALID_CUTOFF = "2024-01-15 00:00:00"
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "wh_bitemporal_asof",
+    f"""
+    WITH changes AS (
+        SELECT user_id, event_type AS val,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               CAST(ts AS TIMESTAMP)
+                   + (event_id % 7) * INTERVAL 1 HOUR AS tx_from,
+               event_id
+        FROM events),
+    visible AS (
+        SELECT * FROM changes
+        WHERE tx_from <= TIMESTAMP '{BITEMPORAL_TX_CUTOFF}'
+          AND valid_from <= TIMESTAMP '{BITEMPORAL_VALID_CUTOFF}'),
+    ranked AS (
+        SELECT user_id, val, valid_from, tx_from,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY valid_from DESC, tx_from DESC, event_id DESC)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_visible
+        FROM visible)
+    SELECT user_id, val, valid_from, tx_from, n_visible
+    FROM ranked WHERE rn = 1
+    """,
+    doc="warehouse: BITEMPORAL as-of reconstruction — 'as the warehouse "
+    "knew it at transaction time T, what was valid at time V'. Valid "
+    "time is the event ts; transaction time adds a deterministic 0-6 h "
+    "recording lag (event_id % 7 hours), so late-arriving corrections "
+    "genuinely change what each tx cutoff can see. Kernel: filter both "
+    "axes, then one window pass picks the latest-valid assertion, "
+    "transaction-latest among equal valid times (the Snodgrass/SQL:2011 "
+    "current-of-both-axes query); n_visible counts the assertions the "
+    "cutoff could see, i.e. the superseded history depth. Differs from "
+    "wh_pit_snapshot (valid time only — it assumes the warehouse already "
+    "knows everything) exactly where bitemporal auditability lives: "
+    "re-running with an older T reproduces what a report SHOWED then, "
+    "not what was later corrected. Timestamp arithmetic runs in integer "
+    "microseconds on the Spark side (timestamp_micros/unix_micros) and "
+    "INTERVAL hours in DuckDB — identical at us precision, UTC-pinned "
+    "session. Scale: both cutoff filters are scan predicates (no "
+    "shuffle); the single user_id exchange serves the window rank and "
+    "the visibility count; at 100 TB the tx filter prunes whole "
+    "partitions when the log is written tx-date-partitioned.",
+    tags=("warehouse", "r4e"),
+)
+def wh_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).table("events").select(
+        "user_id",
+        F.col("event_type").alias("val"),
+        F.col("ts").alias("valid_from"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + (F.col("event_id") % 7) * _US_PER_HOUR
+        ).alias("tx_from"),
+        "event_id",
+    )
+    visible = e.filter(
+        (F.col("tx_from") <= F.lit(BITEMPORAL_TX_CUTOFF).cast("timestamp"))
+        & (
+            F.col("valid_from")
+            <= F.lit(BITEMPORAL_VALID_CUTOFF).cast("timestamp")
+        )
+    )
+    w = Window.partitionBy("user_id")
+    ranked = visible.select(
+        "user_id",
+        "val",
+        "valid_from",
+        "tx_from",
+        F.row_number()
+        .over(
+            w.orderBy(
+                F.col("valid_from").desc(),
+                F.col("tx_from").desc(),
+                F.col("event_id").desc(),
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_visible"),
+    )
+    return ranked.filter(F.col("rn") == 1).drop("rn")

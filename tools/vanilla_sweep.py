@@ -4,7 +4,7 @@ environment. Catches config-dependence bugs the pinned-session gates
 can't: ANSI arithmetic/cast errors, element_at(0), implicit-coercion
 differences.
 
-Usage: python tools/vanilla_sweep.py [sf_dir]
+Usage: python tools/vanilla_sweep.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -16,6 +16,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 
 def main() -> int:
@@ -27,7 +28,11 @@ def main() -> int:
     import __spark_entry__ as entry
 
     fails = []
+    n_run = 0
     for name, fn in entry.queries().items():
+        if ONLY and name not in ONLY:
+            continue
+        n_run += 1
         try:
             n = fn(spark, SF_DIR).count()
             print(f"ok    {name}: {n} rows")
@@ -35,7 +40,7 @@ def main() -> int:
             msg = str(ex).split("\n")[0][:200]
             fails.append((name, msg))
             print(f"FAIL  {name}: {msg}")
-    print(f"\n{len(fails)} failures / {len(entry.queries())} queries")
+    print(f"\n{len(fails)} failures / {n_run} queries")
     return 1 if fails else 0
 
 
