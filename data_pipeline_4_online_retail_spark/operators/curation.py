@@ -1429,3 +1429,87 @@ def text_split_leakage_audit(spark, sf_dir):
         "example_doc",
         (F.col("n_splits") > 1).cast("integer").alias("leaks"),
     )
+
+
+@register(
+    "op_cogroup_asof",
+    """
+    SELECT c.event_id AS click_event, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(e.ts AS TIMESTAMP) AS last_error_ts,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP)) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    doc="engine surface: COGROUPED applyInPandas — the per-key two-sided "
+    "Arrow escape hatch (DataFrame.groupBy().cogroup().applyInPandas), "
+    "demonstrated on a kernel with a full oracle: per user, clicks and "
+    "errors arrive as two pandas frames and pandas.merge_asof computes "
+    "the latest-error-at-or-before enrichment (identical semantics and "
+    "output columns to ev_asof_join, which pytest pins bit-equal). The "
+    "union-then-window form IS the production path — one exchange, "
+    "planner-visible, no Python; cogroup is the right tool only when "
+    "the per-key merge logic genuinely exceeds SQL (two-sided custom "
+    "state machines, per-key model scoring over feature+label streams) "
+    "— this query exists so that escape hatch is exercised against an "
+    "oracle, not first reached for in anger. Scale: both sides shuffle "
+    "once on user_id; each task holds one user's two frames (bounded "
+    "per-user event counts), Arrow-batched both directions. Gotcha "
+    "(vanilla-sweep catch): when both cogroup sides derive from ONE "
+    "scan, same-named non-key columns can be attribute-deduplicated "
+    "out of the right side's Arrow batch under some downstream plans — "
+    "rename the right side's columns before cogrouping so only the "
+    "grouping key is shared.",
+    tags=("engine", "arrow", "r4e"),
+)
+def op_cogroup_asof(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"))
+        .distinct()
+    )
+
+    def merge(clk: pd.DataFrame, err: pd.DataFrame) -> pd.DataFrame:
+        if clk.empty:
+            return pd.DataFrame(
+                {
+                    "click_event": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_ts": pd.Series(dtype="datetime64[ns]"),
+                    "last_error_ts": pd.Series(dtype="datetime64[ns]"),
+                    "gap_us": pd.Series(dtype="Int64"),
+                }
+            )
+        clk = clk.sort_values(["ts", "event_id"])
+        err = err[["err_ts"]].rename(columns={"err_ts": "last_error_ts"}).sort_values(
+            "last_error_ts"
+        )
+        out = pd.merge_asof(
+            clk, err, left_on="ts", right_on="last_error_ts", direction="backward"
+        )
+        gap = (out["ts"] - out["last_error_ts"]) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame(
+            {
+                "click_event": out["event_id"],
+                "user_id": out["user_id"],
+                "click_ts": out["ts"],
+                "last_error_ts": out["last_error_ts"],
+                "gap_us": gap.astype("Int64"),
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "click_event long, user_id long, click_ts timestamp, "
+            "last_error_ts timestamp, gap_us long",
+        )
+    )

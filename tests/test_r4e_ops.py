@@ -110,3 +110,55 @@ def test_k_anonymity_partitions_and_flags(spark, catalog, qs):
     assert any(r.k_anonymous == 0 for r in rows) or any(
         r.k_anonymous == 1 for r in rows
     )
+
+
+def test_cogroup_asof_bit_equal_to_window_form(spark, qs):
+    """Two mechanisms, one semantics: the cogrouped merge_asof output is
+    row-for-row identical to ev_asof_join's union-then-window form."""
+    a = {
+        r.click_event: (r.user_id, r.click_ts, r.last_error_ts, r.gap_us)
+        for r in qs["ev_asof_join"](spark, SF_DIR).collect()
+    }
+    b = {
+        r.click_event: (r.user_id, r.click_ts, r.last_error_ts, r.gap_us)
+        for r in qs["op_cogroup_asof"](spark, SF_DIR).collect()
+    }
+    assert a == b
+    assert a  # non-degenerate
+    # both the matched and the no-prior-error branches occur
+    assert any(v[2] is None for v in a.values())
+    assert any(v[2] is not None for v in a.values())
+
+
+def test_time_weighted_avg_matches_locf_integral(spark, catalog, qs):
+    """Replica: per user, sort observations, hold each value until the next
+    ts (last until the horizon), integrate value x duration exactly with
+    Fraction arithmetic on the 2-dp cents."""
+    from fractions import Fraction
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        TWA_HORIZON,
+    )
+
+    horizon = dt.datetime.fromisoformat(TWA_HORIZON)
+    per_user: dict[int, list] = {}
+    for r in catalog.table("events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    out = {r.user_id: r for r in qs["ev_time_weighted_avg"](spark, SF_DIR).collect()}
+    assert set(out) == set(per_user)
+    for uid, obs in per_user.items():
+        obs.sort(key=lambda r: (r.ts, r.event_id))
+        num = Fraction(0)
+        den = 0
+        for i, r in enumerate(obs):
+            t_next = obs[i + 1].ts if i + 1 < len(obs) else horizon
+            dur = int((t_next - r.ts) / dt.timedelta(microseconds=1))
+            cents = round(r.value * 100)  # 2-dp fixture values
+            num += Fraction(cents, 100) * dur
+            den += dur
+        row = out[uid]
+        assert row.n_obs == len(obs)
+        assert row.total_dur_us == den
+        assert row.twa_value == pytest.approx(float(num / den), rel=1e-12)
