@@ -162,3 +162,54 @@ def test_time_weighted_avg_matches_locf_integral(spark, catalog, qs):
         assert row.n_obs == len(obs)
         assert row.total_dur_us == den
         assert row.twa_value == pytest.approx(float(num / den), rel=1e-12)
+
+
+def test_sql_udf_inlines_and_matches_dataframe_form(spark, catalog, qs):
+    """SQL UDF bodies inline into the plan (no Python-UDF barrier node),
+    and the banded revenue equals an independent DataFrame recomputation
+    in exact integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    df = qs["op_sql_udf"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.band_id: r for r in df.collect()}
+    li = catalog.table("lineitem")
+    p = catalog.table("part")
+    micro = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    expect = {
+        r.band_id: r
+        for r in li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("band_id", F.floor(F.col("p_size") / 10).cast("int"))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(micro).cast("double") / 10000.0).alias("revenue"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(expect)
+    for b, r in rows.items():
+        assert r.n_lines == expect[b].n_lines
+        assert r.revenue == expect[b].revenue  # exact: same integer sum
+        assert r.lo == b * 10 and r.hi == (b + 1) * 10
+
+
+def test_stack_long_format_conserves_rows_and_sums(spark, catalog, qs):
+    """Each metric carries exactly one row per order; the price total is
+    the decimal-exact sum of o_totalprice."""
+    from decimal import Decimal
+
+    rows = {r.metric: r for r in qs["op_stack_long_format"](spark, SF_DIR).collect()}
+    n_orders = catalog.table("orders").count()
+    assert set(rows) == {"price", "key_mod", "cust_mod"}
+    for r in rows.values():
+        assert r.n == n_orders
+    total = sum(
+        Decimal(str(x[0])).quantize(Decimal("0.01"))
+        for x in catalog.table("orders").select("o_totalprice").collect()
+    )
+    assert rows["price"].total == float(total)
