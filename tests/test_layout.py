@@ -226,3 +226,49 @@ def test_analyze_column_stats_enable_cbo_broadcast(spark, catalog, tmp_path_fact
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS t_orders_cbo")
         spark.sql("DROP TABLE IF EXISTS t_li_cbo")
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, catalog, tmp_path_factory
+):
+    """100 TB mechanism: a hive-partitioned fact table joined on its
+    partition column against a selectively-filtered dim gets a
+    dynamicpruning subquery — the fact scan reads only the partitions the
+    dim filter survives, decided at RUNTIME (no literal partition filter
+    anywhere in the query). Result parity is checked against the
+    unpartitioned compute."""
+    base = tmp_path_factory.mktemp("dpp")
+    fact_path = str(base / "events_by_day")
+    events = catalog.table("events").select(
+        "event_id", "ts", "user_id", "value",
+        F.dayofmonth("ts").alias("day"),
+    )
+    events.write.mode("overwrite").partitionBy("day").parquet(fact_path)
+
+    # dim: one row per day with an attribute only the dim knows; the
+    # filter keeps 3 of ~30 days
+    dim = (
+        events.select("day")
+        .distinct()
+        .withColumn("is_audit_day", (F.col("day") % 10 == 3))
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(F.broadcast(dim), "day").filter(F.col("is_audit_day"))
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    got = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("day").alias("n_days"),
+    ).collect()[0]
+    expect = (
+        events.filter(F.col("day") % 10 == 3)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("day").alias("n_days"),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.n_days) == (expect.n, expect.n_days)
+    assert got.n_days == 3  # days 3, 13, 23 in a 30-day January
