@@ -793,3 +793,114 @@ def mm_binaryfile_source(spark, sf_dir):
             )
 
     return files.mapInPandas(run, BINFILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup over the real thumbnail path (round 4, third
+# continuation)
+# ---------------------------------------------------------------------------
+
+PHASH_BAND_BITS = 16
+PHASH_N_BANDS = 4  # 64-bit hash in 4 bands of 16
+PHASH_MAX_HAMMING = 6
+
+
+def phash64_from_text(text: str) -> int:
+    """Average-hash (aHash) of the document's P6 thumbnail: tile the
+    UTF-8 bytes into the 16-wide raster (mm_ppm_features construction),
+    nearest-neighbor resize to 8x8, integer luma (299/587/114 per mille),
+    then one bit per pixel: 1 iff luma*64 > total (strictly above the
+    mean, in exact integer arithmetic). Returns a SIGNED 64-bit value so
+    it round-trips through a Spark LongType column."""
+    raw = text.encode("utf-8")
+    n_px = max(1, len(raw) // 3)
+    h = max(1, n_px // PPM_WIDTH)
+    rgb = (raw * 3)[: PPM_WIDTH * h * 3]
+    small = resize_rgb_nearest(rgb, PPM_WIDTH, h, RESIZE_W, RESIZE_H)
+    luma = [
+        (small[i * 3] * 299 + small[i * 3 + 1] * 587 + small[i * 3 + 2] * 114)
+        // 1000
+        for i in range(RESIZE_W * RESIZE_H)
+    ]
+    total = sum(luma)
+    bits = 0
+    for i, p in enumerate(luma):
+        if p * 64 > total:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+@register(
+    "mm_phash_dedup",
+    None,  # perceptual hashing over binary thumbnails — pytest replica
+    doc="multimodal dedup: PERCEPTUAL-hash near-duplicates — the image "
+    "twin of dedup_simhash. Each document's real P6 thumbnail (decode "
+    "-> 8x8 nearest-neighbor resize -> integer luma) yields a 64-bit "
+    "average-hash (bit = pixel strictly above the image mean; exact "
+    "integer arithmetic end-to-end, so the hash is platform-"
+    "deterministic without float luma). Candidate pairs come from "
+    "16-bit band collisions (4 bands; pigeonhole guarantees every "
+    "pair within hamming distance 3 shares a clean band), the exact "
+    "hamming distance is computed JVM-side (bit_count(xor)) and pairs "
+    "at or under 6 are near-dups. Only the per-doc hash runs in "
+    "Python (Arrow-batched mapInPandas); banding, the band-bucket "
+    "self-join, and the distance filter are all codegen'd column "
+    "expressions. Scale: identical to the MinHash/SimHash tier — "
+    "map-side signatures, one shuffle on (band, value), O(colliding "
+    "pairs) join; at 100 TB the thumbnail bytes never shuffle, only "
+    "8-byte hashes do.",
+    tags=("multimodal", "dedup", "r4e"),
+)
+def mm_phash_dedup(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (int(doc_id), phash64_from_text(text))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    sigs = docs.mapInPandas(run, PHASH_SCHEMA)
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), i * PHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+            .alias("band_val"),
+        )
+        for i in range(PHASH_N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", "phash", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("doc_id", "phash", "bv.band", "bv.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= PHASH_MAX_HAMMING)

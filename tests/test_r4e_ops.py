@@ -213,3 +213,41 @@ def test_stack_long_format_conserves_rows_and_sums(spark, catalog, qs):
         for x in catalog.table("orders").select("o_totalprice").collect()
     )
     assert rows["price"].total == float(total)
+
+
+def test_phash_dedup_matches_allpairs_replica(spark, catalog, qs):
+    """Exact replica over all C(n,2) pairs: band-collision candidates
+    filtered by hamming <= max — and the pigeonhole guarantee that every
+    pair within distance 3 is found (4 bands, 64 bits)."""
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_MAX_HAMMING,
+        PHASH_N_BANDS,
+        phash64_from_text,
+    )
+
+    docs = catalog.table("documents").select("doc_id", "text").collect()
+    sig = {r.doc_id: phash64_from_text(r.text) & ((1 << 64) - 1) for r in docs}
+    ids = sorted(sig)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    expect = set()
+    pigeon = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = sig[a] ^ sig[b]
+            ham = bin(x).count("1")
+            shares = any(
+                (x >> (k * PHASH_BAND_BITS)) & mask == 0
+                for k in range(PHASH_N_BANDS)
+            )
+            if shares and ham <= PHASH_MAX_HAMMING:
+                expect.add((a, b, ham))
+            if ham <= 3:
+                pigeon.add((a, b, ham))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in qs["mm_phash_dedup"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert pigeon <= got  # pigeonhole: distance <= 3 cannot be missed
+    assert got  # fixture contains near-dup documents
