@@ -87,6 +87,12 @@ EXTRA = [
     "gov_row_level_security",
     "wh_dim_surrogate_assign",
     "text_vocab_growth",
+    # round-4e additions (same caveat)
+    "ev_time_weighted_avg",
+    "wh_bitemporal_asof",
+    "op_cogroup_asof",
+    "mm_phash_dedup",
+    "op_sql_udf",
 ]
 
 # Round-4 (cont.) classic-warehouse tier — timed separately so headline

@@ -2070,3 +2070,85 @@ def op_stack_long_format(spark, sf_dir):
             F.col("total_d").cast("double").alias("total"),
         )
     )
+
+
+@register(
+    "op_constraint_check",
+    """
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_price_positive,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_custkey_not_null,
+               CAST(SUM(CASE WHEN NOT (o_totalprice <= 250000.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_price_cap,
+               CAST(SUM(CASE WHEN NOT (o_orderdate
+                                       < TIMESTAMP '2000-01-01 00:00:00')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_date_before_y2k
+        FROM orders)
+    SELECT c.constraint_name, c.n_violations, a.n_rows,
+           CAST(c.n_violations = 0 AS INT) AS passed
+    FROM agg a CROSS JOIN LATERAL (
+        SELECT 'price_positive' AS constraint_name,
+               a.v_price_positive AS n_violations
+        UNION ALL SELECT 'status_domain', a.v_status_domain
+        UNION ALL SELECT 'custkey_not_null', a.v_custkey_not_null
+        UNION ALL SELECT 'price_cap_250k', a.v_price_cap
+        UNION ALL SELECT 'date_before_y2k', a.v_date_before_y2k) c
+    """,
+    doc="data contracts: declarative CHECK-constraint validation — five "
+    "constraints evaluated in ONE scan as conditional aggregates. "
+    "NULL predicate rows are NOT violations on either engine (ANSI "
+    "CHECK semantics: NULL satisfies the constraint — which is why "
+    "null-rejection must be its own explicit IS NOT NULL constraint, "
+    "as custkey_not_null is here), then pivoted long via "
+    "stack so the report is one row per constraint with its violation "
+    "count and pass flag. Two constraints genuinely fail on the "
+    "fixture (price cap 250k, date-before-2000) so the nonzero "
+    "reporting path is exercised, three pass. This is the contract "
+    "gate a lakehouse runs before publishing a table version — the "
+    "row-level twin (WHICH rows failed) is quality.py's failed-rows "
+    "store, and referential checks are wh_foreign_key_check. Scale: "
+    "single partial-first aggregate, no shuffle beyond 1-row partials; "
+    "adding a constraint adds a column, not a scan.",
+    tags=("engine", "quality", "r4e"),
+)
+def op_constraint_check(spark, sf_dir):
+    o = load_tables(spark, sf_dir).table("orders")
+
+    def violated(pred):
+        return F.sum(F.when(~pred, 1).otherwise(0)).cast("long")
+
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        violated(F.col("o_totalprice") > 0).alias("v_price_positive"),
+        violated(F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "v_status_domain"
+        ),
+        violated(F.col("o_custkey").isNotNull()).alias("v_custkey_not_null"),
+        violated(F.col("o_totalprice") <= 250000.0).alias("v_price_cap"),
+        violated(
+            F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+        ).alias("v_date_before_y2k"),
+    )
+    long_rows = agg.select(
+        F.expr(
+            "stack(5, "
+            "'price_positive', v_price_positive, "
+            "'status_domain', v_status_domain, "
+            "'custkey_not_null', v_custkey_not_null, "
+            "'price_cap_250k', v_price_cap, "
+            "'date_before_y2k', v_date_before_y2k) "
+            "AS (constraint_name, n_violations)"
+        ),
+        "n_rows",
+    )
+    return long_rows.select(
+        "constraint_name",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

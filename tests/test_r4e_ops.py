@@ -251,3 +251,31 @@ def test_phash_dedup_matches_allpairs_replica(spark, catalog, qs):
     assert got == expect
     assert pigeon <= got  # pigeonhole: distance <= 3 cannot be missed
     assert got  # fixture contains near-dup documents
+
+
+def test_constraint_check_counts_and_flags(spark, catalog, qs):
+    """Independent recount of each constraint's violations; the fixture
+    exercises both the passing and failing paths."""
+    from pyspark.sql import functions as F
+
+    rows = {r.constraint_name: r for r in qs["op_constraint_check"](spark, SF_DIR).collect()}
+    o = catalog.table("orders")
+    n = o.count()
+    expect = {
+        "price_positive": o.filter(~(F.col("o_totalprice") > 0)).count(),
+        "status_domain": o.filter(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).count(),
+        "custkey_not_null": o.filter(F.col("o_custkey").isNull()).count(),
+        "price_cap_250k": o.filter(F.col("o_totalprice") > 250000.0).count(),
+        "date_before_y2k": o.filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).count(),
+    }
+    assert set(rows) == set(expect)
+    for name, r in rows.items():
+        assert r.n_rows == n
+        assert r.n_violations == expect[name], name
+        assert r.passed == (1 if r.n_violations == 0 else 0)
+    assert any(r.passed == 0 for r in rows.values())
+    assert any(r.passed == 1 for r in rows.values())
