@@ -272,3 +272,30 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(
     )
     assert (got.n, got.n_days) == (expect.n, expect.n_days)
     assert got.n_days == 3  # days 3, 13, 23 in a 30-day January
+
+
+def test_parquet_schema_evolution_mergeschema(spark, catalog, tmp_path_factory):
+    """Lakehouse schema drift: batch 2 adds a column. A plain read serves
+    the FIRST footer it samples (column may be absent); mergeSchema=true
+    unions the schemas, null-filling the column for old files — the
+    contract an evolving 100 TB table relies on."""
+    base = tmp_path_factory.mktemp("evolve")
+    path = str(base / "tbl")
+    o = catalog.table("orders")
+    batch1 = o.select("o_orderkey", "o_totalprice").limit(100)
+    batch2 = (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("o_channel", F.lit("web"))
+        .limit(50)
+    )
+    batch1.write.mode("overwrite").parquet(path)
+    batch2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_channel"}
+    counts = merged.groupBy(F.col("o_channel").isNull().alias("old")).count()
+    by_old = {r.old: r["count"] for r in counts.collect()}
+    assert by_old == {True: 100, False: 50}
+
+    # projecting the new column over old files is a null-fill, not an error
+    assert merged.filter(F.col("o_channel") == "web").count() == 50
