@@ -2152,3 +2152,112 @@ def op_constraint_check(spark, sf_dir):
         "n_rows",
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
+
+
+@register(
+    "op_map_in_arrow",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+    FROM documents
+    """,
+    doc="engine surface: mapInArrow — the zero-copy RecordBatch-level "
+    "Python API (one step below mapInPandas: no pandas conversion, the "
+    "UDF sees pyarrow.RecordBatch and answers with pyarrow.compute "
+    "kernels, which are C++ SIMD loops — chars/words/digits per "
+    "document here). Both engines run RE2-family regexes ('\\S+', "
+    "'[0-9]'), and utf8_length matches SQL length() (codepoints, not "
+    "bytes). When Python must touch columnar data wholesale, this is "
+    "the cheapest lane: Arrow buffers pass through without a pandas "
+    "materialization, and a pytest pins row-identical output against "
+    "the pure-JVM built-in form (length/regexp_count). Scale: "
+    "map-side only, no shuffle; batch size bounded by "
+    "spark.sql.execution.arrow.maxRecordsPerBatch.",
+    tags=("engine", "arrow", "r4e"),
+)
+def op_map_in_arrow(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(text, r"\S+"), pa.int64()
+                    ),
+                    pc.cast(
+                        pc.count_substring_regex(text, r"[0-9]"), pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_chars", "n_words", "n_digits"],
+            )
+
+    return docs.mapInArrow(
+        run, "doc_id long, n_chars long, n_words long, n_digits long"
+    )
+
+
+@register(
+    "op_udtf_polymorphic",
+    """
+    SELECT split_part(o_orderpriority, '-', 1) AS prio_rank,
+           split_part(o_orderpriority, '-', 2) AS prio_label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="engine surface: POLYMORPHIC Python UDTF (Spark 4 analyze-time "
+    "schema, SPARK-44503) — the static analyze() method receives the "
+    "constant argument n and BUILDS the output schema (part_0..part_"
+    "{n-1}) before any data flows, so one UDTF serves every column "
+    "count; the fixed-schema form is text_udtf_word_positions. Applied "
+    "as a LATERAL join splitting o_orderpriority into (rank, label), "
+    "then aggregated. For pure splitting the built-in split_part is "
+    "the production path (the oracle IS that form) — the registered "
+    "query exists to pin the analyze-time contract: isConstantExpression "
+    "gating, literal capture, schema construction. Scale: per-row "
+    "generator, map-side; the aggregate shuffles a 5-value key.",
+    tags=("engine", "udtf", "r4e"),
+)
+def op_udtf_polymorphic(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression or n.value is None:
+                raise ValueError("n must be a constant literal")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"part_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split("-")
+            yield tuple(
+                (parts[i] if i < len(parts) else None) for i in range(n)
+            )
+
+    spark.udtf.register("split_cols_poly", SplitCols)
+    load_tables(spark, sf_dir).table("orders").createOrReplaceTempView(
+        "_udtf_orders"
+    )
+    return spark.sql(
+        """
+        SELECT sc.part_0 AS prio_rank, sc.part_1 AS prio_label,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM _udtf_orders, LATERAL split_cols_poly(o_orderpriority, 2) sc
+        GROUP BY sc.part_0, sc.part_1
+        """
+    )

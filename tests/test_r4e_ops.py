@@ -279,3 +279,70 @@ def test_constraint_check_counts_and_flags(spark, catalog, qs):
         assert r.passed == (1 if r.n_violations == 0 else 0)
     assert any(r.passed == 0 for r in rows.values())
     assert any(r.passed == 1 for r in rows.values())
+
+
+def test_map_in_arrow_matches_jvm_builtins(spark, catalog, qs):
+    """Row-identical against the pure-JVM form (length / regexp_count) —
+    the Arrow compute kernels and Spark's codegen agree exactly."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: (r.n_chars, r.n_words, r.n_digits)
+        for r in qs["op_map_in_arrow"](spark, SF_DIR).collect()
+    }
+    expect = {
+        r.doc_id: (r.n_chars, r.n_words, r.n_digits)
+        for r in catalog.table("documents")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_words"),
+            F.regexp_count("text", F.lit(r"[0-9]")).cast("long").alias("n_digits"),
+        )
+        .collect()
+    }
+    assert got == expect
+    assert got
+
+
+def test_udtf_polymorphic_schema_tracks_literal(spark):
+    """The analyze() contract: output arity follows the literal n, and a
+    non-constant n is rejected at analysis time."""
+    import pytest as _pytest
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression or n.value is None:
+                raise ValueError("n must be a constant literal")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"part_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split("-")
+            yield tuple(
+                (parts[i] if i < len(parts) else None) for i in range(n)
+            )
+
+    spark.udtf.register("split_cols_poly_t", SplitCols)
+    spark.sql("SELECT '4-NOT SPECIFIED' AS s, 2 AS k").createOrReplaceTempView(
+        "_udtf_t"
+    )
+    assert spark.sql(
+        "SELECT sc.* FROM _udtf_t, LATERAL split_cols_poly_t(s, 4) sc"
+    ).columns == ["part_0", "part_1", "part_2", "part_3"]
+    row = spark.sql(
+        "SELECT sc.* FROM _udtf_t, LATERAL split_cols_poly_t(s, 2) sc"
+    ).collect()[0]
+    assert (row.part_0, row.part_1) == ("4", "NOT SPECIFIED")
+    with _pytest.raises(Exception):
+        spark.sql(
+            "SELECT sc.* FROM _udtf_t, LATERAL split_cols_poly_t(s, k) sc"
+        ).collect()
