@@ -116,6 +116,8 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         # baseline (vec_id < vec_id is its only condition); production
         # paths are dedup_semantic_within_label / sim_ann_*
         "op_join_range",  # broadcast 3-row literal band table — bounded
+        "op_sql_udf",  # broadcast 6-row size_bands table function, range
+        # predicate p_size BETWEEN lo AND hi — bounded by construction
     }
     offenders = {}
     for name, fn in entry.queries().items():

@@ -1323,3 +1323,49 @@ def test_ewma_stream_matches_batch(spark, catalog, tmp_path_factory):
     }
     assert got == want  # bit-exact, not approximate
     assert len(want) > 0
+
+
+def test_state_data_source_reads_aggregation_state(
+    spark, catalog, tmp_path_factory
+):
+    """Spark 4 state data source: the state store behind a streaming
+    aggregation is readable as a BATCH DataFrame from the checkpoint —
+    the ops/debugging surface for inspecting live state without stopping
+    a production query. The read-back counts must equal the streamed
+    per-key results."""
+    src = tmp_path_factory.mktemp("statesrc")
+    ckpt = str(tmp_path_factory.mktemp("statechk"))
+    events = catalog.table("events").select("event_id", "ts", "user_id", "event_type")
+    events.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(src))
+        .groupBy("event_type")
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_state_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {r.event_type: r["count"] for r in spark.table("t_state_agg").collect()}
+
+    state = spark.read.format("statestore").load(ckpt)
+    # schema: key struct, value struct (count for streaming agg), partition_id
+    got = {
+        r.key.event_type: r.value["count(1)"]
+        if "count(1)" in r.value.__fields__
+        else list(r.value)[0]
+        for r in state.collect()
+    }
+    assert got == streamed
+    batch = {
+        r.event_type: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert got == batch
