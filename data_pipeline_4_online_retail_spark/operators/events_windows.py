@@ -2152,3 +2152,201 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+CUSUM_TARGET = 2  # reference daily count k: drift above this accumulates
+CUSUM_ALARM_H = 6  # alarm threshold h
+
+
+@register(
+    "ev_cusum_alarm",
+    f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    prefix AS (
+        SELECT user_id, day, cnt,
+               SUM(cnt - {CUSUM_TARGET}) OVER w AS s
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)),
+    cusum AS (
+        SELECT user_id, day, cnt,
+               s - LEAST(CAST(0 AS BIGINT), MIN(s) OVER w) AS cusum
+        FROM prefix
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, day, cnt, CAST(cusum AS BIGINT) AS cusum,
+           CAST(cusum > {CUSUM_ALARM_H} AS INT) AS alarm
+    FROM cusum
+    """,
+    doc="monitoring: one-sided CUSUM changepoint detection over per-user "
+    "daily volumes — the classic drift detector (Page 1954): C_t = "
+    "max(0, C_t-1 + (x_t - k)), alarm when C_t > h. The recursion is "
+    "REWRITTEN to its closed form C_t = S_t - min(0, min_j<=t S_j) "
+    "(prefix sum minus its running floor), so a sequential fold "
+    "becomes TWO window passes over one user_id exchange — the "
+    "fold-to-window transformation that makes per-key recursions "
+    "distributable at 100 TB (same move as "
+    "ev_cumulative_distinct_users' first-touch rewrite). All-integer "
+    "arithmetic: counts and the target are ints, so both engines "
+    "agree bit-exactly on every intermediate. A pytest replays the "
+    "literal recursion in Python and pins equality, plus the "
+    "structural properties (C_t >= 0, resets at the running-min "
+    "floor, alarm monotone in cusum).",
+    tags=("events", "monitoring", "r4e"),
+)
+def ev_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = daily.withColumn(
+        "s", F.sum(F.col("cnt") - F.lit(CUSUM_TARGET)).over(w)
+    )
+    cusum = prefix.withColumn(
+        "cusum",
+        (
+            F.col("s")
+            - F.least(F.lit(0).cast("long"), F.min("s").over(w))
+        ).cast("long"),
+    )
+    return cusum.select(
+        "user_id",
+        "day",
+        "cnt",
+        "cusum",
+        (F.col("cusum") > CUSUM_ALARM_H).cast("int").alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimation (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_CUTOFF = "2001-01-01 00:00:00"  # customers ordering at/after: censored
+
+
+@register(
+    "ev_survival_kaplan_meier",
+    f"""
+    WITH subjects AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                         CAST(MAX(o_orderdate) AS DATE)) // 7 AS t,
+               CAST(MAX(o_orderdate)
+                    >= TIMESTAMP '{KM_CENSOR_CUTOFF}' AS INT) AS censored
+        FROM orders GROUP BY o_custkey),
+    by_t AS (
+        SELECT t,
+               CAST(SUM(1 - censored) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM subjects GROUP BY t),
+    risk AS (
+        SELECT t, d,
+               CAST(SUM(n_obs) OVER (ORDER BY t DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        FROM by_t),
+    factors AS (
+        SELECT t, d, n_at_risk,
+               CAST(1 AS DOUBLE)
+                   - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor,
+               ROW_NUMBER() OVER (ORDER BY t) AS idx
+        FROM risk),
+    arr AS (
+        SELECT list(factor ORDER BY t) AS fs FROM factors)
+    SELECT f.t, f.d, f.n_at_risk,
+           list_reduce(a.fs[1:CAST(f.idx AS INT)], (x, y) -> x * y)
+               AS survival
+    FROM factors f CROSS JOIN arr a
+    """,
+    doc="survival analysis: Kaplan-Meier estimator of customer retention "
+    "— subject = customer, lifetime t = weeks between first and last "
+    "order, right-CENSORED when the customer still orders at/after the "
+    "cutoff (they leave the risk set without counting as churn, which "
+    "is the entire point of KM vs a naive churn curve; fixture: 615 "
+    "churns, 885 censored, 208 curve points at sf0.01). "
+    "S(t) = prod_u<=t (1 - d_u/n_u): d and n are exact integers, each "
+    "factor is one IEEE division, and the running product is an "
+    "EXPLICITLY SEQUENTIAL left fold on both engines (Spark "
+    "aggregate() over a slice of the sorted factor array vs DuckDB "
+    "list_reduce over the same slice — the ev_ewma_level technique), "
+    "so the curve hash-matches bit-for-bit; a windowed product() "
+    "aggregate would be tree-evaluated and non-reproducible at the "
+    "last ulp. Scale: everything to by_t is distributed (one custkey "
+    "aggregate, one t aggregate, one descending window); the curve "
+    "itself is bounded by distinct week-lifetimes (a few hundred), so "
+    "the single-group collect is O(curve), never O(subjects) — the "
+    "same bounded-driver-state argument as sim_kmeans\' centroids.",
+    tags=("events", "analytics", "r4e"),
+)
+def ev_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    subjects = o.groupBy("o_custkey").agg(
+        (
+            F.datediff(
+                F.max("o_orderdate").cast("date"),
+                F.min("o_orderdate").cast("date"),
+            )
+            / F.lit(7)
+        )
+        .cast("int")
+        .alias("t"),
+        (
+            F.max("o_orderdate")
+            >= F.lit(KM_CENSOR_CUTOFF).cast("timestamp")
+        )
+        .cast("int")
+        .alias("censored"),
+    )
+    by_t = subjects.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = by_t.withColumn(
+        "n_at_risk", F.sum("n_obs").over(w_desc).cast("long")
+    ).drop("n_obs")
+    factors = risk.withColumn(
+        "factor",
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk").cast("double"),
+    )
+    arr = factors.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d", "n_at_risk", "factor"))
+        ).alias("rows")
+    )
+    exploded = arr.select(
+        F.posexplode("rows").alias("idx0", "r"),
+        F.transform(F.col("rows"), lambda s: s["factor"]).alias("fs"),
+    )
+    return exploded.select(
+        F.col("r.t").alias("t"),
+        F.col("r.d").alias("d"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.aggregate(
+            F.slice(F.col("fs"), 1, F.col("idx0") + 1),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("survival"),
+    )
