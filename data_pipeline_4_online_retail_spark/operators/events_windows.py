@@ -2350,3 +2350,95 @@ def ev_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * x,
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear trend — a TWO-state engine-exact fold (round 4, third
+# continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_holt_linear_trend",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i
+        FROM events),
+    n AS (
+        SELECT user_id, CAST(MAX(i) AS BIGINT) AS n_events
+        FROM seq GROUP BY user_id),
+    holt AS (
+        SELECT user_id, i, x AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.user_id, s.i,
+               (s.x + h.l + h.b) / 2,
+               (((s.x + h.l + h.b) / 2 - h.l) + h.b) / 2
+        FROM holt h JOIN seq s
+          ON s.user_id = h.user_id AND s.i = h.i + 1)
+    SELECT h.user_id, n.n_events,
+           h.l AS level, h.b AS trend,
+           h.l + CAST(3 AS DOUBLE) * h.b AS forecast_3
+    FROM holt h JOIN n ON h.user_id = n.user_id AND h.i = n.n_events
+    WHERE n.n_events >= 2
+    """,
+    doc="time series: Holt's linear-trend double exponential smoothing "
+    "(alpha = beta = 1/2): l_t = (x_t + l_t-1 + b_t-1)/2, b_t = "
+    "((l_t - l_t-1) + b_t-1)/2 — the TWO-state extension of "
+    "ev_ewma_level's single-state fold, forecasting level + h*trend. "
+    "Same engine-exactness argument: every step is additions and IEEE "
+    "halvings in an identical left-to-right sequence, so even the "
+    "recomputed l_t inside b_t's expression is the same rounded "
+    "double on both engines and the hash oracle holds bit-for-bit. "
+    "Oracle caveat discovered here: DuckDB 1.0.0's list_reduce "
+    "mis-evaluates struct-returning lambdas that reference the "
+    "accumulator's fields repeatedly (a 3-element fold differs from "
+    "manually chained steps), so the oracle carries the recursion as "
+    "a RECURSIVE CTE stepping (l, b) as plain columns — the Spark "
+    "side keeps the aggregate() fold, seeded {x_1, 0} over the tail. "
+    "Users with one event are excluded (a trend needs two points; the "
+    "oracle's len >= 2 filter matches). Scale: one user-keyed "
+    "shuffle, per-user bounded arrays; the streaming twin would carry "
+    "two doubles per key in applyInPandasWithState exactly like the "
+    "EWMA tracker.",
+    tags=("events", "analytics", "r4e"),
+)
+def ev_holt_linear_trend(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda r: r["value"])
+
+    def step(acc, x):
+        lvl = (x["l"] + acc["l"] + acc["b"]) / 2
+        return F.struct(
+            lvl.alias("l"),
+            (((x["l"] + acc["l"] + acc["b"]) / 2 - acc["l"]) + acc["b"])
+            .__truediv__(2)
+            .alias("b"),
+        )
+
+    states = F.transform(
+        vals,
+        lambda v: F.struct(v.alias("l"), F.lit(0.0).alias("b")),
+    )
+    folded = F.aggregate(
+        F.slice(states, 2, 2_147_483_000),
+        F.element_at(states, 1),
+        step,
+    )
+    return (
+        seq.filter(F.size("s") >= 2)
+        .select(
+            "user_id",
+            F.size("s").cast("long").alias("n_events"),
+            folded["l"].alias("level"),
+            folded["b"].alias("trend"),
+            (folded["l"] + F.lit(3.0) * folded["b"]).alias("forecast_3"),
+        )
+    )

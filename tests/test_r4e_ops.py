@@ -421,3 +421,74 @@ def test_kaplan_meier_matches_replica_and_is_monotone(spark, catalog, qs):
         seen_death |= d > 0
         seen_censor |= any(cens_list)
     assert seen_death and seen_censor
+
+
+def test_holt_trend_matches_sequential_replica(spark, catalog, qs):
+    """Bit-exact replay of the two-state recursion in Python floats
+    (every step is IEEE adds and halvings in the same order)."""
+    per_user: dict[int, list] = {}
+    for r in catalog.table("events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    out = {
+        r.user_id: r for r in qs["ev_holt_linear_trend"](spark, SF_DIR).collect()
+    }
+    for uid, obs in per_user.items():
+        obs.sort(key=lambda r: (r.ts, r.event_id))
+        if len(obs) < 2:
+            assert uid not in out
+            continue
+        lvl, b = obs[0].value, 0.0
+        for r in obs[1:]:
+            new_l = (r.value + lvl + b) / 2
+            b = ((r.value + lvl + b) / 2 - lvl + b) / 2
+            lvl = new_l
+        row = out[uid]
+        assert row.n_events == len(obs)
+        assert row.level == lvl, uid  # bit-exact
+        assert row.trend == b, uid
+        assert row.forecast_3 == lvl + 3.0 * b, uid
+
+
+def test_pandas_udaf_trimmed_mean_window_form(spark, catalog, qs):
+    """The grouped-agg pandas UDF also evaluates OVER a window (unbounded
+    per-group frame): every row of a group carries the group's trimmed
+    mean, equal to the groupBy result."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from data_pipeline_4_online_retail_spark.operators.scalar_functions import (
+        TRIM_FRAC,
+    )
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        cents = (v * 100).round().astype("int64").sort_values().reset_index(
+            drop=True
+        )
+        k = math.floor(len(cents) * TRIM_FRAC)
+        kept = cents.iloc[k : len(cents) - k]
+        return float(int(kept.sum())) / 100.0 / len(kept)
+
+    grouped = {
+        r.l_returnflag: r.trimmed_mean
+        for r in qs["op_pandas_udaf_trimmed_mean"](spark, SF_DIR).collect()
+    }
+    w = W.partitionBy("l_returnflag").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    windowed = (
+        catalog.table("lineitem")
+        .select(
+            "l_returnflag",
+            trimmed_mean(F.col("l_extendedprice")).over(w).alias("tm"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert {r.l_returnflag: r.tm for r in windowed} == grouped
+    assert len(grouped) == 3  # A, N, R
