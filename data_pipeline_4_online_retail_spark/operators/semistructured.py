@@ -284,3 +284,78 @@ def ev_props_csv_and_xpath(spark, sf_dir):
         k_xpath.alias("k_xpath"),
         parsed_csv["t"].alias("type_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT generator: variant_explode (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_props_variant_explode",
+    """
+    WITH j AS (
+        SELECT event_type,
+               '{"k":' || json_extract_string(props, 'k')
+                   || ',"t":"' || event_type
+                   || '","id":' || CAST(event_id AS VARCHAR) || '}' AS doc
+        FROM events),
+    kv AS (
+        SELECT j.event_type, k.key,
+               CASE json_type(CAST(j.doc AS JSON), '$.' || k.key)
+                    WHEN 'VARCHAR' THEN 'string'
+                    WHEN 'DOUBLE' THEN 'double'
+                    ELSE 'int' END AS vtype
+        FROM j, unnest(json_keys(j.doc)) AS k(key))
+    SELECT event_type, key, vtype, CAST(COUNT(*) AS BIGINT) AS n
+    FROM kv GROUP BY event_type, key, vtype
+    """,
+    doc="semi-structured: variant_explode — the GENERATOR over Spark 4 "
+    "VARIANT values (one row per top-level field, with position, key "
+    "and a variant value), completing the variant family "
+    "(ev_props_variant_stats covers typed variant_get extraction). "
+    "The fixture's props carries a single key, so the query "
+    "synthesizes a 3-field document (int k, string t, int id) from it "
+    "first — schema-LESS on the Spark side: variant_explode + "
+    "schema_of_variant discover keys and types with no schema "
+    "declaration anywhere, which is the semi-structured ingest "
+    "posture at 100 TB (fields appear and drift without coordinated "
+    "DDL). Both engines' type vocabularies normalize to "
+    "int/string/double (schema_of_variant's BIGINT/STRING vs DuckDB "
+    "json_type's UBIGINT/VARCHAR). Scale: the parse and explode are "
+    "map-side (3x bounded fan-out), the aggregate shuffles a tiny "
+    "(type x key) key space.",
+    tags=("json", "variant", "r4e"),
+)
+def ev_props_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    doc = F.concat(
+        F.lit('{"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit(',"t":"'),
+        F.col("event_type"),
+        F.lit('","id":'),
+        F.col("event_id").cast("string"),
+        F.lit("}"),
+    )
+    j = e.select("event_type", doc.alias("doc"))
+    j.createOrReplaceTempView("_variant_explode_src")
+    # variant_explode is a TABLE function: LATERAL position only
+    exploded = spark.sql(
+        """
+        SELECT s.event_type, v.key,
+               schema_of_variant(v.value) AS vt
+        FROM _variant_explode_src s,
+             LATERAL variant_explode(parse_json(s.doc)) v
+        """
+    )
+    vtype = (
+        F.when(F.col("vt") == "STRING", "string")
+        .when(F.col("vt") == "DOUBLE", "double")
+        .otherwise("int")
+    )
+    return (
+        exploded.select("event_type", "key", vtype.alias("vtype"))
+        .groupBy("event_type", "key", "vtype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

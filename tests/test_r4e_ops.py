@@ -492,3 +492,23 @@ def test_pandas_udaf_trimmed_mean_window_form(spark, catalog, qs):
     )
     assert {r.l_returnflag: r.tm for r in windowed} == grouped
     assert len(grouped) == 3  # A, N, R
+
+
+def test_variant_explode_discovers_all_fields(spark, catalog, qs):
+    """Schema-less discovery: every event contributes exactly the three
+    synthesized fields with the right inferred types."""
+    rows = qs["ev_props_variant_explode"](spark, SF_DIR).collect()
+    by_type: dict[str, dict] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[(r.key, r.vtype)] = r.n
+    counts = {
+        r.event_type: r["count"]
+        for r in catalog.table("events").groupBy("event_type").count().collect()
+    }
+    assert set(by_type) == set(counts)
+    for et, kv in by_type.items():
+        assert kv == {
+            ("k", "int"): counts[et],
+            ("id", "int"): counts[et],
+            ("t", "string"): counts[et],
+        }, et
