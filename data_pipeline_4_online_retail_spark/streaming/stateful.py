@@ -530,3 +530,90 @@ def ewma_tracker(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt linear trend: the stateful twin of
+# operators/events_windows.ev_holt_linear_trend
+# ---------------------------------------------------------------------------
+
+HOLT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("level", T.DoubleType(), True),
+        T.StructField("trend", T.DoubleType(), True),
+    ]
+)
+
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("level", T.DoubleType(), True),
+        T.StructField("trend", T.DoubleType(), True),
+    ]
+)
+
+
+def _update_holt(key, pdf_iter, state: GroupState):
+    """Fold one user's micro-batch into (count, level, trend) with the
+    EXACT arithmetic of the batch operator (alpha = beta = 1/2):
+    l_1 = x_1, b_1 = 0; l_t = (x_t + l + b)/2, b_t = ((l_t - l) + b)/2
+    — three values of state per key. Same ordering contract as
+    _update_ewma: (ts, event_id) within a batch, arrival order across
+    batches, so exact batch-equality requires event-time-ordered
+    delivery."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        n, level, trend = state.get
+    else:
+        n, level, trend = 0, None, 0.0
+    rows: list[tuple] = []
+    for pdf in pdf_iter:
+        for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            rows.append((ts, int(eid), float(v)))
+    rows.sort()
+    for _, _, v in rows:
+        if n == 0:
+            level, trend = v, 0.0
+        else:
+            new_level = (v + level + trend) / 2
+            trend = ((v + level + trend) / 2 - level + trend) / 2
+            level = new_level
+        n += 1
+    state.update((n, level, trend))
+    try:
+        state.setTimeoutDuration(60 * 60 * 1000)
+    except Exception:
+        pass
+    yield pd.DataFrame(
+        [(user_id, n, level, trend)],
+        columns=["user_id", "n_events", "level", "trend"],
+    )
+
+
+def holt_tracker(
+    events_stream: DataFrame, *, evict_idle: bool = False
+) -> DataFrame:
+    """Continuously maintained per-user Holt level + trend
+    (alpha = beta = 1/2). The batch twin (``ev_holt_linear_trend``)
+    carries the DuckDB hash oracle (recursive-CTE form); pytest proves
+    stream == batch bit-for-bit over an event-time-ordered multi-batch
+    feed. State is three scalars per user."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_idle
+        else GroupStateTimeout.NoTimeout
+    )
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_holt,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

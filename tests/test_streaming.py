@@ -1369,3 +1369,65 @@ def test_state_data_source_reads_aggregation_state(
         for r in events.groupBy("event_type").count().collect()
     }
     assert got == batch
+
+
+def test_holt_stream_matches_batch(spark, catalog, tmp_path_factory):
+    """Stateful streaming Holt (level+trend) == the oracle-checked batch
+    ev_holt_linear_trend bit-for-bit over three event-time-ordered
+    micro-batches. Trend is genuinely nonzero for active users."""
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ev_holt_linear_trend,
+    )
+    from data_pipeline_4_online_retail_spark.streaming.stateful import (
+        holt_tracker,
+    )
+
+    src = str(tmp_path_factory.mktemp("holt_stream"))
+    ev = catalog.table("events").select("user_id", "event_id", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= F.lit(bounds[i]))
+            & (
+                F.col("ts") <= F.lit(bounds[i + 1])
+                if i == 2
+                else F.col("ts") < F.lit(bounds[i + 1])
+            )
+        )
+        part.coalesce(1).write.parquet(f"{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        holt_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_holt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = (
+        spark.table("t_holt")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "level", "trend")).alias("s"))
+        .select("user_id", "s.n_events", "s.level", "s.trend")
+    )
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend) for r in final.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.level, r.trend)
+        for r in ev_holt_linear_trend(spark, "/root/testdata/sf0.001").collect()
+    }
+    # the batch op drops single-event users; the stream emits them
+    got = {u: v for u, v in got.items() if v[0] >= 2}
+    assert got == want  # bit-exact
+    assert any(v[2] != 0.0 for v in want.values())
