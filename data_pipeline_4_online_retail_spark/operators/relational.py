@@ -2261,3 +2261,66 @@ def op_udtf_polymorphic(spark, sf_dir):
         GROUP BY sc.part_0, sc.part_1
         """
     )
+
+
+@register(
+    "op_transpose_summary",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n_lines,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS sum_base
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT 'n_lines' AS key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN n_lines END) AS A,
+           MAX(CASE WHEN l_returnflag = 'N' THEN n_lines END) AS N,
+           MAX(CASE WHEN l_returnflag = 'R' THEN n_lines END) AS R
+    FROM s
+    UNION ALL
+    SELECT 'sum_qty',
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_qty END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_qty END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_qty END)
+    FROM s
+    UNION ALL
+    SELECT 'sum_base',
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_base END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_base END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_base END)
+    FROM s
+    """,
+    doc="engine surface: DataFrame.transpose (Spark 4.0, SPARK-47081) — "
+    "rows become columns with the first column as the new header: the "
+    "metrics-as-rows/segments-as-columns reporting shape analysts "
+    "export. Transpose requires a least-common type across the "
+    "transposed columns, so every metric is cast DOUBLE after "
+    "decimal-exact accumulation (counts are exact in double to 2^53). "
+    "The oracle spells the same reshape as conditional aggregates + "
+    "UNION ALL — which is also the pre-4.0 fallback and the scale "
+    "caveat in one: transpose COLLECTS the header column to the "
+    "driver to mint column names, so it is a small-result reporting "
+    "tool (3 groups here), never a wide-data operator; at 100 TB the "
+    "aggregate runs distributed and only the tiny summary transposes.",
+    tags=("engine", "r4e"),
+)
+def op_transpose_summary(spark, sf_dir):
+    li = load_tables(spark, sf_dir).table("lineitem")
+    summary = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_base"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return summary.transpose()

@@ -762,20 +762,8 @@ def sim_pq_encode(spark, sf_dir):
     )
 
 
-@register(
-    "sim_ann_pq_adc",
-    None,  # rows-only: recall + distance-replica pytest
-    doc="similarity: ANN search by asymmetric distance computation over "
-    "the PQ codes — the query stays UNquantized; its per-subspace "
-    "distance table to every codebook centroid (M*K doubles) is "
-    "computed driver-side and broadcast, and each candidate's "
-    "approximate L2 is the sum of M table lookups indexed by its codes "
-    "(no per-pair array math at all). Top-k by approximate distance. "
-    "At 100 TB this is the scan that replaces brute force: 4 byte "
-    "lookups + 3 adds per vector, with the table in L1.",
-    tags=("similarity",),
-)
-def sim_ann_pq_adc(spark, sf_dir):
+def _pq_adc_ranked(spark, sf_dir, k):
+    """ADC-scored candidates: top-k corpus vectors by approximate L2."""
     e = _emb(spark, sf_dir)
     q = [float(x) for x in
          e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
@@ -790,7 +778,7 @@ def sim_ann_pq_adc(spark, sf_dir):
         return acc
 
     dtab = [
-        [sq(q[m * sub : (m + 1) * sub], cb[m][k]) for k in range(PQ_K)]
+        [sq(q[m * sub : (m + 1) * sub], cb[m][k2]) for k2 in range(PQ_K)]
         for m in range(PQ_M)
     ]
     spark_ = e.sparkSession
@@ -813,8 +801,25 @@ def sim_ann_pq_adc(spark, sf_dir):
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", approx.alias("approx_l2"))
         .orderBy(F.asc("approx_l2"), F.asc("vec_id"))
-        .limit(TOP_K)
+        .limit(k)
     )
+
+
+@register(
+    "sim_ann_pq_adc",
+    None,  # rows-only: recall + distance-replica pytest
+    doc="similarity: ANN search by asymmetric distance computation over "
+    "the PQ codes — the query stays UNquantized; its per-subspace "
+    "distance table to every codebook centroid (M*K doubles) is "
+    "computed driver-side and broadcast, and each candidate's "
+    "approximate L2 is the sum of M table lookups indexed by its codes "
+    "(no per-pair array math at all). Top-k by approximate distance. "
+    "At 100 TB this is the scan that replaces brute force: 4 byte "
+    "lookups + 3 adds per vector, with the table in L1.",
+    tags=("similarity",),
+)
+def sim_ann_pq_adc(spark, sf_dir):
+    return _pq_adc_ranked(spark, sf_dir, TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1256,4 +1261,59 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "scan_fraction"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ with exact refinement (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+PQ_REFINE_SHORTLIST = 50
+
+
+@register(
+    "sim_ann_pq_refine",
+    None,  # rows-only: exact-rerank contract pinned in pytest
+    doc="similarity: PQ-ADC with EXACT REFINEMENT — the standard "
+    "two-stage ANN serving shape (FAISS IndexRefineFlat): the ADC "
+    "scan's cheap approximate distances shortlist 50 candidates, then "
+    "ONLY those 50 fetch their full vectors and re-rank by true L2 "
+    "(zip_with square-difference fold, sequential and deterministic), "
+    "top-10 by exact distance. Completes the PQ family: sim_pq_encode "
+    "(codes), sim_ann_pq_adc (approximate scan), sim_ann_ivf_pq "
+    "(cell-pruned scan) — refine is what buys back accuracy at the "
+    "cost of shortlist-many exact computations instead of corpus-many. "
+    "Scale: the shortlist join is a broadcast semi (50 ids), the "
+    "refine cost is O(shortlist x dim) regardless of corpus size; "
+    "recall is bounded by what the shortlist caught (the pytest pins "
+    "the refined order bit-equal to brute-force order RESTRICTED to "
+    "the shortlist — the refine stage itself is exact).",
+    tags=("similarity", "r4e"),
+)
+def sim_ann_pq_refine(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    shortlist = _pq_adc_ranked(spark, sf_dir, PQ_REFINE_SHORTLIST).select(
+        "vec_id", "approx_l2"
+    )
+    cands = e.join(shortlist, "vec_id").crossJoin(F.broadcast(q_row))
+    # float32 storage -> double BEFORE the subtraction: the widening is
+    # exact, and the fold then runs entirely in float64 (replica-matched)
+    exact_l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv").cast("array<double>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.select(
+            "vec_id", "label", "approx_l2", exact_l2.alias("exact_l2")
+        )
+        .orderBy(F.asc("exact_l2"), F.asc("vec_id"))
+        .limit(TOP_K)
     )

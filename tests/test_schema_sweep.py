@@ -86,6 +86,7 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "sim_ann_ivf",  # broadcast query row
         "sim_ann_lsh",
         "sim_ann_pq_adc",  # broadcast M*K distance table (1 row)
+        "sim_ann_pq_refine",  # same table + broadcast 1-row query vector
         "sim_ann_ivf_pq",  # same broadcast table, cell-pruned scan
         # (sim_kmeans left the list in-round: assignment is now an Arrow
         # UDF over the cached scan — no centroid crossJoin remains)
