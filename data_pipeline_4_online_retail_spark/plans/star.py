@@ -378,13 +378,47 @@ def report_customer(cat: Catalog) -> DataFrame:
     COUNT counts invoice LINES (not distinct invoices), replicating the
     reference's naming quirk (SURVEY.md §2.6 A1). Top-10 with a
     deterministic country tie-break.
+
+    Two-level rollup (the report_year/report_product rewrite applied to
+    the flagship): lineitem pre-aggregates to (orderkey, line count,
+    decimal revenue partial) with map-side combine, the orders join then
+    carries |orders| narrow rows instead of |lineitem| wide ones, and a
+    second rollup to custkey shrinks the customer-join input to
+    |customers|. Decimal addition is associative/exact and the line
+    counts are integers, so the staged sums are bit-identical to the
+    single-pass aggregate the oracle runs. Honest local A/B (same
+    session, min-of-3, sf0.1 / 10x): 0.97->1.03 s / 1.36->1.33 s — a
+    wash where fixed overheads dominate; the rewrite is kept because
+    the quantity that decides at 100 TB is shuffle BYTES through the
+    two wide exchanges (|orders| narrow vs |lineitem| wide), the same
+    argument already carried by report_year and report_product.
     """
-    df = lines(cat)
-    return (
-        df.groupBy(F.col("n_name").alias("country"))
+    li = cat.table("lineitem")
+    o = cat.table("orders")
+    c = cat.table("customer")
+    n = cat.table("nation")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("l_orderkey").alias("n_lines"),
+        F.sum(revenue_col().cast("decimal(18,4)")).alias("order_revenue"),
+    )
+    per_cust = (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_custkey")
         .agg(
-            F.count("l_orderkey").alias("total_invoices"),
-            sum_revenue_col().alias("total_revenue"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("order_revenue").alias("cust_revenue"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("country"))
+        .agg(
+            F.sum("n_lines").cast("long").alias("total_invoices"),
+            F.sum("cust_revenue")
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("total_revenue"),
         )
         .orderBy(F.desc("total_revenue"), F.asc("country"))
         .limit(10)
