@@ -282,3 +282,89 @@ def graph_itemcf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= CF_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path distances (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 4
+BFS_SUPPORT = 2
+
+
+@register(
+    "graph_bfs_distances",
+    f"""
+    WITH RECURSIVE basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (SELECT src, dst FROM pairs WHERE w >= {BFS_SUPPORT}),
+    srcn AS (SELECT MIN(src) AS s FROM edges),
+    walk AS (
+        SELECT s AS node, 0 AS d FROM srcn
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < {BFS_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+    doc="graph analytics: BFS shortest-path distances (hop count <= 4) "
+    "from the lowest-id node of the support-pruned co-purchase graph — "
+    "the 'related products within k hops' primitive behind catalog "
+    "exploration and graph feature engineering. Spark side: true "
+    "frontier BFS as bounded join+anti-join rounds (frontier x edges "
+    "-> next level, left_anti vs settled keeps only newly discovered "
+    "nodes, so each node is joined exactly once — O(edges x diameter) "
+    "total, the textbook distributed BFS); localCheckpoint truncates "
+    "the growing lineage like pagerank. Oracle: recursive CTE with "
+    "UNION (not UNION ALL) recursion — the row-dedup bounds the "
+    "accumulated set by nodes x hops instead of exploding with path "
+    "count — then MIN(d) per node. All-integer -> hash-exact, a full "
+    "oracle for a genuinely ITERATIVE algorithm (the combination "
+    "pagerank's float fixpoint can't have). Scale: per-round cost is "
+    "one src-keyed join + distinct; the frontier shrinks as the "
+    "component saturates; at 100 TB the edge list is the persisted, "
+    "pre-partitioned invariant operand.",
+    tags=("graph", "r4e"),
+)
+def graph_bfs_distances(spark, sf_dir):
+    li = load_tables(spark, sf_dir).table("lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= BFS_SUPPORT)
+        .select("src", "dst")
+    )
+    edges = edges.persist()
+    try:
+        source = edges.agg(F.min("src")).collect()[0][0]
+        dist = spark.createDataFrame([(int(source), 0)], "node long, dist int")
+        frontier = dist
+        for h in range(1, BFS_MAX_HOPS + 1):
+            nxt = (
+                edges.join(frontier, edges.src == frontier.node)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .withColumn("dist", F.lit(h))
+            )
+            new_nodes = nxt.join(dist.select("node"), "node", "left_anti")
+            dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
+            frontier = new_nodes
+        return dist
+    finally:
+        edges.unpersist()

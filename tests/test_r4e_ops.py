@@ -552,3 +552,45 @@ def test_pq_refine_is_exact_on_its_shortlist(spark, catalog, qs):
     assert [r.vec_id for r in got] != [
         i for _, i in sorted(((0, i) for i in shortlist[:TOP_K]))
     ] or True
+
+
+def test_bfs_distances_match_python_bfs(spark, catalog, qs):
+    """Replica: textbook BFS over the same support-pruned edge list."""
+    from collections import deque
+
+    from data_pipeline_4_online_retail_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        BFS_SUPPORT,
+    )
+
+    basket = {
+        (r.l_orderkey, r.l_partkey)
+        for r in catalog.table("lineitem").select("l_orderkey", "l_partkey").collect()
+    }
+    by_order: dict[int, list] = {}
+    for ok, pk in basket:
+        by_order.setdefault(ok, []).append(pk)
+    wt: dict[tuple, int] = {}
+    for parts in by_order.values():
+        for s in parts:
+            for d in parts:
+                if s != d:
+                    wt[(s, d)] = wt.get((s, d), 0) + 1
+    adj: dict[int, list] = {}
+    for (s, d), w in wt.items():
+        if w >= BFS_SUPPORT:
+            adj.setdefault(s, []).append(d)
+    source = min(adj)
+    expect = {source: 0}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        if expect[u] >= BFS_MAX_HOPS:
+            continue
+        for v in adj.get(u, []):
+            if v not in expect:
+                expect[v] = expect[u] + 1
+                dq.append(v)
+    got = {r.node: r.dist for r in qs["graph_bfs_distances"](spark, SF_DIR).collect()}
+    assert got == expect
+    assert max(expect.values()) >= 2  # the graph has real depth
