@@ -2442,3 +2442,90 @@ def ev_holt_linear_trend(spark, sf_dir):
             (folded["l"] + F.lit(3.0) * folded["b"]).alias("forecast_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+SEASONAL_ANCHOR_MONDAY = "2024-01-01"  # a Monday; weekday = datediff % 7
+
+
+@register(
+    "ev_seasonal_decompose",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1),
+    windowed AS (
+        SELECT day, cnt,
+               SUM(cnt) OVER w AS trend_num,
+               COUNT(*) OVER w AS n_in_frame
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    detrended AS (
+        SELECT date_diff('day', DATE '{SEASONAL_ANCHOR_MONDAY}', day) % 7
+                   AS weekday,
+               7 * cnt - trend_num AS detr_num
+        FROM windowed WHERE n_in_frame = 7)
+    SELECT CAST(weekday AS INT) AS weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(detr_num) AS DOUBLE)
+                / CAST(7 * COUNT(*) AS DOUBLE) AS DOUBLE) AS seasonal
+    FROM detrended GROUP BY weekday
+    """,
+    doc="time series: classical additive seasonal decomposition of the "
+    "corpus daily volume — trend = centered 7-day moving average, "
+    "seasonal index per weekday = mean of the detrended series. "
+    "Exactness trick: the detrended value cnt - trend = cnt - S7/7 is "
+    "kept as its INTEGER numerator 7*cnt - S7, so every intermediate "
+    "through the weekday aggregation is exact integer arithmetic and "
+    "only ONE final double division happens per weekday (the TWA "
+    "discipline applied to decomposition — no double summation "
+    "anywhere, hash-exact without rounding). Weekday is computed "
+    "arithmetically (days since a fixed Monday, mod 7) because the "
+    "engines disagree on dayofweek numbering. Partial-window edge "
+    "days (frame < 7 rows) are excluded exactly as classical "
+    "decomposition drops them. Scale note: the global-ordered window "
+    "runs over the DAILY aggregate (|days| rows, not |events|) — the "
+    "heavy work is the distributed per-day count; at 100 TB the "
+    "decomposition input is still tiny. The same numerator trick "
+    "serializes to per-key windows for per-entity decomposition.",
+    tags=("events", "analytics", "r4e"),
+)
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    windowed = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("trend_num"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    ).filter(F.col("n_in_frame") == 7)
+    detrended = windowed.select(
+        (
+            F.datediff(
+                F.col("day"), F.lit(SEASONAL_ANCHOR_MONDAY).cast("date")
+            )
+            % 7
+        ).alias("weekday"),
+        (F.lit(7) * F.col("cnt") - F.col("trend_num")).alias("detr_num"),
+    )
+    return detrended.groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum("detr_num").cast("double")
+            / (F.lit(7) * F.count(F.lit(1))).cast("double")
+        )
+        .cast("double")
+        .alias("seasonal"),
+    )

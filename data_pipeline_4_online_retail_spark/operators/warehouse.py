@@ -1002,3 +1002,92 @@ def wh_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_visible"),
     )
     return ranked.filter(F.col("rn") == 1).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# SCD type 6 (hybrid 1+2+3) — round 4, third continuation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wh_scd6_hybrid",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(SUM(is_change) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS version_id
+        FROM ordered),
+    versions AS (
+        SELECT user_id, version_id, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from
+        FROM runs GROUP BY user_id, version_id)
+    SELECT user_id, version_id, event_type AS historical_value,
+           valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           CAST(LEAD(valid_from) OVER w2 IS NULL AS INT) AS is_current,
+           LAG(event_type) OVER w2 AS prior_value,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id
+               ORDER BY version_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS current_value
+    FROM versions
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY version_id)
+    """,
+    doc="warehouse: SCD TYPE 6 (hybrid 1+2+3) completes the taxonomy "
+    "(1 = wh_merge_upsert overwrite, 2 = wh_scd2_build history rows, "
+    "3 = wh_scd3_prior_value one-step memory): every type-2 history "
+    "row ADDITIONALLY carries the type-3 prior value AND the type-1 "
+    "current value overwritten onto all of that key's rows — the shape "
+    "that lets 'as-was' (historical_value), 'as-of-previous' "
+    "(prior_value) and 'as-is' (current_value) reporting share one "
+    "table without joins at read time. The current value is an "
+    "unbounded-following LAST_VALUE over the version order; everything "
+    "rides the SAME user_id exchange as the type-2 build (one extra "
+    "window function, zero extra shuffles). Deterministic (ts, "
+    "event_id) tie-breaks everywhere, all categorical/timestamp "
+    "outputs: hash-exact.",
+    tags=("warehouse", "r4e"),
+)
+def wh_scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    is_change = F.when(
+        lagged.isNull() | (lagged != F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.withColumn(
+        "version_id",
+        F.sum(is_change).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = runs.groupBy("user_id", "version_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return versions.select(
+        "user_id",
+        "version_id",
+        F.col("event_type").alias("historical_value"),
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+        F.lag("event_type").over(w2).alias("prior_value"),
+        F.last("event_type")
+        .over(
+            w2.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("current_value"),
+    )

@@ -594,3 +594,56 @@ def test_bfs_distances_match_python_bfs(spark, catalog, qs):
     got = {r.node: r.dist for r in qs["graph_bfs_distances"](spark, SF_DIR).collect()}
     assert got == expect
     assert max(expect.values()) >= 2  # the graph has real depth
+
+
+def test_scd6_carries_all_three_scd_views(spark, qs):
+    """Type 6 contract: per user the current_value equals the last
+    version's historical_value on EVERY row, prior_value chains
+    correctly, and validity intervals tile without gaps."""
+    rows = qs["wh_scd6_hybrid"](spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for series in by_user.values():
+        series.sort(key=lambda r: r.version_id)
+        last_val = series[-1].historical_value
+        prev = None
+        for i, r in enumerate(series):
+            assert r.current_value == last_val
+            assert r.prior_value == prev
+            prev = r.historical_value
+            if i + 1 < len(series):
+                assert r.valid_to == series[i + 1].valid_from
+                assert r.is_current == 0
+            else:
+                assert r.valid_to is None and r.is_current == 1
+
+
+def test_seasonal_decompose_matches_fraction_replica(spark, catalog, qs):
+    """Replica with exact Fractions; seasonal indices sum to ~0 weighted
+    by day counts (additive decomposition property)."""
+    import datetime as _dt
+    from fractions import Fraction
+
+    daily: dict = {}
+    for r in catalog.table("events").select("ts").collect():
+        d = r.ts.date()
+        daily[d] = daily.get(d, 0) + 1
+    days = sorted(daily)
+    anchor = _dt.date(2024, 1, 1)
+    by_wd: dict[int, list] = {}
+    for i in range(3, len(days) - 3):
+        d = days[i]
+        window = days[i - 3 : i + 4]
+        # replica must mirror the ROWS frame (positional, not date-range)
+        s7 = sum(daily[x] for x in window)
+        detr = 7 * daily[d] - s7
+        by_wd.setdefault((d - anchor).days % 7, []).append(detr)
+    got = {r.weekday: r for r in qs["ev_seasonal_decompose"](spark, SF_DIR).collect()}
+    assert set(got) == set(by_wd)
+    for wd, nums in by_wd.items():
+        assert got[wd].n_days == len(nums)
+        assert got[wd].seasonal == float(sum(nums)) / (7 * len(nums))
+    total = sum(Fraction(sum(n), 7 * len(n)) * len(n) for n in by_wd.values())
+    grand = sum(sum(n) for n in by_wd.values())
+    assert total == Fraction(grand, 7)  # bookkeeping identity
