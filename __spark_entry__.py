@@ -46,10 +46,10 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering, round 4 (window fixed mid-round at registry
-# size 219; the second continuation grew the registry to 257 — every
-# post-window addition joins the r5 rotation backlog with local
-# oracle_check + vanilla-sweep + pytest evidence recorded in NOTES_r4
-# and COVERAGE.md). The driver checks the FIRST 50 registrations;
+# size 219; the second and third continuations grew the registry to
+# 277 — every post-window addition joins the r5 rotation backlog with
+# local oracle_check + vanilla-sweep + pytest evidence recorded in
+# NOTES_r4 and COVERAGE.md). The driver checks the FIRST 50 registrations;
 # slots go to (a) 4 controls — ev_asof_join
 # (the r3 red, code changed this round) and the two approx sketches
 # (upgraded to bounded within_bound oracles) plus one cross-round
