@@ -582,7 +582,14 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc in ``pairs``; cluster_id is the
     minimum doc_id reachable through the pair graph. Iterates neighbor
-    min-label propagation to a fixpoint (asserted under ``max_iter``)."""
+    min-label propagation to a fixpoint (asserted under ``max_iter``).
+
+    ``max_iter`` must exceed the component DIAMETER: the min label moves
+    one hop per round, so a D-hop path needs D rounds plus one to observe
+    no change. Near-dup clusters are shallow in practice; the RuntimeError
+    is the deliberate fail-stop for pathological chains (callers with
+    known-deep graphs pass a larger bound, as the union-find property
+    test does with its hypothesis-generated 25-edge paths)."""
     edges = _persist(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

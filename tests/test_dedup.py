@@ -133,12 +133,21 @@ def test_simhash_is_deterministic_and_near_dups_close(spark, catalog):
 def test_connected_components_matches_union_find(spark):
     """Property-based: min-label propagation over random pair graphs ==
     a pure-Python union-find (cluster id = min doc_id in component).
-    Few examples, tiny graphs — each example is a full Spark fixpoint."""
+    Few examples, tiny graphs — each example is a full Spark fixpoint.
+
+    max_iter must exceed the graph DIAMETER (propagation moves the min
+    one hop per round): hypothesis eventually generates a 25-edge path
+    (diameter 25), which the operator's default max_iter=25 cannot
+    finish — and the resulting shrink search ran hundreds of Spark
+    fixpoints whose _persist-retained labels OOMed the driver heap.
+    Hence the explicit diameter-safe bound AND a cache release per
+    example."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from data_pipeline_4_online_retail_spark.operators.dedup import (
         connected_components,
+        release_caches,
     )
 
     @settings(max_examples=4, deadline=None)
@@ -153,6 +162,7 @@ def test_connected_components_matches_union_find(spark):
         )
     )
     def check(edges):
+        release_caches()
         parent: dict = {}
 
         def find(x):
@@ -176,11 +186,12 @@ def test_connected_components_matches_union_find(spark):
         )
         got = {
             r.doc_id: r.cluster_id
-            for r in connected_components(pairs).collect()
+            for r in connected_components(pairs, max_iter=64).collect()
         }
         assert got == expected
 
     check()
+    release_caches()
 
 
 def test_semantic_dedup_udf_twin_exact(spark):
