@@ -299,3 +299,48 @@ def test_parquet_schema_evolution_mergeschema(spark, catalog, tmp_path_factory):
 
     # projecting the new column over old files is a null-fill, not an error
     assert merged.filter(F.col("o_channel") == "web").count() == 50
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+    spark, catalog, tmp_path_factory
+):
+    """partitionOverwriteMode=dynamic: an INSERT OVERWRITE-style write
+    replaces ONLY the partitions present in the incoming batch — the
+    lakehouse backfill contract (static mode would wipe every partition)."""
+    base = tmp_path_factory.mktemp("dpo")
+    path = str(base / "events_by_day")
+    events = catalog.table("events").select(
+        "event_id", "user_id", F.dayofmonth("ts").alias("day")
+    )
+    events.write.mode("overwrite").partitionBy("day").parquet(path)
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    n_day3 = before.filter(F.col("day") == 3).count()
+    assert 0 < n_day3 < n_total
+
+    # backfill day 3 only, with a single sentinel row
+    backfill = spark.createDataFrame([(999_999, 1, 3)], "event_id long, user_id long, day int")
+    (
+        backfill.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("day") == 3).count() == 1
+    assert after.filter(F.col("day") == 3).head().event_id == 999_999
+    # every other partition is untouched
+    assert after.filter(F.col("day") != 3).count() == n_total - n_day3
+
+
+def test_rebalance_hint_evens_output_partitions(spark, catalog):
+    """REBALANCE (AQE) splits/coalesces output partitions toward even
+    sizes — the write-preparation hint that prevents tiny/huge files at
+    100 TB. Plan must show an AQE rebalance exchange; row totals are
+    conserved."""
+    e = catalog.table("events")
+    skewed = e.withColumn("k", (F.col("user_id") % 2).cast("int"))
+    balanced = skewed.hint("rebalance", "k")
+    plan = balanced._jdf.queryExecution().executedPlan().toString()
+    assert "REBALANCE" in plan.upper() or "RebalancePartitions" in plan, plan[:800]
+    assert balanced.count() == e.count()
