@@ -2324,3 +2324,41 @@ def op_transpose_summary(spark, sf_dir):
         .orderBy("l_returnflag")
     )
     return summary.transpose()
+
+
+@register(
+    "op_pandas_api_groupby",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="engine surface: the PANDAS API ON SPARK (pyspark.pandas) — the "
+    "drop-in pandas dialect data scientists bring to the cluster: "
+    "DataFrame.pandas_api() -> groupby().agg() with named aggregates "
+    "-> reset_index().to_spark(), all lowering to the SAME Catalyst "
+    "plan a native groupBy builds (distributed partial-first "
+    "aggregate, no driver pandas anywhere despite the API's shape). "
+    "Aggregates chosen for cross-engine exactness without summation: "
+    "count, nunique (exact distinct), min/max of stored doubles "
+    "(comparisons, not arithmetic). The scale caveat this surface "
+    "hides: pandas-API operations that genuinely need total order "
+    "(iloc, default RangeIndex-dependent ops) inject global sorts or "
+    "single-partition windows — grouped/columnar usage like this stays "
+    "fully distributed, and that distinction is the whole art of "
+    "using the dialect at 100 TB.",
+    tags=("engine", "pandas-api", "r4e"),
+)
+def op_pandas_api_groupby(spark, sf_dir):
+    o = load_tables(spark, sf_dir).table("orders")
+    psdf = o.pandas_api()
+    out = psdf.groupby("o_orderstatus").agg(
+        n=("o_orderkey", "count"),
+        n_cust=("o_custkey", "nunique"),
+        min_price=("o_totalprice", "min"),
+        max_price=("o_totalprice", "max"),
+    )
+    return out.reset_index().to_spark()

@@ -647,3 +647,28 @@ def test_seasonal_decompose_matches_fraction_replica(spark, catalog, qs):
     total = sum(Fraction(sum(n), 7 * len(n)) * len(n) for n in by_wd.values())
     grand = sum(sum(n) for n in by_wd.values())
     assert total == Fraction(grand, 7)  # bookkeeping identity
+
+
+def test_pandas_api_groupby_is_distributed(spark, catalog, qs):
+    """The pandas-API query must lower to a distributed aggregate: no
+    single-partition global sort/window in the plan, and results equal
+    the native DataFrame form."""
+    from pyspark.sql import functions as F
+
+    df = qs["op_pandas_api_groupby"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:1200]
+    got = {r.o_orderstatus: (r.n, r.n_cust, r.min_price, r.max_price) for r in df.collect()}
+    expect = {
+        r.o_orderstatus: (r.n, r.n_cust, r.min_price, r.max_price)
+        for r in catalog.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .collect()
+    }
+    assert got == expect
