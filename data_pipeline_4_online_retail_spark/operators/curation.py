@@ -1535,3 +1535,136 @@ def op_cogroup_asof(spark, sf_dir):
             "last_error_ts timestamp, gap_us long",
         )
     )
+
+
+@register(
+    "text_filter_attrition",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               list_max(list_transform(list_distinct(toks),
+                        u -> len(list_filter(toks, x -> x = u))))
+                   * 1.0 / len(toks) AS top_unigram_frac,
+               CASE WHEN len(toks) >= 2 THEN
+                    (len(toks) - 1 - len(list_distinct({_ngram_sql_bare(2)})))
+                        * 1.0 / (len(toks) - 1)
+               ELSE 0.0 END AS dup_2gram_frac
+        FROM t),
+    flagged AS (
+        SELECT CASE
+                 WHEN NOT (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}) THEN 1
+                 WHEN NOT (top_unigram_frac <= {MAX_TOP_UNIGRAM_FRAC}) THEN 2
+                 WHEN NOT (dup_2gram_frac <= {MAX_DUP_2GRAM_FRAC}) THEN 3
+                 ELSE 0 END AS first_failed
+        FROM m),
+    removed AS (
+        SELECT g.gate_order, g.gate_name,
+               CAST(COUNT(f.first_failed) AS BIGINT) AS n_removed
+        FROM (VALUES (1, 'token_bounds'), (2, 'top_unigram'),
+                     (3, 'dup_2gram')) g(gate_order, gate_name)
+        LEFT JOIN flagged f ON f.first_failed = g.gate_order
+        GROUP BY g.gate_order, g.gate_name),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM flagged)
+    SELECT r.gate_order, r.gate_name,
+           t.n_total - CAST(COALESCE(SUM(r.n_removed) OVER (
+               ORDER BY r.gate_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_in,
+           r.n_removed,
+           t.n_total - CAST(SUM(r.n_removed) OVER (
+               ORDER BY r.gate_order ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS n_out,
+           CAST(CAST(t.n_total - SUM(r.n_removed) OVER (
+                    ORDER BY r.gate_order ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS DOUBLE)
+               AS survival_rate
+    FROM removed r CROSS JOIN total t
+    """,
+    doc="curation observability: filter-cascade ATTRITION report — the "
+    "same Gopher/C4 gates as text_quality_filters, but attributed "
+    "SEQUENTIALLY (a document counts against the FIRST gate it fails, "
+    "the way a production pipeline orders its gates), with per-gate "
+    "n_in / n_removed / n_out and cumulative survival. This is the "
+    "funnel table every curation run ships next to its output — "
+    "without it, gate-threshold changes are flown blind. Mechanics: "
+    "one map-side pass computes first_failed per doc (same codegen "
+    "array expressions as the gate filter), a 4-value aggregate, and "
+    "a 3-row window for the cumulative; integer counts + one final "
+    "division per row: hash-exact. Scale: the report costs one scan "
+    "regardless of gate count (adding a gate adds a CASE arm, not a "
+    "pass).",
+    tags=("curation", "r4e"),
+)
+def text_filter_attrition(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    top_uni = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    ) * F.lit(1.0) / n
+    grams2 = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    dup2 = F.when(
+        n >= 2,
+        (n - 1 - F.size(F.array_distinct(grams2))) * F.lit(1.0) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    first_failed = (
+        F.when(~n.between(MIN_TOKENS, MAX_TOKENS), 1)
+        .when(~(top_uni <= MAX_TOP_UNIGRAM_FRAC), 2)
+        .when(~(dup2 <= MAX_DUP_2GRAM_FRAC), 3)
+        .otherwise(0)
+    )
+    flagged = t.select(first_failed.alias("first_failed"))
+    gates = flagged.sparkSession.createDataFrame(
+        [(1, "token_bounds"), (2, "top_unigram"), (3, "dup_2gram")],
+        "gate_order int, gate_name string",
+    )
+    removed = (
+        gates.join(
+            flagged, gates.gate_order == flagged.first_failed, "left"
+        )
+        .groupBy("gate_order", "gate_name")
+        .agg(F.count("first_failed").alias("n_removed"))
+    )
+    total = flagged.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = (
+        Window.orderBy("gate_order")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.orderBy("gate_order")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        removed.crossJoin(F.broadcast(total))
+        .select(
+            "gate_order",
+            "gate_name",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_removed").over(w_prev), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_in"),
+            "n_removed",
+            (F.col("n_total") - F.sum("n_removed").over(w_incl))
+            .cast("long")
+            .alias("n_out"),
+            (
+                (F.col("n_total") - F.sum("n_removed").over(w_incl)).cast(
+                    "double"
+                )
+                / F.col("n_total").cast("double")
+            )
+            .cast("double")
+            .alias("survival_rate"),
+        )
+    )

@@ -672,3 +672,25 @@ def test_pandas_api_groupby_is_distributed(spark, catalog, qs):
         .collect()
     }
     assert got == expect
+
+
+def test_filter_attrition_reconciles_with_gate_filter(spark, qs):
+    """The cascade bookkeeping must reconcile exactly with the combined
+    gate filter: final n_out == kept docs, total removed == rejected
+    docs, and per-gate n_in chains (n_in[g+1] == n_out[g])."""
+    rows = sorted(
+        qs["text_filter_attrition"](spark, SF_DIR).collect(),
+        key=lambda r: r.gate_order,
+    )
+    gate = qs["text_quality_filters"](spark, SF_DIR).collect()
+    n_total = len(gate)
+    n_kept = sum(1 for r in gate if r.keep == 1)
+    assert rows[0].n_in == n_total
+    for i, r in enumerate(rows):
+        assert r.n_out == r.n_in - r.n_removed
+        if i + 1 < len(rows):
+            assert rows[i + 1].n_in == r.n_out
+        assert r.survival_rate == r.n_out / n_total
+    assert rows[-1].n_out == n_kept
+    assert sum(r.n_removed for r in rows) == n_total - n_kept
+    assert any(r.n_removed > 0 for r in rows)  # gates actually fire
