@@ -157,3 +157,121 @@ def op_market_basket_pairs(spark, sf_dir):
             ).alias("confidence_a_to_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix revenue bridge (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+BRIDGE_SPLIT = "1998-01-01 00:00:00"  # period A: before; period B: at/after
+
+
+@register(
+    "op_revenue_bridge",
+    f"""
+    WITH lines AS (
+        SELECT l.l_partkey,
+               CASE WHEN o.o_orderdate < TIMESTAMP '{BRIDGE_SPLIT}'
+                    THEN 'a' ELSE 'b' END AS period,
+               CAST(l.l_quantity AS DECIMAL(18,2)) AS qty,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    per AS (
+        SELECT l_partkey, period,
+               CAST(SUM(qty) AS DOUBLE) AS q,
+               CAST(SUM(rev) AS DOUBLE) AS r
+        FROM lines GROUP BY l_partkey, period),
+    wide AS (
+        SELECT COALESCE(a.l_partkey, b.l_partkey) AS part_id,
+               COALESCE(a.q, 0.0) AS q_a, COALESCE(a.r, 0.0) AS r_a,
+               COALESCE(b.q, 0.0) AS q_b, COALESCE(b.r, 0.0) AS r_b
+        FROM (SELECT * FROM per WHERE period = 'a') a
+        FULL OUTER JOIN (SELECT * FROM per WHERE period = 'b') b
+          ON a.l_partkey = b.l_partkey)
+    SELECT part_id,
+           CASE WHEN q_a = 0 THEN 'new'
+                WHEN q_b = 0 THEN 'discontinued'
+                ELSE 'continuing' END AS segment,
+           q_a, r_a, q_b, r_b,
+           r_b - r_a AS delta,
+           CASE WHEN q_a = 0 OR q_b = 0 THEN r_b - r_a
+                ELSE (q_b - q_a) * (r_a / q_a) END AS volume_effect,
+           CASE WHEN q_a = 0 OR q_b = 0 THEN 0.0
+                ELSE (r_b / q_b - r_a / q_a) * q_b END AS price_effect
+    FROM wide
+    """,
+    doc="retail analytics: period-over-period REVENUE BRIDGE (price/"
+    "volume/mix decomposition, the FP&A waterfall): per part, delta "
+    "revenue between the pre/post-1998 periods splits into a volume "
+    "effect at old prices ((q_b - q_a) * p_a) and a price effect at "
+    "new volume ((p_b - p_a) * q_b) — algebraically these sum to "
+    "delta; in IEEE arithmetic the unit prices are rounded quotients, "
+    "so the identity holds to relative rounding error (~1e-12, pytest "
+    "asserts 1e-9) while the CROSS-ENGINE values are bit-identical "
+    "(same operand order both engines). New/discontinued parts get "
+    "their whole delta as volume "
+    "(no price to compare). Exactness: quantities and revenue "
+    "accumulate in DECIMAL, ONE cast to double per aggregate, then "
+    "only per-row IEEE arithmetic — no double summation anywhere. "
+    "Scale: one fact scan, one (part, period) partial-first aggregate, "
+    "a self-join on |parts| rows; the per-part grain IS the mix story "
+    "(roll up the effect columns for the headline bridge).",
+    tags=("retail", "r4e"),
+)
+def op_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    li = cat.table("lineitem")
+    o = cat.table("orders").select("o_orderkey", "o_orderdate")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey",
+        F.when(
+            F.col("o_orderdate") < F.lit(BRIDGE_SPLIT).cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("period"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        ).alias("rev"),
+    )
+    per = lines.groupBy("l_partkey", "period").agg(
+        F.sum("qty").cast("double").alias("q"),
+        F.sum("rev").cast("double").alias("r"),
+    )
+    a = per.filter(F.col("period") == "a").alias("a")
+    b = per.filter(F.col("period") == "b").alias("b")
+    wide = a.join(
+        b, F.col("a.l_partkey") == F.col("b.l_partkey"), "full_outer"
+    ).select(
+        F.coalesce("a.l_partkey", "b.l_partkey").alias("part_id"),
+        F.coalesce("a.q", F.lit(0.0)).alias("q_a"),
+        F.coalesce("a.r", F.lit(0.0)).alias("r_a"),
+        F.coalesce("b.q", F.lit(0.0)).alias("q_b"),
+        F.coalesce("b.r", F.lit(0.0)).alias("r_b"),
+    )
+    edge = (F.col("q_a") == 0) | (F.col("q_b") == 0)
+    return wide.select(
+        "part_id",
+        F.when(F.col("q_a") == 0, "new")
+        .when(F.col("q_b") == 0, "discontinued")
+        .otherwise("continuing")
+        .alias("segment"),
+        "q_a",
+        "r_a",
+        "q_b",
+        "r_b",
+        (F.col("r_b") - F.col("r_a")).alias("delta"),
+        F.when(edge, F.col("r_b") - F.col("r_a"))
+        .otherwise(
+            (F.col("q_b") - F.col("q_a")) * (F.col("r_a") / F.col("q_a"))
+        )
+        .alias("volume_effect"),
+        F.when(edge, F.lit(0.0))
+        .otherwise(
+            (F.col("r_b") / F.col("q_b") - F.col("r_a") / F.col("q_a"))
+            * F.col("q_b")
+        )
+        .alias("price_effect"),
+    )

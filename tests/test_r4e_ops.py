@@ -694,3 +694,43 @@ def test_filter_attrition_reconciles_with_gate_filter(spark, qs):
     assert rows[-1].n_out == n_kept
     assert sum(r.n_removed for r in rows) == n_total - n_kept
     assert any(r.n_removed > 0 for r in rows)  # gates actually fire
+
+
+def test_revenue_bridge_identity_and_reconciliation(spark, catalog, qs):
+    """Per continuing part the two effects sum to delta within rounding;
+    segment rules hold; the part-level deltas reconcile to the exact
+    decimal corpus-level revenue change."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_4_online_retail_spark.operators.retail_analytics import (
+        BRIDGE_SPLIT,
+    )
+
+    rows = qs["op_revenue_bridge"](spark, SF_DIR).collect()
+    assert rows
+    segs = {r.segment for r in rows}
+    for r in rows:
+        if r.segment == "continuing":
+            assert r.volume_effect + r.price_effect == pytest.approx(
+                r.delta, rel=1e-9, abs=1e-6
+            )
+            assert r.q_a > 0 and r.q_b > 0
+        elif r.segment == "new":
+            assert r.q_a == 0 and r.volume_effect == r.delta == r.r_b
+        else:
+            assert r.q_b == 0 and r.volume_effect == r.delta == -r.r_a
+    # corpus-level reconciliation in exact decimal
+    li = catalog.table("lineitem")
+    o = catalog.table("orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    split = F.lit(BRIDGE_SPLIT).cast("timestamp")
+    ra = j.filter(F.col("o_orderdate") < split).agg(F.sum(rev)).collect()[0][0]
+    rb = j.filter(F.col("o_orderdate") >= split).agg(F.sum(rev)).collect()[0][0]
+    total_delta = sum(Decimal(str(r.delta)) for r in rows)
+    assert float(total_delta) == pytest.approx(float(rb - ra), rel=1e-9)
