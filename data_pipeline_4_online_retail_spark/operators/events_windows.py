@@ -2529,3 +2529,77 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("seasonal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-Markov conversion probability (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+ABSORB_WIN = "purchase"
+ABSORB_LOSE = "error"
+
+
+@register(
+    "ev_markov_absorption",
+    None,  # rows-only: driver-side linear solve; exact-rational replica
+    doc="events: ABSORPTION-RACE probability per starting state — make "
+    "'purchase' (conversion) and 'error' (failure) both absorbing in "
+    "the first-order Markov chain estimated from per-user sequences, "
+    "and solve h = Q h + r (the canonical absorbing-chain system): "
+    "h[s] is the probability a journey in state s converts BEFORE "
+    "failing — the number behind 'how much is a signup worth'. (With "
+    "a single absorbing state every h is trivially 1 — measured on "
+    "the fixture before the race formulation was chosen.) Distributed "
+    "part: the transition counts (one LEAD window over the user_id "
+    "exchange + a 25-cell aggregate — identical shape to "
+    "ev_markov_transitions); the (I - Q) solve is a 3x3 driver-side "
+    "numpy call, the sim_kmeans bounded-driver-state argument (k x k "
+    "values, never rows). Rows-only because the solve is float linear "
+    "algebra; the pytest replica re-derives the probabilities EXACTLY "
+    "with Fraction Gaussian elimination from the integer transition "
+    "counts and pins agreement to 1e-12, plus the probability bounds "
+    "(h strictly interior when both absorbers are reachable). "
+    "Dangling journeys (a user's final event) simply do not emit a "
+    "transition — the estimator conditions on a next event existing.",
+    tags=("events", "analytics", "r4e"),
+)
+def ev_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_state"),
+            F.lead("event_type").over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = {(r.from_state, r.to_state): r.n for r in pairs.collect()}
+    states = sorted({s for s, _ in counts} | {t for _, t in counts})
+    absorbing = {ABSORB_WIN, ABSORB_LOSE}
+    transient = [s for s in states if s not in absorbing]
+    out_totals = {
+        s: sum(counts.get((s, t), 0) for t in states) for s in transient
+    }
+    n = len(transient)
+    q = np.zeros((n, n))
+    r = np.zeros(n)
+    for i, s in enumerate(transient):
+        tot = out_totals[s]
+        if tot == 0:
+            continue
+        r[i] = counts.get((s, ABSORB_WIN), 0) / tot
+        for j, t in enumerate(transient):
+            q[i, j] = counts.get((s, t), 0) / tot
+    h = np.linalg.solve(np.eye(n) - q, r)
+    rows = [
+        (s, int(out_totals[s]), float(h[i])) for i, s in enumerate(transient)
+    ]
+    rows.append((ABSORB_WIN, 0, 1.0))
+    rows.append((ABSORB_LOSE, 0, 0.0))
+    return spark.createDataFrame(
+        rows, "state string, n_outgoing long, p_absorb double"
+    )

@@ -734,3 +734,69 @@ def test_revenue_bridge_identity_and_reconciliation(spark, catalog, qs):
     rb = j.filter(F.col("o_orderdate") >= split).agg(F.sum(rev)).collect()[0][0]
     total_delta = sum(Decimal(str(r.delta)) for r in rows)
     assert float(total_delta) == pytest.approx(float(rb - ra), rel=1e-9)
+
+
+def test_markov_absorption_matches_fraction_gauss(spark, catalog, qs):
+    """Exact replica: transition counts from sorted sequences, then
+    Gaussian elimination over Fractions solves the absorption race;
+    numpy's float answer must agree to 1e-12 and be strictly interior."""
+    from fractions import Fraction
+
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        ABSORB_LOSE,
+        ABSORB_WIN,
+    )
+
+    per_user: dict[int, list] = {}
+    for r in catalog.table("events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    counts: dict[tuple, int] = {}
+    for obs in per_user.values():
+        obs.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(obs, obs[1:]):
+            counts[(a.event_type, b.event_type)] = (
+                counts.get((a.event_type, b.event_type), 0) + 1
+            )
+    states = sorted({s for s, _ in counts} | {t for _, t in counts})
+    transient = [s for s in states if s not in {ABSORB_WIN, ABSORB_LOSE}]
+    idx = {s: i for i, s in enumerate(transient)}
+    n = len(transient)
+    tot = {s: sum(counts.get((s, t), 0) for t in states) for s in transient}
+    # (I - Q) h = r over Fractions
+    A = [
+        [
+            (Fraction(1) if i == j else Fraction(0))
+            - Fraction(counts.get((transient[i], transient[j]), 0), tot[transient[i]])
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    bvec = [
+        Fraction(counts.get((s, ABSORB_WIN), 0), tot[s]) for s in transient
+    ]
+    # Gaussian elimination, exact
+    for col in range(n):
+        piv = next(r for r in range(col, n) if A[r][col] != 0)
+        A[col], A[piv] = A[piv], A[col]
+        bvec[col], bvec[piv] = bvec[piv], bvec[col]
+        inv = A[col][col]
+        A[col] = [x / inv for x in A[col]]
+        bvec[col] = bvec[col] / inv
+        for r in range(n):
+            if r != col and A[r][col] != 0:
+                f = A[r][col]
+                A[r] = [x - f * y for x, y in zip(A[r], A[col])]
+                bvec[r] = bvec[r] - f * bvec[col]
+    expect = {s: bvec[idx[s]] for s in transient}
+    got = {
+        r.state: r for r in qs["ev_markov_absorption"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(transient) | {ABSORB_WIN, ABSORB_LOSE}
+    assert got[ABSORB_WIN].p_absorb == 1.0
+    assert got[ABSORB_LOSE].p_absorb == 0.0
+    for s in transient:
+        assert got[s].n_outgoing == tot[s]
+        assert got[s].p_absorb == pytest.approx(float(expect[s]), abs=1e-12)
+        assert 0.0 < got[s].p_absorb < 1.0  # both absorbers reachable
