@@ -275,3 +275,179 @@ def op_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("price_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+DID_SPLIT = "1998-01-01 00:00:00"  # pre/post boundary
+DID_TREATED_SEGMENT = "BUILDING"  # treated customer group
+
+
+@register(
+    "op_did_analysis",
+    f"""
+    WITH labeled AS (
+        SELECT CASE WHEN c.c_mktsegment = '{DID_TREATED_SEGMENT}'
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '{DID_SPLIT}'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cells AS (
+        SELECT treated, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(price) AS DECIMAL(28,2)) AS DOUBLE)
+                   / COUNT(*) AS mean_price
+        FROM labeled GROUP BY treated, post)
+    SELECT t0.n AS n_treated_pre, t1.n AS n_treated_post,
+           c0.n AS n_control_pre, c1.n AS n_control_post,
+           t0.mean_price AS treated_pre, t1.mean_price AS treated_post,
+           c0.mean_price AS control_pre, c1.mean_price AS control_post,
+           (t1.mean_price - t0.mean_price)
+               - (c1.mean_price - c0.mean_price) AS did_estimate
+    FROM (SELECT * FROM cells WHERE treated = 1 AND post = 0) t0
+    CROSS JOIN (SELECT * FROM cells WHERE treated = 1 AND post = 1) t1
+    CROSS JOIN (SELECT * FROM cells WHERE treated = 0 AND post = 0) c0
+    CROSS JOIN (SELECT * FROM cells WHERE treated = 0 AND post = 1) c1
+    """,
+    doc="causal analytics: DIFFERENCE-IN-DIFFERENCES — the 2x2 "
+    "pre/post x treated/control design (treated = BUILDING-segment "
+    "customers, boundary 1998): DiD = (treated_post - treated_pre) - "
+    "(control_post - control_pre) nets out both the group effect and "
+    "the time effect under parallel trends. Complements "
+    "ev_ab_test_metrics (randomized assignment) with the "
+    "OBSERVATIONAL panel estimator. Exactness: cell means are exact "
+    "decimal sums cast once to double then divided by integer counts "
+    "(one correctly-rounded division per cell), and the estimate is "
+    "three subtractions on those four doubles — bit-identical "
+    "cross-engine. Scale: one join, one 4-cell partial-first "
+    "aggregate; the 1-row-x-1-row cell crossJoins are bounded by "
+    "construction (BNLJ whitelist).",
+    tags=("retail", "causal", "r4e"),
+)
+def op_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_tables(spark, sf_dir)
+    o = cat.table("orders")
+    c = cat.table("customer").select("c_custkey", "c_mktsegment")
+    labeled = o.join(c, o.o_custkey == c.c_custkey).select(
+        (F.col("c_mktsegment") == DID_TREATED_SEGMENT)
+        .cast("int")
+        .alias("treated"),
+        (F.col("o_orderdate") >= F.lit(DID_SPLIT).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cells = labeled.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("price").cast("decimal(28,2)").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+    )
+
+    def cell(t, p, prefix):
+        return F.broadcast(
+            cells.filter((F.col("treated") == t) & (F.col("post") == p)).select(
+                F.col("n").alias(f"n_{prefix}"),
+                F.col("mean_price").alias(prefix),
+            )
+        )
+
+    t0 = cell(1, 0, "treated_pre")
+    t1 = cell(1, 1, "treated_post")
+    c0 = cell(0, 0, "control_pre")
+    c1 = cell(0, 1, "control_post")
+    return (
+        t0.crossJoin(t1)
+        .crossJoin(c0)
+        .crossJoin(c1)
+        .select(
+            "n_treated_pre",
+            "n_treated_post",
+            "n_control_pre",
+            "n_control_post",
+            "treated_pre",
+            "treated_post",
+            "control_pre",
+            "control_post",
+            (
+                (F.col("treated_post") - F.col("treated_pre"))
+                - (F.col("control_post") - F.col("control_pre"))
+            ).alias("did_estimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_gini_revenue_concentration",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM per_cust)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(
+             CAST(2 * SUM(i * cents) - (MAX(n) + 1) * SUM(cents) AS DOUBLE)
+             / CAST(MAX(n) * SUM(cents) AS DOUBLE)
+           AS DOUBLE) AS gini
+    FROM ranked
+    """,
+    doc="retail analytics: GINI COEFFICIENT of customer revenue "
+    "concentration — the inequality measure behind 'what share of "
+    "revenue do the top customers carry': G = (2*sum(i*x_(i)) - "
+    "(n+1)*sum(x)) / (n*sum(x)) over rank-ordered per-customer "
+    "revenue. Exactness: revenue in integer CENTS (2-dp prices), "
+    "ranks are integers with a full (cents, custkey) tie-break, so "
+    "EVERY term is exact integer arithmetic and one final division "
+    "yields the coefficient — hash-exact with zero float discipline "
+    "needed. Scale: the per-customer aggregate is partial-first; the "
+    "rank is ONE global sort of |customers| rows (not events), the "
+    "same bounded-global-sort shape as op_order_by_full; the closing "
+    "aggregate is a single row.",
+    tags=("retail", "r4e"),
+)
+def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("cents"))
+                - (F.max("n") + 1) * F.sum("cents")
+            ).cast("double")
+            / (F.max("n") * F.sum("cents")).cast("double")
+        )
+        .cast("double")
+        .alias("gini"),
+    )

@@ -800,3 +800,70 @@ def test_markov_absorption_matches_fraction_gauss(spark, catalog, qs):
         assert got[s].n_outgoing == tot[s]
         assert got[s].p_absorb == pytest.approx(float(expect[s]), abs=1e-12)
         assert 0.0 < got[s].p_absorb < 1.0  # both absorbers reachable
+
+
+def test_did_estimate_matches_decimal_replica(spark, catalog, qs):
+    """The four cell means recomputed with exact Decimal sums; the DiD
+    estimate is three subtractions on those doubles."""
+    from decimal import Decimal
+
+    from data_pipeline_4_online_retail_spark.operators.retail_analytics import (
+        DID_SPLIT,
+        DID_TREATED_SEGMENT,
+    )
+
+    split = dt.datetime.fromisoformat(DID_SPLIT)
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in catalog.table("customer").select("c_custkey", "c_mktsegment").collect()
+    }
+    cells: dict[tuple, list] = {}
+    for r in catalog.table("orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect():
+        key = (
+            1 if seg[r.o_custkey] == DID_TREATED_SEGMENT else 0,
+            1 if r.o_orderdate >= split else 0,
+        )
+        cells.setdefault(key, []).append(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
+        )
+    means = {
+        k: float(sum(v)) / len(v) for k, v in cells.items()
+    }
+    row = qs["op_did_analysis"](spark, SF_DIR).collect()[0]
+    assert row.n_treated_pre == len(cells[(1, 0)])
+    assert row.n_control_post == len(cells[(0, 1)])
+    assert row.treated_pre == means[(1, 0)]
+    assert row.treated_post == means[(1, 1)]
+    assert row.control_pre == means[(0, 0)]
+    assert row.control_post == means[(0, 1)]
+    assert row.did_estimate == (means[(1, 1)] - means[(1, 0)]) - (
+        means[(0, 1)] - means[(0, 0)]
+    )
+
+
+def test_gini_matches_exact_rational(spark, catalog, qs):
+    """Gini recomputed exactly in integers/Fractions; also the classic
+    bounds and a concentration sanity check against the Lorenz shares."""
+    from fractions import Fraction
+
+    per_cust: dict[int, int] = {}
+    for r in catalog.table("orders").select("o_custkey", "o_totalprice").collect():
+        per_cust[r.o_custkey] = per_cust.get(r.o_custkey, 0) + round(
+            r.o_totalprice * 100
+        )
+    vals = [v for _, v in sorted(per_cust.items(), key=lambda t: (t[1], t[0]))]
+    n = len(vals)
+    total = sum(vals)
+    weighted = sum((i + 1) * v for i, v in enumerate(vals))
+    gini = Fraction(2 * weighted - (n + 1) * total, n * total)
+    row = qs["op_gini_revenue_concentration"](spark, SF_DIR).collect()[0]
+    assert row.n_customers == n
+    assert row.total_cents == total
+    assert row.gini == float(gini)
+    assert 0 <= row.gini < 1
+    # Lorenz consistency: bottom half of customers holds (1 - G)-ish less
+    # than half the revenue — directional, not exact
+    bottom_half = sum(vals[: n // 2])
+    assert bottom_half / total < 0.5

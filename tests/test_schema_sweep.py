@@ -111,6 +111,7 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "wh_dim_surrogate_assign",  # broadcast 1-row high-water frame
         "wh_data_diff_summary",  # 1-row x 1-row profile crossJoin (old x new)
         "text_filter_attrition",  # broadcast 1-row corpus-total frame
+        "op_did_analysis",  # four 1-row cell frames crossJoined (2x2 design)
         # (tpch_q11 left the list in-round: its threshold is now a global
         # window over the per-part frame, no BNLJ remains)
         # documented inequality joins
