@@ -451,3 +451,74 @@ def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("gini"),
     )
+
+
+@register(
+    "op_lorenz_curve",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT cents,
+               NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM per_cust),
+    by_decile AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS decile_cents
+        FROM ranked GROUP BY decile),
+    with_total AS (
+        SELECT decile, n_customers, decile_cents,
+               CAST(SUM(decile_cents) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+               CAST(SUM(decile_cents) OVER () AS BIGINT) AS total_cents
+        FROM by_decile)
+    SELECT decile, n_customers, decile_cents,
+           CAST(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                AS DOUBLE) AS cum_revenue_share
+    FROM with_total
+    """,
+    doc="retail analytics: LORENZ CURVE decile table — customers ranked "
+    "by revenue into deciles (ntile, full (cents, custkey) tie-break), "
+    "each decile's revenue and the cumulative share: the table behind "
+    "the 'bottom 50% of customers hold X% of revenue' chart, and the "
+    "curve whose area complement IS op_gini_revenue_concentration "
+    "(the pytest ties the two together). Integer cents throughout; "
+    "one division per decile row. Scale: same bounded shape as the "
+    "Gini — per-customer aggregate partial-first, one global sort of "
+    "|customers| rows, a 10-row closing window.",
+    tags=("retail", "r4e"),
+)
+def op_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).table("orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    by_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return by_decile.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (
+            F.sum("decile_cents").over(w_cum).cast("double")
+            / F.sum("decile_cents").over(w_all).cast("double")
+        )
+        .cast("double")
+        .alias("cum_revenue_share"),
+    )

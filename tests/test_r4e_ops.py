@@ -867,3 +867,28 @@ def test_gini_matches_exact_rational(spark, catalog, qs):
     # than half the revenue — directional, not exact
     bottom_half = sum(vals[: n // 2])
     assert bottom_half / total < 0.5
+
+
+def test_lorenz_curve_ties_to_gini(spark, catalog, qs):
+    """Monotone cumulative shares ending at 1.0; decile populations are
+    balanced; and the trapezoid Gini from the decile curve approximates
+    the exact per-customer Gini (decile-aggregation bias is bounded)."""
+    rows = sorted(
+        qs["op_lorenz_curve"](spark, SF_DIR).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_total = sum(r.n_customers for r in rows)
+    assert max(r.n_customers for r in rows) - min(r.n_customers for r in rows) <= 1
+    prev = 0.0
+    for r in rows:
+        assert r.cum_revenue_share >= prev
+        prev = r.cum_revenue_share
+    assert rows[-1].cum_revenue_share == 1.0
+    # trapezoid area under the decile Lorenz curve -> approximate Gini
+    xs = [i / 10 for i in range(11)]
+    ys = [0.0] + [r.cum_revenue_share for r in rows]
+    area = sum((ys[i] + ys[i + 1]) / 2 * (xs[i + 1] - xs[i]) for i in range(10))
+    approx_gini = 1 - 2 * area
+    exact = qs["op_gini_revenue_concentration"](spark, SF_DIR).collect()[0].gini
+    assert abs(approx_gini - exact) < 0.05  # decile coarseness bound
+    assert n_total == catalog.table("orders").select("o_custkey").distinct().count()
