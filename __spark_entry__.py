@@ -47,7 +47,7 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 # Driver-visible ordering, round 4 (window fixed mid-round at registry
 # size 219; the second and third continuations grew the registry to
-# 284 — every post-window addition joins the r5 rotation backlog with
+# 286 — every post-window addition joins the r5 rotation backlog with
 # local oracle_check + vanilla-sweep + pytest evidence recorded in
 # NOTES_r4 and COVERAGE.md). The driver checks the FIRST 50 registrations;
 # slots go to (a) 4 controls — ev_asof_join
@@ -64,7 +64,7 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # 5 oracled siblings of in-window queries (json_filter, map_functions,
 # dup_span_keep_first, temperature_resample, knn_classify), and the
 # 10 rows-only entries (their driver row is weak; pytest replicas
-# carry their evidence). ALL 284 are covered by tools/oracle_check.py
+# carry their evidence). ALL 286 are covered by tools/oracle_check.py
 # + tools/vanilla_sweep.py this round (outputs in NOTES_r4), and
 # tools/rotation_audit.py mechanically confirms the union/backlog.
 # ---------------------------------------------------------------------------

@@ -2603,3 +2603,57 @@ def ev_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "state string, n_outgoing long, p_absorb double"
     )
+
+
+@register(
+    "ev_interarrival_percentiles",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_us
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                AS BIGINT) AS p50_us,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)
+                AS BIGINT) AS p90_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="events/ops: INTER-ARRIVAL time distribution per event type — "
+    "per (user, type) consecutive gaps via LAG, then discrete "
+    "percentiles (percentile_disc returns an ACTUAL gap, the "
+    "op_winsorize exactness rule: integer microseconds end-to-end, no "
+    "interpolation, hash-exact). The latency/cadence profile behind "
+    "capacity planning and anomaly thresholds (ev_anomaly_zscore "
+    "consumes daily counts; this is the sub-day cadence view). "
+    "Scale: one (user_id, event_type) exchange for the LAG, then a "
+    "5-group sort-based percentile — the per-group sort is the "
+    "documented cost of EXACT percentiles; the approx_percentile "
+    "sketch twin (op_percentiles_approx) is the 100 TB substitute.",
+    tags=("events", "analytics", "r4e"),
+)
+def ev_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", (t - F.lag(t).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("p90_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )

@@ -522,3 +522,80 @@ def op_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (round 4, third continuation)
+# ---------------------------------------------------------------------------
+
+ABC_A_CUT = 0.8  # cumulative revenue share boundaries
+ABC_B_CUT = 0.95
+
+
+@register(
+    "op_abc_classification",
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+        SELECT l_partkey, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+        FROM per_part)
+    SELECT l_partkey AS part_id, cents,
+           CASE WHEN cum_cents * 100 <= total_cents * {int(ABC_A_CUT * 100)}
+                THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * {int(ABC_B_CUT * 100)}
+                THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    doc="retail analytics: ABC / PARETO classification — parts ranked by "
+    "revenue, class A = the head carrying the first 80% of cumulative "
+    "revenue, B to 95%, C the tail (the inventory-policy segmentation "
+    "every supply chain runs; the per-part answer to what "
+    "op_lorenz_curve shows in deciles). Exactness: integer cents, "
+    "deterministic (cents DESC, partkey) rank order, and the class "
+    "boundaries compare cum*100 <= total*80 in INTEGER arithmetic — "
+    "no division anywhere, so the classification is exact by "
+    "construction (a double share near the 0.8 boundary could "
+    "misclassify cross-engine). Scale: partial-first per-part "
+    "aggregate, one global sort of |parts| rows (the bounded "
+    "dimension, not the fact), a running sum.",
+    tags=("retail", "r4e"),
+)
+def op_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir).table("lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_cum = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_part.select(
+        F.col("l_partkey").alias("part_id"),
+        "cents",
+        F.sum("cents").over(w_cum).cast("long").alias("cum_cents"),
+        F.sum("cents").over(w_all).cast("long").alias("total_cents"),
+    )
+    a_pct = int(ABC_A_CUT * 100)
+    b_pct = int(ABC_B_CUT * 100)
+    return ranked.select(
+        "part_id",
+        "cents",
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * a_pct, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * b_pct, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

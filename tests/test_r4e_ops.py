@@ -892,3 +892,66 @@ def test_lorenz_curve_ties_to_gini(spark, catalog, qs):
     exact = qs["op_gini_revenue_concentration"](spark, SF_DIR).collect()[0].gini
     assert abs(approx_gini - exact) < 0.05  # decile coarseness bound
     assert n_total == catalog.table("orders").select("o_custkey").distinct().count()
+
+
+def test_abc_classification_boundaries_and_conservation(spark, catalog, qs):
+    """Replica of the integer-boundary classification; classes partition
+    all parts; A-share of parts is small while A-share of revenue is ~80%."""
+    per_part: dict[int, int] = {}
+    for r in catalog.table("lineitem").select("l_partkey", "l_extendedprice").collect():
+        per_part[r.l_partkey] = per_part.get(r.l_partkey, 0) + round(
+            r.l_extendedprice * 100
+        )
+    total = sum(per_part.values())
+    order = sorted(per_part.items(), key=lambda t: (-t[1], t[0]))
+    cum = 0
+    expect = {}
+    for pid, cents in order:
+        cum += cents
+        expect[pid] = "A" if cum * 100 <= total * 80 else (
+            "B" if cum * 100 <= total * 95 else "C"
+        )
+    got = {r.part_id: r.abc_class for r in qs["op_abc_classification"](spark, SF_DIR).collect()}
+    assert got == expect
+    assert set(got.values()) == {"A", "B", "C"}
+    rev_a = sum(per_part[p] for p, c in got.items() if c == "A")
+    # A holds at most 80% of revenue, and adding the first B part crosses it
+    assert rev_a * 100 <= total * 80
+    first_b_cents = max(per_part[p] for p, c in got.items() if c == "B")
+    assert (rev_a + first_b_cents) * 100 > total * 80
+    # classes are rank-consistent: every A part out-earns every C part
+    assert min(per_part[p] for p, c in got.items() if c == "A") >= max(
+        per_part[p] for p, c in got.items() if c == "C"
+    )
+    # note: the synthetic fixture's part revenues are near-uniform, so the
+    # A head is NOT a small minority here (146/200) — the Pareto shape is
+    # a data property, not an operator property
+
+
+def test_interarrival_percentiles_are_actual_gaps(spark, catalog, qs):
+    """percentile_disc contract: p50/p90 are actual observed gaps at the
+    right rank positions; min <= p50 <= p90 <= max."""
+    import math
+
+    per_key: dict[tuple, list] = {}
+    for r in catalog.table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect():
+        per_key.setdefault((r.user_id, r.event_type), []).append(r)
+    gaps_by_type: dict[str, list] = {}
+    for (_, et), obs in per_key.items():
+        obs.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(obs, obs[1:]):
+            gaps_by_type.setdefault(et, []).append(
+                int((b.ts - a.ts).total_seconds() * 1_000_000)
+            )
+    rows = {r.event_type: r for r in qs["ev_interarrival_percentiles"](spark, SF_DIR).collect()}
+    assert set(rows) == set(gaps_by_type)
+    for et, gaps in gaps_by_type.items():
+        gaps.sort()
+        r = rows[et]
+        assert r.n_gaps == len(gaps)
+        assert r.min_us == gaps[0] and r.max_us == gaps[-1]
+        assert r.p50_us == gaps[math.ceil(0.5 * len(gaps)) - 1]
+        assert r.p90_us == gaps[math.ceil(0.9 * len(gaps)) - 1]
+        assert r.min_us <= r.p50_us <= r.p90_us <= r.max_us
