@@ -139,3 +139,18 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
     assert not offenders, offenders
+
+
+def test_driver_window_integrity():
+    """The first 50 registrations ARE the documented priority window, in
+    order, and every window slot carries a DuckDB oracle (the window was
+    composed of oracled queries only — a rows-only slot would waste a
+    driver check)."""
+    import __spark_entry__ as entry
+    from __spark_entry__ import _DRIVER_PRIORITY
+
+    names = list(entry.queries())
+    assert names[:50] == _DRIVER_PRIORITY
+    oracles = entry.oracle_sql()
+    missing = [n for n in _DRIVER_PRIORITY if n not in oracles]
+    assert not missing, missing
