@@ -45,85 +45,86 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 4 (window fixed mid-round at registry
-# size 219; the second and third continuations grew the registry to
-# 286 — every post-window addition joins the r5 rotation backlog with
-# local oracle_check + vanilla-sweep + pytest evidence recorded in
-# NOTES_r4 and COVERAGE.md). The driver checks the FIRST 50 registrations;
-# slots go to (a) 4 controls — ev_asof_join
-# (the r3 red, code changed this round) and the two approx sketches
-# (upgraded to bounded within_bound oracles) plus one cross-round
-# star-schema control — and (b) 46 oracled never-checked queries
-# chosen for MECHANISM diversity: all of r4-early, r4b, r4c, and the
-# 12 TPC-H adaptations with distinct plan mechanisms (q02/q11/q16/q20
-# derived part-supplier pairs, q09 profit decomposition, q13 outer
-# count distribution, q15 global-max view, q17/q18 correlated/semi
-# aggregates, q21 multi-exists, q22 anti + scalar subquery, q01 agg
-# disciplines). Deferred to the r5 window: 10 classic-shape TPC-H
-# (q03-q08, q10, q12, q14, q19 — mechanisms subsumed by the kept set),
-# 5 oracled siblings of in-window queries (json_filter, map_functions,
-# dup_span_keep_first, temperature_resample, knn_classify), and the
-# 10 rows-only entries (their driver row is weak; pytest replicas
-# carry their evidence). ALL 286 are covered by tools/oracle_check.py
-# + tools/vanilla_sweep.py this round (outputs in NOTES_r4), and
-# tools/rotation_audit.py mechanically confirms the union/backlog.
+# Driver-visible ordering, round 5. The driver checks the FIRST 50
+# registrations; after r4 the cross-round union stood at 165/286 with
+# 121 registrations never driver-checked (tools/rotation_audit.py).
+# VERDICT r4 item 2 set the targets: union >= 215 and never-checked
+# <= 75 after this round — arithmetic that requires ALL 50 slots to go
+# to the never-checked backlog, so this window carries ZERO repeat
+# controls (defensible: 0 reds anywhere, every r4 window row green, the
+# former controls' code paths are untouched this round, and
+# tests/test_schema_sweep.py re-analyzes every registration's plan in
+# pytest so a type-signature regression still surfaces without a slot).
+# Slots go to whole never-checked TIERS so each module earns driver
+# rows: the 10 classic-shape TPC-H, all 10 warehouse ops, all 3
+# graph-oracled + all 3 governance, the 5 retail-analytics/FP&A ops,
+# 3 semistructured, 10 events/timeseries, 3 text, dedup/sim reps, and
+# the cogrouped-asof mechanism. Remaining backlog after r5: ~72
+# (52 oracled + the rows-only tier) — r6's window covers the oracled
+# rest. All 286 remain covered every round by tools/oracle_check.py +
+# tools/vanilla_sweep.py (NOTES_r5).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) controls / changed code paths
-    "ev_asof_join",
-    "op_agg_approx_distinct",
-    "op_percentiles_approx",
-    "star_fct_invoice_line_value",
-    # (b1) r4-early oracled, never driver-checked
-    "text_temperature_sample",
-    "text_dup_span_removal",
-    "text_source_cap",
-    "dedup_semantic_within_label",
-    "wh_snapshot_diff",
-    "ev_resample_interpolate",
-    "text_ngram_novelty",
-    "ev_markov_transitions",
-    "ev_anomaly_zscore",
-    "dedup_containment",
-    "pipeline_curation_e2e",
-    "sim_topk_batch",
-    "ev_sketch_rollup_uniques",
-    "wh_pit_snapshot",
-    "text_dsir_stats",
-    "ev_attribution_last_touch",
-    # (b2) r4b oracled, never driver-checked
-    "op_recursive_cte_chain",
-    "ev_props_json_stats",
-    "ev_props_json_roundtrip",
-    "ev_props_variant_stats",
-    "text_udtf_word_positions",
-    "op_rfm_segments",
-    "op_market_basket_pairs",
-    "gov_gdpr_erasure_audit",
-    "op_winsorize",
-    # (b3) r4c oracled, never driver-checked
-    "ev_sessionize",
-    "ev_journey_paths",
-    "ev_cumulative_distinct_users",
-    "op_bitmap_distinct",
-    "op_try_arithmetic",
-    "op_lateral_join",
-    "ev_props_xml_roundtrip",
-    "op_sequence_gaps",
-    "op_checksum_table",
-    # (b4) TPC-H mechanism representatives
-    "tpch_q01",
-    "tpch_q02",
-    "tpch_q09",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    # classic-shape TPC-H (mechanisms subsumed by the r4-checked 12,
+    # now earning their own driver rows)
+    "tpch_q03",
+    "tpch_q04",
+    "tpch_q05",
+    "tpch_q06",
+    "tpch_q07",
+    "tpch_q08",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    # semistructured siblings
+    "ev_props_json_filter",
+    "ev_props_csv_and_xpath",
+    "ev_props_variant_explode",
+    # warehouse tier — closes it completely
+    "wh_foreign_key_check",
+    "wh_scd2_asof_join",
+    "wh_data_diff_summary",
+    "wh_cdc_apply_with_deletes",
+    "wh_late_arriving_dim",
+    "wh_compaction_plan",
+    "wh_dim_surrogate_assign",
+    "wh_scd3_prior_value",
+    "wh_bitemporal_asof",
+    "wh_scd6_hybrid",
+    # graph (oracled members) + governance — closes both
+    "graph_triangle_count",
+    "graph_itemcf_recs",
+    "graph_bfs_distances",
+    "gov_pii_scan_report",
+    "gov_row_level_security",
+    "gov_k_anonymity",
+    # retail analytics / FP&A — closes it
+    "op_revenue_bridge",
+    "op_did_analysis",
+    "op_gini_revenue_concentration",
+    "op_lorenz_curve",
+    "op_abc_classification",
+    # events / timeseries
+    "ev_ab_test_metrics",
+    "ev_dwell_time",
+    "ev_cm_heavy_hitters",
+    "ev_conversion_lag",
+    "ev_feature_store_pit",
+    "ev_ewma_level",
+    "ev_time_weighted_avg",
+    "ev_cusum_alarm",
+    "ev_survival_kaplan_meier",
+    "ev_seasonal_decompose",
+    # text
+    "text_vocab_growth",
+    "text_oov_rate",
+    "text_filter_attrition",
+    # dedup / similarity representatives
+    "dedup_url_canonicalize",
+    "sim_knn_classify",
+    # cogrouped applyInPandas mechanism (merge_asof, user_id%64 buckets)
+    "op_cogroup_asof",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

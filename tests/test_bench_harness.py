@@ -66,3 +66,30 @@ def test_bench_emits_json_even_when_harness_breaks():
     assert doc["metric"] == "headline_queries_total_sec"
     assert doc["errors"], "expected per-query errors for a missing SF dir"
     assert doc["queries"] == {}
+    # Driver tail capture keeps ~2 KB — the LAST stdout line must fit even
+    # in the everything-failed case (r4's BENCH artifact was parsed:null
+    # because the single output line outgrew the capture window).
+    assert len(line) <= 2000, f"compact line too long: {len(line)} bytes"
+    assert doc["n_errors"] == len(json.loads(
+        (Path(bench.__file__).resolve().parent / "BENCH_full.json").read_text()
+    )["errors"])
+
+
+def test_emit_compact_line_stays_small(tmp_path, capsys):
+    """68 failing queries with 500-char messages must still produce a
+    <2 KB stdout line; the full texts land in BENCH_full.json."""
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": None,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {},
+        "errors": {f"q{i:03d}": "X" * 500 for i in range(68)},
+    }
+    bench._emit(result, out_dir=str(tmp_path))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 2000
+    doc = json.loads(line)
+    assert doc["n_errors"] == 68
+    full = json.loads((tmp_path / "BENCH_full.json").read_text())
+    assert len(full["errors"]) == 68 and len(full["errors"]["q000"]) == 500
