@@ -55,8 +55,17 @@ def dot_product_seq_udf():
 
     @F.pandas_udf(T.DoubleType())
     def dot_seq(a, b):
+        if len(a) == 0:  # a zero-row Arrow batch yields shape (0,) below
+            return pd.Series([], dtype=np.float64)
         mat_a = np.array(a.tolist(), dtype=np.float64)
         mat_b = np.array(b.tolist(), dtype=np.float64)
+        # ragged embedding lengths would build 1-D object arrays and
+        # silently compute garbage — fail loudly instead
+        if mat_a.ndim != 2 or mat_b.ndim != 2:
+            raise ValueError(
+                f"embeddings must be fixed-width: got shapes "
+                f"{mat_a.shape} / {mat_b.shape}"
+            )
         acc = np.zeros(len(mat_a), dtype=np.float64)
         for d in range(mat_a.shape[1]):
             acc = acc + mat_a[:, d] * mat_b[:, d]

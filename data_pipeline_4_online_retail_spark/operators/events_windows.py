@@ -2560,12 +2560,15 @@ ABSORB_LOSE = "error"
     "counts and pins agreement to 1e-12, plus the probability bounds "
     "(h strictly interior when both absorbers are reachable). "
     "Dangling journeys (a user's final event) simply do not emit a "
-    "transition — the estimator conditions on a next event existing.",
+    "transition — the estimator conditions on a next event existing. "
+    "A transient state with ZERO observed outgoing transitions has an "
+    "UNDEFINED absorption probability: it is reported as NULL, not "
+    "0.0 (ADVICE r4); inside the solve such a state contributes h=0 — "
+    "the conservative never-converts bound for any state that "
+    "transitions into it, documented rather than hidden.",
     tags=("events", "analytics", "r4e"),
 )
 def ev_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -2578,6 +2581,20 @@ def ev_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     counts = {(r.from_state, r.to_state): r.n for r in pairs.collect()}
+    rows = absorption_rows(counts)
+    return spark.createDataFrame(
+        rows, "state string, n_outgoing long, p_absorb double"
+    )
+
+
+def absorption_rows(counts: dict) -> list:
+    """Solve the absorption race h = Q h + r from integer transition
+    counts; pure driver-side math so the pytest replica can exercise
+    edge cases (e.g. a dangling transient state) on literal counts.
+    Returns (state, n_outgoing, p_absorb) rows; p_absorb is None for a
+    transient state with no observed outgoing transitions."""
+    import numpy as np
+
     states = sorted({s for s, _ in counts} | {t for _, t in counts})
     absorbing = {ABSORB_WIN, ABSORB_LOSE}
     transient = [s for s in states if s not in absorbing]
@@ -2596,13 +2613,16 @@ def ev_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             q[i, j] = counts.get((s, t), 0) / tot
     h = np.linalg.solve(np.eye(n) - q, r)
     rows = [
-        (s, int(out_totals[s]), float(h[i])) for i, s in enumerate(transient)
+        (
+            s,
+            int(out_totals[s]),
+            float(h[i]) if out_totals[s] > 0 else None,
+        )
+        for i, s in enumerate(transient)
     ]
     rows.append((ABSORB_WIN, 0, 1.0))
     rows.append((ABSORB_LOSE, 0, 0.0))
-    return spark.createDataFrame(
-        rows, "state string, n_outgoing long, p_absorb double"
-    )
+    return rows
 
 
 @register(

@@ -700,18 +700,47 @@ def mm_ppm_resize(spark, sf_dir):
 BINARY_SOURCE_DOCS = 64
 
 
+def _source_fingerprint(path: str) -> str:
+    """Stable fingerprint of a parquet file/dir: every file's relative
+    name, size, and mtime_ns. Regenerated fixture data therefore changes
+    the fingerprint and invalidates the /tmp ppm cache (ADVICE r4: a
+    bare _DONE marker served stale files after the source changed)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                rel = os.path.relpath(p, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
 def _materialize_ppm_dir(spark, sf_dir: str) -> str:
     """Write a small deterministic directory of real .ppm files derived
     from the documents table (one file per doc, same raster construction
     as mm_ppm_features), so the binaryFile source reads genuine
-    image-container files from disk. Idempotent per (sf_dir)."""
+    image-container files from disk. Idempotent per (sf_dir, source
+    fingerprint): the marker stores the documents.parquet fingerprint
+    and a mismatch triggers a rebuild."""
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/ppm_files_{tag}"
     marker = os.path.join(out, "_DONE")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                return out
+        for name in os.listdir(out):  # stale: rebuild from scratch
+            os.unlink(os.path.join(out, name))
     os.makedirs(out, exist_ok=True)
     docs = (
         load_tables(spark, sf_dir)
@@ -728,7 +757,7 @@ def _materialize_ppm_dir(spark, sf_dir: str) -> str:
         with open(os.path.join(out, f"doc_{r.doc_id:05d}.ppm"), "wb") as f:
             f.write(encode_ppm_p6(PPM_WIDTH, h, rgb))
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fp)
     return out
 
 
@@ -800,8 +829,13 @@ def mm_binaryfile_source(spark, sf_dir):
 # continuation)
 # ---------------------------------------------------------------------------
 
-PHASH_BAND_BITS = 16
-PHASH_N_BANDS = 4  # 64-bit hash in 4 bands of 16
+# 64-bit hash in 8 bands of 8: pigeonhole guarantees a clean shared band
+# for every pair within hamming distance N_BANDS-1 = 7 >= MAX_HAMMING, so
+# candidate generation is RECALL-COMPLETE for the operator's threshold.
+# (The r4 shape — 4 bands of 16 — only guaranteed distance <= 3; pairs at
+# 4-6 were found only if they happened to share a band. ADVICE r4.)
+PHASH_BAND_BITS = 8
+PHASH_N_BANDS = 8
 PHASH_MAX_HAMMING = 6
 
 
@@ -847,9 +881,10 @@ PHASH_SCHEMA = T.StructType(
     "average-hash (bit = pixel strictly above the image mean; exact "
     "integer arithmetic end-to-end, so the hash is platform-"
     "deterministic without float luma). Candidate pairs come from "
-    "16-bit band collisions (4 bands; pigeonhole guarantees every "
-    "pair within hamming distance 3 shares a clean band), the exact "
-    "hamming distance is computed JVM-side (bit_count(xor)) and pairs "
+    "8-bit band collisions (8 bands; pigeonhole guarantees every "
+    "pair within hamming distance 7 shares a clean band, so recall "
+    "is COMPLETE at the <=6 threshold), the exact hamming distance "
+    "is computed JVM-side (bit_count(xor)) and pairs "
     "at or under 6 are near-dups. Only the per-doc hash runs in "
     "Python (Arrow-batched mapInPandas); banding, the band-bucket "
     "self-join, and the distance filter are all codegen'd column "

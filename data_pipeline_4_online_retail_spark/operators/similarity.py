@@ -514,7 +514,11 @@ def _assign_pandas_udf(centroids: list[list[float]]):
 
     @F.pandas_udf(T.IntegerType())
     def assign(col):
+        if len(col) == 0:  # zero-row Arrow batch -> shape (0,) below
+            return pd.Series([], dtype=np.int32)
         m = np.array(col.tolist(), dtype=np.float64)
+        if m.ndim != 2:  # ragged embeddings build a 1-D object array
+            raise ValueError(f"embeddings must be fixed-width: {m.shape}")
         dists = np.empty((len(m), len(cents)), dtype=np.float64)
         for i, c in enumerate(cents):
             acc = np.zeros(len(m), dtype=np.float64)
