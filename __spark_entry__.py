@@ -107,9 +107,7 @@ _DRIVER_PRIORITY = [
     "op_abc_classification",
     # events / timeseries
     "ev_ab_test_metrics",
-    "ev_dwell_time",
     "ev_cm_heavy_hitters",
-    "ev_conversion_lag",
     "ev_feature_store_pit",
     "ev_ewma_level",
     "ev_time_weighted_avg",
@@ -118,11 +116,16 @@ _DRIVER_PRIORITY = [
     "ev_seasonal_decompose",
     # text
     "text_vocab_growth",
-    "text_oov_rate",
     "text_filter_attrition",
-    # dedup / similarity representatives
+    # dedup / similarity representative
     "dedup_url_canonicalize",
-    "sim_knn_classify",
+    # multimodal — promoted from rows-only to full DuckDB oracles this
+    # round (integer-only outputs re-derived per character; VERDICT r4
+    # item 4), so their first driver rows are hash-checked ones
+    "mm_wav_features",
+    "mm_ppm_features",
+    "mm_binaryfile_source",
+    "mm_phash_dedup",
     # cogrouped applyInPandas mechanism (merge_asof, user_id%64 buckets)
     "op_cogroup_asof",
 ]

@@ -492,7 +492,27 @@ def text_to_pcm16(text: str) -> list[int]:
 
 @register(
     "mm_wav_features",
-    None,  # binary container I/O — pytest replica + stdlib-wave cross-check
+    # Promoted from rows-only (VERDICT r4 item 4): every output column is
+    # an exact integer derived from the document bytes, so DuckDB can
+    # re-derive them per CHARACTER — valid because the corpus is pure
+    # ASCII (code point == UTF-8 byte; verified at sf0.001/0.01/0.1). If
+    # the fixture ever gained non-ASCII text the Spark side (true bytes)
+    # would hash-mismatch this oracle — a loud red, not silent drift.
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    smp AS (
+        SELECT doc_id, L,
+               (ascii(substr(text, CAST(unnest(range(L)) AS INTEGER) + 1, 1))
+                - 128) * 256 AS s
+        FROM d)
+    SELECT doc_id,
+           CAST(L AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(MAX(abs(s)) AS INTEGER) AS peak_abs,
+           CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+               AS sum_sq
+    FROM smp GROUP BY doc_id, L
+    """,
     doc="multimodal: REAL audio-container path — documents' bytes become "
     "PCM16 samples, encoded into genuine RIFF/WAVE files (fmt + data "
     "chunks, struct-packed), then DECODED by parsing the container "
@@ -569,7 +589,31 @@ PPM_WIDTH = 16
 
 @register(
     "mm_ppm_features",
-    None,  # binary container I/O — pytest replica cross-check
+    # Promoted from rows-only (VERDICT r4 item 4): the raster byte at
+    # index j of (raw*3)[:48h] is raw[j % L] whenever 48h <= 3L (true
+    # for L >= 16; corpus min length 44), and the corpus is pure ASCII
+    # so ascii(substr(text, ...)) IS the byte. Non-ASCII or short docs
+    # would hash-mismatch loudly rather than drift.
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS L,
+               greatest(1, greatest(1, length(text) // 3) // 16) AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, text, L, h,
+               CAST(unnest(range(16 * h)) AS INTEGER) AS j
+        FROM d)
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(ascii(substr(text, (3*j)   % L + 1, 1))) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(ascii(substr(text, (3*j+1) % L + 1, 1))) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(ascii(substr(text, (3*j+2) % L + 1, 1))) AS BIGINT)
+               AS sum_b
+    FROM px GROUP BY doc_id, h
+    """,
     doc="multimodal: REAL image-container path — documents' bytes tile "
     "into a 16-wide RGB raster, encoded as genuine binary P6 PPM "
     "(ASCII header + raw triples) and decoded by parsing the header "
@@ -776,7 +820,34 @@ BINFILE_SCHEMA = T.StructType(
 
 @register(
     "mm_binaryfile_source",
-    None,  # filesystem source + binary container I/O — pytest replica
+    # Promoted from rows-only (VERDICT r4 item 4): the .ppm files on disk
+    # are deterministic functions of the documents table, so DuckDB can
+    # re-derive every emitted integer — file_bytes is the P6 header
+    # (11 + digits-of-h bytes) plus the 48h-byte payload, channel sums
+    # use the same raw[j % L] arithmetic as the mm_ppm_features oracle.
+    # A stale or corrupted file on disk now hash-mismatches loudly.
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS L,
+               greatest(1, greatest(1, length(text) // 3) // 16) AS h
+        FROM documents WHERE doc_id < 64),
+    px AS (
+        SELECT doc_id, text, L, h,
+               CAST(unnest(range(16 * h)) AS INTEGER) AS j
+        FROM d)
+    SELECT doc_id,
+           CAST(11 + length(CAST(h AS VARCHAR)) + 48 * h AS BIGINT)
+               AS file_bytes,
+           CAST(16 AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(ascii(substr(text, (3*j)   % L + 1, 1))) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(ascii(substr(text, (3*j+1) % L + 1, 1))) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(ascii(substr(text, (3*j+2) % L + 1, 1))) AS BIGINT)
+               AS sum_b
+    FROM px GROUP BY doc_id, h
+    """,
     doc="multimodal ingestion: Spark's ``binaryFile`` source end-to-end — "
     "real .ppm files on disk (materialized once per sf from the "
     "documents table) are read as (path, length, content) rows, the "
@@ -874,7 +945,51 @@ PHASH_SCHEMA = T.StructType(
 
 @register(
     "mm_phash_dedup",
-    None,  # perceptual hashing over binary thumbnails — pytest replica
+    # Promoted from rows-only (VERDICT r4 item 4): the average-hash is
+    # exact-integer end-to-end AND the 8x8-band LSH is recall-complete
+    # at hamming <= 6 (pigeonhole covers <= 7), so the operator's output
+    # EQUALS all pairs within distance 6 — which DuckDB re-derives from
+    # first principles: thumbnail byte = raw[j % L] (ASCII corpus),
+    # nearest-neighbor source index sy=(i//8)*h//8, sx=2*(i%8), integer
+    # luma, mean threshold, then the 64-bit hash as two 32-bit halves
+    # (BIGINT-safe shifts; hamming = bit_count(xor) per half). This
+    # oracle checks the hash function, the banding recall, AND the
+    # distance filter in one hash comparison.
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS L,
+               greatest(1, greatest(1, length(text) // 3) // 16) AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, text, L,
+               CAST(unnest(range(64)) AS INTEGER) AS i,
+               ((CAST(unnest(range(64)) AS INTEGER) // 8) * h // 8) * 16
+                   + (CAST(unnest(range(64)) AS INTEGER) % 8) * 2 AS sp
+        FROM d),
+    luma AS (
+        SELECT doc_id, i,
+               (ascii(substr(text, (3*sp)   % L + 1, 1)) * 299
+              + ascii(substr(text, (3*sp+1) % L + 1, 1)) * 587
+              + ascii(substr(text, (3*sp+2) % L + 1, 1)) * 114) // 1000 AS y
+        FROM px),
+    lt AS (
+        SELECT doc_id, i, y, SUM(y) OVER (PARTITION BY doc_id) AS total
+        FROM luma),
+    bits AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN y * 64 > total AND i < 32
+                             THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+                   AS lo,
+               CAST(SUM(CASE WHEN y * 64 > total AND i >= 32
+                             THEN (1::BIGINT << (i - 32)) ELSE 0 END)
+                    AS BIGINT) AS hi
+        FROM lt GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INTEGER) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+    """,
     doc="multimodal dedup: PERCEPTUAL-hash near-duplicates — the image "
     "twin of dedup_simhash. Each document's real P6 thumbnail (decode "
     "-> 8x8 nearest-neighbor resize -> integer luma) yields a 64-bit "
