@@ -87,7 +87,6 @@ _DRIVER_PRIORITY = [
     "wh_data_diff_summary",
     "wh_cdc_apply_with_deletes",
     "wh_late_arriving_dim",
-    "wh_compaction_plan",
     "wh_dim_surrogate_assign",
     "wh_scd3_prior_value",
     "wh_bitemporal_asof",
@@ -114,6 +113,9 @@ _DRIVER_PRIORITY = [
     "ev_cusum_alarm",
     "ev_survival_kaplan_meier",
     "ev_seasonal_decompose",
+    # NEW this round (VERDICT item 3: new registrations land in-window):
+    # Holt-Winters triple fold — the r4 backlog stretch item
+    "ev_holt_winters",
     # text
     "text_vocab_growth",
     "text_filter_attrition",

@@ -2445,6 +2445,158 @@ def ev_holt_linear_trend(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters triple exponential smoothing (round 5; the r4 backlog item)
+# ---------------------------------------------------------------------------
+
+HW_ANCHOR_MONDAY = "2024-01-01"  # a Monday; weekday slot = datediff % 7
+
+
+@register(
+    "ev_holt_winters",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT event_type,
+               CAST(cnt AS DOUBLE) AS x,
+               CAST(date_diff('day', DATE '{HW_ANCHOR_MONDAY}', day) % 7
+                    AS INTEGER) AS slot,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        FROM daily),
+    n AS (
+        SELECT event_type, CAST(MAX(i) AS BIGINT) AS n_days
+        FROM seq GROUP BY event_type),
+    hw AS (
+        SELECT event_type, i, x AS l, CAST(0 AS DOUBLE) AS b,
+               [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                CAST(0 AS DOUBLE)] AS s
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT q.event_type, q.i,
+               ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2,
+               ((((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2 - h.l) + h.b) / 2,
+               [CASE WHEN q.slot = 0 THEN ((q.x
+                         - ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2)
+                         + h.s[q.slot + 1]) / 2 ELSE h.s[1] END,
+                CASE WHEN q.slot = 1 THEN ((q.x
+                         - ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2)
+                         + h.s[q.slot + 1]) / 2 ELSE h.s[2] END,
+                CASE WHEN q.slot = 2 THEN ((q.x
+                         - ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2)
+                         + h.s[q.slot + 1]) / 2 ELSE h.s[3] END,
+                CASE WHEN q.slot = 3 THEN ((q.x
+                         - ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2)
+                         + h.s[q.slot + 1]) / 2 ELSE h.s[4] END,
+                CASE WHEN q.slot = 4 THEN ((q.x
+                         - ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2)
+                         + h.s[q.slot + 1]) / 2 ELSE h.s[5] END,
+                CASE WHEN q.slot = 5 THEN ((q.x
+                         - ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2)
+                         + h.s[q.slot + 1]) / 2 ELSE h.s[6] END,
+                CASE WHEN q.slot = 6 THEN ((q.x
+                         - ((q.x - h.s[q.slot + 1]) + h.l + h.b) / 2)
+                         + h.s[q.slot + 1]) / 2 ELSE h.s[7] END]
+        FROM hw h JOIN seq q
+          ON q.event_type = h.event_type AND q.i = h.i + 1)
+    SELECT h.event_type, n.n_days, h.l AS level, h.b AS trend,
+           h.s[1] AS s0, h.s[2] AS s1, h.s[3] AS s2, h.s[4] AS s3,
+           h.s[5] AS s4, h.s[6] AS s5, h.s[7] AS s6
+    FROM hw h JOIN n ON h.event_type = n.event_type AND h.i = n.n_days
+    WHERE n.n_days >= 8
+    """,
+    doc="time series: additive HOLT-WINTERS triple exponential smoothing "
+    "of per-type daily volume (alpha = beta = gamma = 1/2): "
+    "l_t = ((x_t - s_slot) + l + b)/2, b_t = ((l_t - l) + b)/2, "
+    "s_slot' = ((x_t - l_t) + s_slot)/2 — the seasonal-vector "
+    "extension of ev_holt_linear_trend's two-state fold (the r4 "
+    "backlog item). The seasonal state is a 7-slot vector indexed by "
+    "the ACTUAL weekday (days since a fixed Monday, mod 7 — the "
+    "ev_seasonal_decompose anchor trick), so calendar gaps in the "
+    "daily series cannot rotate the seasonality out of phase. "
+    "Engine-exactness: seeded {{l = x_1, b = 0, s = zeros}} and every "
+    "step is subtractions, additions and IEEE halvings in an "
+    "identical left-to-right order on both engines, so the hash "
+    "oracle holds bit-for-bit even where sub-expressions (l_t inside "
+    "b_t and s') are recomputed — the same rounded double either "
+    "way. The oracle carries the recursion as a RECURSIVE CTE with "
+    "the 7-slot vector as a LIST column updated via per-slot CASE "
+    "(DuckDB 1.0's list_reduce struct-lambda bug, documented on "
+    "ev_holt_linear_trend, rules out the fold form there; Spark uses "
+    "aggregate() with transform-by-index for the slot update). "
+    "Scale: the heavy work — per-(type, day) counting — is one "
+    "distributed aggregate; the fold runs over |days| elements per "
+    "type (bounded by calendar span, NOT by data volume: 100x the "
+    "events is the same ~800-element fold). The streaming twin would "
+    "carry (l, b, s[7]) per key in applyInPandasWithState exactly "
+    "like the EWMA tracker.",
+    tags=("events", "analytics", "r5"),
+)
+def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    seq = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("arr")
+    )
+    elems = F.transform(
+        F.col("arr"),
+        lambda r: F.struct(
+            r["cnt"].cast("double").alias("x"),
+            (
+                F.datediff(r["day"], F.lit(HW_ANCHOR_MONDAY).cast("date"))
+                % 7
+            ).alias("slot"),
+        ),
+    )
+
+    def step(acc, q):
+        s_old = F.element_at(acc["s"], q["slot"] + 1)
+        lnew = ((q["x"] - s_old) + acc["l"] + acc["b"]) / 2
+        bnew = ((lnew - acc["l"]) + acc["b"]) / 2
+        snew = ((q["x"] - lnew) + s_old) / 2
+        supd = F.transform(
+            acc["s"],
+            lambda v, i: F.when(i == q["slot"], snew).otherwise(v),
+        )
+        return F.struct(
+            lnew.alias("l"), bnew.alias("b"), supd.alias("s")
+        )
+
+    init = F.struct(
+        F.element_at(elems, 1)["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), 7).alias("s"),
+    )
+    folded = F.aggregate(F.slice(elems, 2, 2_147_483_000), init, step)
+    return (
+        seq.select(
+            "event_type",
+            F.size("arr").cast("long").alias("n_days"),
+            folded.alias("f"),
+        )
+        .filter(F.col("n_days") >= 8)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("f")["l"].alias("level"),
+            F.col("f")["b"].alias("trend"),
+            *[
+                F.element_at(F.col("f")["s"], k + 1).alias(f"s{k}")
+                for k in range(7)
+            ],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Seasonal decomposition (round 4, third continuation)
 # ---------------------------------------------------------------------------
 
