@@ -1,0 +1,80 @@
+"""Timing probe at an arbitrary scale multiple: run the given queries at
+a base dir and a replicated big dir in ONE session and print per-query
+base/big seconds + ratios (min-of-n, noop sink — the bench.py contract).
+
+The scale10 block in bench.py answers "does the plan survive 10x" every
+round; this tool is for the deeper one-shot probes (e.g. 100x — VERDICT
+r4 item 5) without growing the per-round bench runtime.
+
+Usage:
+  python tools/scale_probe.py BASE_DIR BIG_DIR FACTOR [query ...]
+(defaults: the bench HEADLINE set; FACTOR is recorded, not derived)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from bench import HEADLINE
+from data_pipeline_4_online_retail_spark.session import get_spark
+
+
+def time_query(fn, spark, sf_dir, n=2):
+    runs = []
+    for _ in range(n):
+        t = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs.append(time.time() - t)
+    return round(min(runs), 3)
+
+
+def main() -> None:
+    base = sys.argv[1]
+    big = sys.argv[2]
+    factor = int(sys.argv[3])
+    names = sys.argv[4:] or HEADLINE
+    spark = get_spark("scale-probe")
+    qs = entry.queries()
+    out = {
+        "metric": f"scale{factor}_probe",
+        "base": base,
+        "big": big,
+        "factor": factor,
+        "base_sec": {},
+        "big_sec": {},
+        "ratio": {},
+        "errors": {},
+    }
+    # warmup both catalogs
+    for d in (base, big):
+        try:
+            qs["op_order_by_full"](spark, d).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            out["errors"][f"_warmup:{d}"] = str(exc)[:200]
+    for name in names:
+        try:
+            out["base_sec"][name] = time_query(qs[name], spark, base)
+            out["big_sec"][name] = time_query(qs[name], spark, big)
+            out["ratio"][name] = round(
+                out["big_sec"][name] / max(out["base_sec"][name], 1e-9), 2
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
+    bs = sum(out["base_sec"].values())
+    gs = sum(out["big_sec"].values())
+    out["base_total_sec"] = round(bs, 3)
+    out["big_total_sec"] = round(gs, 3)
+    out["total_ratio"] = round(gs / max(bs, 1e-9), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
