@@ -179,8 +179,23 @@ _COMPACT_KEYS = (
     "tpch_total_sec",
     "scale10_total_sec",
     "scale10_total_ratio",
+    "cal_1t_sec",
     "cpus",
 )
+
+
+def _calibrate_host() -> float:
+    """Single-thread CPU reference: seconds for a fixed 10M-iteration
+    Python add loop. Every BENCH line carries it so cross-round timing
+    comparisons can be normalized for host speed — r5 measured the same
+    committed tree 1.3-1.5x slower than r4's idle band on every query
+    INCLUDING the JVM warmup, i.e. the host, not the code, had changed.
+    """
+    t = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return round(time.time() - t, 3)
 
 
 def _emit(result: dict, out_dir: str | None = None) -> None:
@@ -226,6 +241,7 @@ def main() -> None:
     }
     errors: dict[str, str] = result["errors"]
     try:
+        result["cal_1t_sec"] = _calibrate_host()
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         try:
             result["sf"] = float(sf)
