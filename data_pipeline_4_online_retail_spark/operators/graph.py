@@ -40,6 +40,23 @@ DAMPING = 0.85
 N_ITER = 10
 CHECKPOINT_EVERY = 4
 
+_RETAINED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() + track for scoped release (same pattern as dedup.py:73
+    — caches live until the next graph query's entry, and long sessions
+    can call release_caches() explicitly)."""
+    out = df.persist()
+    _RETAINED.append(out)
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every tracked graph cache."""
+    while _RETAINED:
+        _RETAINED.pop().unpersist()
+
 
 def copurchase_edges(li: DataFrame) -> DataFrame:
     """Symmetric weighted edge list (src, dst, w) — w = co-order count,
@@ -242,38 +259,57 @@ def graph_itemcf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir).table("lineitem")
     bp = li.select("l_orderkey", "l_partkey").distinct()
+    # Attach each item's basket count BEFORE the self-join instead of
+    # joining a popularity table onto the co-occurrence aggregate twice:
+    # pop is items-sized, which broadcasts at small SF but NOT at scale
+    # (20M items at the sf10 probe flipped both joins to sort-merge and
+    # re-shuffled the pair table twice — the probe's 79x ratio). Carrying
+    # n_baskets through the pair aggregate (constant within each
+    # (item_a, item_b) group, so MIN is exact) costs 16 bytes per
+    # partial-agg row and removes both pair-table shuffles; the
+    # bp-by-partkey exchange is shared with pop's own aggregate.
     pop = bp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_baskets"))
-    a = bp.alias("a")
-    b = bp.alias("b")
+    # Persist the annotated basket table: without it the scan+distinct
+    # subtree materializes once per self-join side (the sf10 probe showed
+    # 4 copies — a and b sides plus pop's two derivations — at ~16 s per
+    # 60M-row distinct). Scoped like the dedup caches; at 100 TB this is
+    # the persisted signature-store shape (SCALING.md "what changes").
+    release_caches()
+    bpn = _persist(bp.join(pop, "l_partkey"))
+    a = bpn.alias("a")
+    b = bpn.alias("b")
+    # repartition by item_a BEFORE the pair aggregate: hash(item_a)
+    # satisfies ClusteredDistribution for BOTH the (item_a, item_b)
+    # groupBy and the top-N window, so the 240M-row pair stream is
+    # exchanged ONCE instead of twice (pair-key shuffle + window
+    # shuffle). The forgone map-side partial agg would only help when
+    # (item_a, item_b) repeats heavily pre-shuffle; the probe measured
+    # 239.2M distinct of 239.9M raw pairs (reduction factor 1.003).
     cooc = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
+        .repartition(F.col("a.l_partkey"))
         .groupBy(
             F.col("a.l_partkey").alias("item_a"),
             F.col("b.l_partkey").alias("item_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_cooc"))
-    )
-    pa = pop.alias("pa")
-    pb = pop.alias("pb")
-    scored = (
-        cooc.join(pa, F.col("item_a") == F.col("pa.l_partkey"))
-        .join(pb, F.col("item_b") == F.col("pb.l_partkey"))
-        .select(
-            "item_a",
-            "item_b",
-            "n_cooc",
-            (
-                F.col("n_cooc").cast("double")
-                / F.sqrt(
-                    F.col("pa.n_baskets").cast("double")
-                    * F.col("pb.n_baskets").cast("double")
-                )
-            ).alias("cosine_sim"),
+        .agg(
+            F.count(F.lit(1)).alias("n_cooc"),
+            F.min(F.col("a.n_baskets")).alias("na"),
+            F.min(F.col("b.n_baskets")).alias("nb"),
         )
+    )
+    scored = cooc.select(
+        "item_a",
+        "item_b",
+        "n_cooc",
+        (
+            F.col("n_cooc").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("item_a").orderBy(
         F.desc("cosine_sim"), F.desc("n_cooc"), F.asc("item_b")
