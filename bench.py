@@ -180,6 +180,7 @@ _COMPACT_KEYS = (
     "scale10_total_sec",
     "scale10_total_ratio",
     "cal_1t_sec",
+    "cal_1t_end_sec",
     "cpus",
 )
 
@@ -190,6 +191,13 @@ def _calibrate_host() -> float:
     comparisons can be normalized for host speed — r5 measured the same
     committed tree 1.3-1.5x slower than r4's idle band on every query
     INCLUDING the JVM warmup, i.e. the host, not the code, had changed.
+
+    Measured at process start (cal_1t_sec) AND after the last tier
+    (cal_1t_end_sec): one r5 run read 0.49 at start yet timed the 1x
+    tier ~2x slow with scale10_total_ratio 0.63 — the host drifted
+    WITHIN the run, so a single sample can't vouch for the middle.
+    Disagreeing start/end brackets mean "discard the absolutes, trust
+    only intra-tier ratios"; agreeing ones calibrate the whole run.
     """
     t = time.time()
     s = 0
@@ -325,6 +333,7 @@ def main() -> None:
                 errors["_scale10"] = f"{type(exc).__name__}: {exc}"[:500]
 
         result["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        result["cal_1t_end_sec"] = _calibrate_host()
     except Exception:  # noqa: BLE001 — emit whatever we have, plus the trace
         errors["_harness"] = traceback.format_exc()[-1000:]
     _emit(result)
