@@ -1006,7 +1006,15 @@ PHASH_SCHEMA = T.StructType(
     "expressions. Scale: identical to the MinHash/SimHash tier — "
     "map-side signatures, one shuffle on (band, value), O(colliding "
     "pairs) join; at 100 TB the thumbnail bytes never shuffle, only "
-    "8-byte hashes do.",
+    "8-byte hashes do. Honest cap: 8-bit bands give 256 buckets per "
+    "band, so colliding pairs grow ~quadratically once the corpus "
+    "far exceeds ~256x the per-bucket comfort size — guaranteed-"
+    "recall banding of a 64-bit hash at distance 6 cannot use wider "
+    "bands (pigeonhole needs >= 7). Web-scale phash dedup therefore "
+    "trades exactness for key width: wider bands + multi-probe, or "
+    "BK-tree/sorted-rotation sharding, accepting probabilistic "
+    "recall at 4-6 — the measured-linear regime here (2.26M pairs "
+    "at 50k docs, x100 copies linear) is the within-capacity case.",
     tags=("multimodal", "dedup", "r4e"),
 )
 def mm_phash_dedup(spark, sf_dir):
