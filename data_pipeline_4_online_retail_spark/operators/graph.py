@@ -169,7 +169,14 @@ def graph_triangle_count(spark, sf_dir):
     li = load_tables(spark, sf_dir).table("lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     a, b = basket.alias("a"), basket.alias("b")
-    edges = (
+    # Persist the pruned edge list: it feeds all THREE sides of the
+    # triangle join, and without the cache the basket self-join + pair
+    # aggregate subtree (the expensive part — the edge list itself is
+    # tiny after support pruning) re-materializes per side, exactly the
+    # 4x-subtree cost the sf10 probe found in itemcf. Scoped release,
+    # same pattern as the dedup caches.
+    release_caches()
+    edges = _persist(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
