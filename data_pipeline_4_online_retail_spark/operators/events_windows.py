@@ -1663,12 +1663,21 @@ def ev_funnel_dropoff(spark, sf_dir):
     "overlapping, matching the closed-interval convention of "
     "ev_interval_coverage; which reports union LENGTH, while this "
     "reports overlap DEPTH). first_peak_us pins WHEN capacity is "
-    "needed. The global endpoint sort is the one wide op; at 100 TB "
-    "range-partition by time and carry per-partition boundary sums — "
-    "the same hierarchical prefix trick as op_skyline_pareto.",
+    "needed. Scale (r6 rewrite): the running sum is computed with "
+    "functions/prefix.py's range-bucket + boundary-carry decomposition "
+    "— endpoints hash-exchange on a time-quantile bucket id (parallel), "
+    "per-bucket partial sums carry as a broadcast offset — so no "
+    "fact-sized window ever moves to a single partition; the final "
+    "(peak, first_t) is one ordinary max-of-struct aggregate (live "
+    "ASC, -t ASC breaks ties toward the EARLIEST peak instant), not a "
+    "second global window.",
     tags=("events", "r4c"),
 )
 def ev_peak_concurrency(spark, sf_dir):
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_prefix,
+    )
+
     e = _events(spark, sf_dir)
     iv = e.select(
         (F.unix_micros("ts") - COVERAGE_HALF_WINDOW_US).alias("s"),
@@ -1683,22 +1692,22 @@ def ev_peak_concurrency(spark, sf_dir):
         F.lit(1).alias("is_end"),
     )
     endpoints = starts.unionByName(ends)
-    w = Window.orderBy("t", "is_end", F.desc("delta")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    swept = global_prefix(
+        endpoints,
+        ["t", "is_end", F.desc("delta")],
+        {"live": ("sum", F.col("delta"), True)},
+        F.col("t"),
     )
-    swept = endpoints.withColumn("live", F.sum("delta").over(w))
-    peak = F.max("live").over(Window.partitionBy())
-    return (
-        swept.withColumn("peak", peak)
-        .agg(
-            F.max("live").cast("long").alias("peak_concurrent"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
-            F.min(
-                F.when(F.col("live") == F.col("peak"), F.col("t"))
-            )
-            .cast("long")
-            .alias("first_peak_us"),
-        )
+    # max-of-struct: greatest live, then (equal live) greatest -t = min t.
+    best = F.max(
+        F.struct(F.col("live").alias("live"), (-F.col("t")).alias("neg_t"))
+    )
+    return swept.agg(
+        best.alias("__best"), F.count(F.lit(1)).alias("__cnt")
+    ).select(
+        F.col("__best.live").cast("long").alias("peak_concurrent"),
+        (F.col("__cnt") / 2).cast("long").alias("n_intervals"),
+        (-F.col("__best.neg_t")).cast("long").alias("first_peak_us"),
     )
 
 

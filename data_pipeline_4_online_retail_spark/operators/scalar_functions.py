@@ -678,19 +678,41 @@ def op_regression_closed_form(spark, sf_dir):
     "also how per-segment scores are made comparable). Mechanism: "
     "percent_rank per group and globally — (rank-1)/(n-1), an exact "
     "integer ratio, bit-identical across engines — then the familiar "
-    "union-then-window as-of: one sort over (p, tag) and a running "
-    "last_value(IGNORE NULLS) picks the greatest global value at-or-"
-    "below each group quantile. No range join, no per-row subquery. "
-    "Scale: the global rank is the one full sort (range-partitioned); "
-    "everything after rides the same order.",
+    "union-then-window as-of: order by (p, tag) and a running "
+    "last-global-value-at-or-below picks the greatest global value "
+    "at each group quantile. No range join, no per-row subquery. "
+    "Scale (r6 rewrite): BOTH formerly-global windows run through "
+    "functions/prefix.py. The global rank is a range-bucketed prefix "
+    "COUNT ((rank-1)/(n-1) re-derives percent_rank exactly — "
+    "o_orderkey makes the order total, so rank == row_number); the "
+    "as-of lookup is a range-bucketed prefix MAX of struct(p, val) "
+    "over tag-0 rows (p is strictly increasing on the global side, so "
+    "the struct max IS the latest at-or-below global value — "
+    "last_value IGNORE NULLS re-expressed associatively, which is "
+    "what lets per-bucket partials carry). The per-priority "
+    "percent_rank stays a partitioned window (5 bounded groups).",
     tags=("stats", "r4c"),
 )
 def op_quantile_normalization(spark, sf_dir):
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_prefix,
+    )
+
     o = _t(spark, sf_dir, "orders")
-    glob = o.select(
+    n_row = o.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = global_prefix(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        {"__rank": ("count", F.lit(1), True)},
+        F.col("o_totalprice"),
+    )
+    glob = ranked.crossJoin(F.broadcast(n_row)).select(
         F.col("o_totalprice").alias("val"),
-        F.percent_rank()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        F.when(
+            F.col("__n") > 1,
+            (F.col("__rank") - 1).cast("double") / (F.col("__n") - 1),
+        )
+        .otherwise(F.lit(0.0))
         .alias("p"),
         F.lit(0).alias("tag"),
         F.lit(None).cast("long").alias("okey"),
@@ -710,15 +732,21 @@ def op_quantile_normalization(spark, sf_dir):
         F.col("o_orderpriority").alias("grp"),
     )
     u = glob.unionByName(grouped)
-    w = Window.orderBy(
-        "p", "tag", "val", F.col("okey").asc_nulls_first()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mapped = u.withColumn(
-        "normalized",
-        F.last(F.when(F.col("tag") == 0, F.col("val")), ignorenulls=True).over(
-            w
-        ),
-    )
+    mapped = global_prefix(
+        u,
+        ["p", "tag", "val", F.col("okey").asc_nulls_first()],
+        {
+            "__gmax": (
+                "max",
+                F.when(
+                    F.col("tag") == 0,
+                    F.struct(F.col("p").alias("gp"), F.col("val").alias("gv")),
+                ),
+                True,
+            )
+        },
+        F.col("p"),
+    ).withColumn("normalized", F.col("__gmax.gv"))
     return mapped.filter(F.col("tag") == 1).select(
         F.col("okey").alias("o_orderkey"),
         F.col("grp").alias("o_orderpriority"),
