@@ -257,15 +257,34 @@ CF_TOP_N = 5
     "aggregate shuffles on item pairs (bounded by sum of basket "
     "sizes squared); at 100 TB cap basket size first (power-law "
     "baskets are the known skew: a 10k-item basket contributes 1e8 "
-    "pairs — drop or sample mega-baskets, the standard itemCF "
-    "mitigation).",
+    "pairs). The opt-in max_basket parameter implements that cap: "
+    "baskets larger than max_basket are DROPPED before the self-join "
+    "(the standard itemCF mitigation — a 10k-item 'basket' is a "
+    "crawler or a warehouse transfer, not a preference signal), "
+    "bounding the pair stream at |baskets| * max_basket^2 and the "
+    "popularity counts consistently with it. Default None keeps the "
+    "registered oracle semantics bit-identical.",
     tags=("graph", "retail", "similarity", "r4d"),
 )
-def graph_itemcf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_itemcf_recs(
+    spark: SparkSession, sf_dir: str, max_basket: int | None = None
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     li = load_tables(spark, sf_dir).table("lineitem")
     bp = li.select("l_orderkey", "l_partkey").distinct()
+    if max_basket is not None:
+        # One extra orderkey-grouped pass; n_baskets (popularity) is
+        # recomputed AFTER the drop so cosine stays a true cosine over
+        # the surviving basket set.
+        sizes = bp.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("__basket_n")
+        )
+        bp = (
+            bp.join(sizes, "l_orderkey")
+            .filter(F.col("__basket_n") <= max_basket)
+            .drop("__basket_n")
+        )
     # Attach each item's basket count BEFORE the self-join instead of
     # joining a popularity table onto the co-occurrence aggregate twice:
     # pop is items-sized, which broadcasts at small SF but NOT at scale

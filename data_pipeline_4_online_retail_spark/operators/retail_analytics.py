@@ -83,6 +83,106 @@ def op_rfm_segments(spark, sf_dir):
     )
 
 
+_RFM_QS = (0.25, 0.5, 0.75)
+_RFM_DELTA = 0.02  # rank tolerance: approx cutoff must land between the
+# exact continuous quantiles at q±delta
+
+
+def _rfm_approx_oracle() -> str:
+    """9-branch UNION ALL: each (dimension, q) flag re-derived with
+    DuckDB's own approx_quantile vs its own exact quantile_cont envelope."""
+    dims = {
+        "recency_us": "rec_us",
+        "frequency": "frequency",
+        "monetary": "monetary",
+    }
+    branches = []
+    for dim, col in dims.items():
+        for q in _RFM_QS:
+            lo, hi = q - _RFM_DELTA, q + _RFM_DELTA
+            branches.append(
+                f"SELECT '{dim}' AS dimension, CAST({q} AS DOUBLE) AS q,\n"
+                f"  CAST(approx_quantile({col}, {q})\n"
+                f"       BETWEEN quantile_cont({col}, {lo})\n"
+                f"           AND quantile_cont({col}, {hi}) AS INT)\n"
+                f"       AS within_bound,\n"
+                f"  CAST(COUNT(*) AS BIGINT) AS n_customers\n"
+                f"FROM per_cust"
+            )
+    body = "\n    UNION ALL\n    ".join(branches)
+    return f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS rec_us,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey)
+    {body}
+    """
+
+
+@register(
+    "op_rfm_segments_approx",
+    _rfm_approx_oracle(),
+    doc="retail analytics: the PRODUCTION (scale-safe) variant of "
+    "op_rfm_segments' quartile machinery — approx_percentile cutoffs "
+    "computed in ONE pass over the per-customer aggregate (fixed-size "
+    "mergeable sketches; no |customers|-row single-partition ntile "
+    "sort), the cutoffs each engine would broadcast back for map-side "
+    "CASE scoring. Sketch values differ across engines, so the "
+    "hash-checked contract follows op_agg_approx_distinct: each engine "
+    "compares its OWN approx cutoff against its OWN exact continuous "
+    "quantiles at q±2% rank and emits within_bound per (dimension, "
+    "quartile) — 9 rows; a drifting sketch flips a flag and reds the "
+    "driver row. n_customers (exact, engine-identical) anchors the "
+    "hash. The cutoff→ntile scoring agreement itself is pinned by "
+    "tests/test_r4b_ops.py::"
+    "test_rfm_ntile_agrees_with_percentile_cutoff_path. Recency uses "
+    "epoch-microseconds of the last order (timestamps aren't "
+    "percentile-able directly on either engine).",
+    tags=("retail", "r6"),
+)
+def op_rfm_segments_approx(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.unix_micros(F.max("o_orderdate")).alias("rec_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    qs = list(_RFM_QS)
+    env = [q - _RFM_DELTA for q in qs] + [q + _RFM_DELTA for q in qs]
+    aggs = [F.count(F.lit(1)).alias("n_customers")]
+    for col in ("rec_us", "frequency", "monetary"):
+        aggs.append(F.percentile_approx(col, qs, 10000).alias(f"__a_{col}"))
+        aggs.append(F.percentile(col, env).alias(f"__e_{col}"))
+    stats = per_cust.agg(*aggs)
+    dim_names = {
+        "rec_us": "recency_us",
+        "frequency": "frequency",
+        "monetary": "monetary",
+    }
+    rows = []
+    for col, dim in dim_names.items():
+        for i, q in enumerate(qs):
+            approx = F.col(f"__a_{col}")[i].cast("double")
+            lo = F.col(f"__e_{col}")[i]
+            hi = F.col(f"__e_{col}")[i + len(qs)]
+            rows.append(
+                F.struct(
+                    F.lit(dim).alias("dimension"),
+                    F.lit(float(q)).alias("q"),
+                    ((approx >= lo) & (approx <= hi))
+                    .cast("int")
+                    .alias("within_bound"),
+                    F.col("n_customers").cast("long").alias("n_customers"),
+                )
+            )
+    return stats.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
 @register(
     "op_market_basket_pairs",
     f"""
