@@ -2471,8 +2471,8 @@ HW_ANCHOR_MONDAY = "2024-01-01"  # a Monday; weekday slot = datediff % 7
     seq AS (
         SELECT event_type,
                CAST(cnt AS DOUBLE) AS x,
-               CAST(date_diff('day', DATE '{HW_ANCHOR_MONDAY}', day) % 7
-                    AS INTEGER) AS slot,
+               CAST(((date_diff('day', DATE '{HW_ANCHOR_MONDAY}', day)
+                      % 7) + 7) % 7 AS INTEGER) AS slot,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
         FROM daily),
     n AS (
@@ -2559,9 +2559,13 @@ def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arr"),
         lambda r: F.struct(
             r["cnt"].cast("double").alias("x"),
-            (
-                F.datediff(r["day"], F.lit(HW_ANCHOR_MONDAY).cast("date"))
-                % 7
+            # pmod, not %: a day BEFORE the anchor must still land in
+            # 0..6 on both engines (ADVICE r5: Spark element_at errors
+            # at index 0 while DuckDB s[0] returns NULL — divergent
+            # failures instead of one loud red).
+            F.pmod(
+                F.datediff(r["day"], F.lit(HW_ANCHOR_MONDAY).cast("date")),
+                F.lit(7),
             ).alias("slot"),
         ),
     )
@@ -2626,8 +2630,8 @@ SEASONAL_ANCHOR_MONDAY = "2024-01-01"  # a Monday; weekday = datediff % 7
         FROM daily
         WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
     detrended AS (
-        SELECT date_diff('day', DATE '{SEASONAL_ANCHOR_MONDAY}', day) % 7
-                   AS weekday,
+        SELECT ((date_diff('day', DATE '{SEASONAL_ANCHOR_MONDAY}', day)
+                 % 7) + 7) % 7 AS weekday,
                7 * cnt - trend_num AS detr_num
         FROM windowed WHERE n_in_frame = 7)
     SELECT CAST(weekday AS INT) AS weekday,
@@ -2673,11 +2677,13 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_in_frame"),
     ).filter(F.col("n_in_frame") == 7)
     detrended = windowed.select(
-        (
+        # pmod: pre-anchor days stay in 0..6 (same ADVICE r5 class as
+        # ev_holt_winters).
+        F.pmod(
             F.datediff(
                 F.col("day"), F.lit(SEASONAL_ANCHOR_MONDAY).cast("date")
-            )
-            % 7
+            ),
+            F.lit(7),
         ).alias("weekday"),
         (F.lit(7) * F.col("cnt") - F.col("trend_num")).alias("detr_num"),
     )

@@ -772,20 +772,25 @@ def _materialize_ppm_dir(spark, sf_dir: str) -> str:
     as mm_ppm_features), so the binaryFile source reads genuine
     image-container files from disk. Idempotent per (sf_dir, source
     fingerprint): the marker stores the documents.parquet fingerprint
-    and a mismatch triggers a rebuild."""
+    and a mismatch triggers a rebuild. The rebuild is ATOMIC (ADVICE
+    r5): files are written into a tmp sibling and os.replace'd into
+    place, so a concurrent session (bench + pytest sharing the sf tag)
+    only ever sees a complete old or complete new directory; readers
+    that raced the swap re-read through the fingerprint check."""
     import os
+    import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/ppm_files_{tag}"
     marker = os.path.join(out, "_DONE")
     fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == fp:
-                return out
-        for name in os.listdir(out):  # stale: rebuild from scratch
-            os.unlink(os.path.join(out, name))
-    os.makedirs(out, exist_ok=True)
+        try:
+            with open(marker) as f:
+                if f.read().strip() == fp:
+                    return out
+        except OSError:
+            pass  # marker vanished mid-race: fall through to rebuild
     docs = (
         load_tables(spark, sf_dir)
         .table("documents")
@@ -793,15 +798,31 @@ def _materialize_ppm_dir(spark, sf_dir: str) -> str:
         .filter(F.col("doc_id") < BINARY_SOURCE_DOCS)
         .collect()
     )
+    tmp = f"{out}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     for r in docs:
         raw = r.text.encode("utf-8")
         n_px = max(1, len(raw) // 3)
         h = max(1, n_px // PPM_WIDTH)
         rgb = (raw * 3)[: PPM_WIDTH * h * 3]
-        with open(os.path.join(out, f"doc_{r.doc_id:05d}.ppm"), "wb") as f:
+        with open(os.path.join(tmp, f"doc_{r.doc_id:05d}.ppm"), "wb") as f:
             f.write(encode_ppm_p6(PPM_WIDTH, h, rgb))
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(fp)
+    # single-syscall publish; a race loser discards its (byte-identical,
+    # same fingerprint) build and uses the winner's
+    old = f"{out}.old.{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.rename(out, old)  # move any stale dir aside
+    except FileNotFoundError:
+        pass
+    try:
+        os.rename(tmp, out)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner published
+    shutil.rmtree(old, ignore_errors=True)
     return out
 
 

@@ -93,6 +93,54 @@ def test_itemcf_max_basket_bounds_pair_count(spark, basket_dirs):
     assert n_pairs <= pairs_capped
 
 
+def test_holt_winters_pre_anchor_dates(spark, tmp_path):
+    """ADVICE r5: a day BEFORE the 2024-01-01 anchor must land in slot
+    0..6 on BOTH engines (pmod / double-mod), not error at element_at(0)
+    or silently wrap — engine-agreement is checked end-to-end here."""
+    import datetime
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from data_pipeline_4_online_retail_spark.plans.registry import REGISTRY
+
+    rows = []
+    eid = 0
+    for d in range(-9, 6):  # 2023-12-23 .. 2024-01-06 straddles the anchor
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        for k in range((d % 3) + 1):
+            rows.append((eid, "click", day + datetime.timedelta(hours=k)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    sf_dir = str(tmp_path / "pre_anchor")
+    df.write.parquet(f"{sf_dir}/events.parquet")
+
+    sdf = entry.queries()["ev_holt_winters"](spark, sf_dir)
+    s_rows = sorted(tuple(r) for r in sdf.collect())
+    assert s_rows, "spark side returned nothing"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    d_rows = sorted(tuple(r) for r in con.execute(
+        REGISTRY["ev_holt_winters"].oracle
+    ).fetchall())
+    assert s_rows == d_rows  # bit-exact recursion, incl. pre-anchor slots
+
+    # seasonal profile shares the anchor-mod hazard; both engines agree
+    sdf2 = entry.queries()["ev_seasonal_decompose"](spark, sf_dir)
+    s2 = sorted(tuple(r) for r in sdf2.collect())
+    d2 = sorted(tuple(r) for r in con.execute(
+        REGISTRY["ev_seasonal_decompose"].oracle
+    ).fetchall())
+    assert s2 == d2
+    assert all(0 <= r[0] <= 6 for r in s2)
+
+
 def test_itemcf_default_unchanged_on_fixture(spark):
     """max_basket=None is the registered path — bit-identical to before
     (the sf0.001 fixture has no basket over the cap anyway, so capping at

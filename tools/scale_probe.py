@@ -68,8 +68,13 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             out["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
-    bs = sum(out["base_sec"].values())
-    gs = sum(out["big_sec"].values())
+    # Totals ONLY over names timed at BOTH dirs — a query that succeeds
+    # at base but errors at big would otherwise skew total_ratio by
+    # summing different query sets (ADVICE r5).
+    both = sorted(set(out["base_sec"]) & set(out["big_sec"]))
+    bs = sum(out["base_sec"][n] for n in both)
+    gs = sum(out["big_sec"][n] for n in both)
+    out["total_over"] = both
     out["base_total_sec"] = round(bs, 3)
     out["big_total_sec"] = round(gs, 3)
     out["total_ratio"] = round(gs / max(bs, 1e-9), 2)
