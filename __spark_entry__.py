@@ -45,91 +45,84 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 5. The driver checks the FIRST 50
-# registrations; after r4 the cross-round union stood at 165/286 with
-# 121 registrations never driver-checked (tools/rotation_audit.py).
-# VERDICT r4 item 2 set the targets: union >= 215 and never-checked
-# <= 75 after this round — arithmetic that requires ALL 50 slots to go
-# to the never-checked backlog, so this window carries ZERO repeat
-# controls (defensible: 0 reds anywhere, every r4 window row green, the
-# former controls' code paths are untouched this round, and
-# tests/test_schema_sweep.py re-analyzes every registration's plan in
-# pytest so a type-signature regression still surfaces without a slot).
-# Slots go to whole never-checked TIERS so each module earns driver
-# rows: the 10 classic-shape TPC-H, all 10 warehouse ops, all 3
-# graph-oracled + all 3 governance, the 5 retail-analytics/FP&A ops,
-# 3 semistructured, 10 events/timeseries, 3 text, dedup/sim reps, and
-# the cogrouped-asof mechanism. Remaining backlog after r5: ~72
-# (52 oracled + the rows-only tier) — r6's window covers the oracled
-# rest. All 286 remain covered every round by tools/oracle_check.py +
-# tools/vanilla_sweep.py (NOTES_r5).
+# Driver-visible ordering, round 6. The driver checks the FIRST 50
+# registrations; after r5 the cross-round union stood at 215/287 with
+# 72 never driver-checked (57 of them fully oracled —
+# tools/rotation_audit.py). VERDICT r5 item 1: rotate the window onto
+# the never-checked backlog, target union >= 265. All 50 slots again go
+# to NEVER-CHECKED names (49 of the 57 oracled backlog + the round's
+# one new registration, op_rfm_segments_approx — itself never checked);
+# zero repeat controls, same justification as r5 (0 reds ever, former
+# windows' code paths re-proven by tools/oracle_check.py +
+# tools/vanilla_sweep.py each round, tests/test_schema_sweep.py pins
+# every registration's analyzed plan). Three of the slots —
+# ev_peak_concurrency, op_skyline_pareto, op_quantile_normalization —
+# are the r6 range-bucket prefix rewrites (VERDICT item 2), so their
+# first driver rows also certify the rewrite. Deferred to r7: the
+# remaining 8 oracled (op_parameterized_sql, op_sql_pipe_syntax,
+# op_transpose_summary, op_stack_long_format, dedup_minhash_estimate,
+# sim_knn_classify, ev_gap_fill_forward, op_histogram_fixed_bins) +
+# the rows-only tier — together they fit r7's window with room.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # classic-shape TPC-H (mechanisms subsumed by the r4-checked 12,
-    # now earning their own driver rows)
-    "tpch_q03",
-    "tpch_q04",
-    "tpch_q05",
-    "tpch_q06",
-    "tpch_q07",
-    "tpch_q08",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q19",
-    # semistructured siblings
-    "ev_props_json_filter",
-    "ev_props_csv_and_xpath",
-    "ev_props_variant_explode",
-    # warehouse tier — closes it completely
-    "wh_foreign_key_check",
-    "wh_scd2_asof_join",
-    "wh_data_diff_summary",
-    "wh_cdc_apply_with_deletes",
-    "wh_late_arriving_dim",
-    "wh_dim_surrogate_assign",
-    "wh_scd3_prior_value",
-    "wh_bitemporal_asof",
-    "wh_scd6_hybrid",
-    # graph (oracled members) + governance — closes both
-    "graph_triangle_count",
-    "graph_itemcf_recs",
-    "graph_bfs_distances",
-    "gov_pii_scan_report",
-    "gov_row_level_security",
-    "gov_k_anonymity",
-    # retail analytics / FP&A — closes it
-    "op_revenue_bridge",
-    "op_did_analysis",
-    "op_gini_revenue_concentration",
-    "op_lorenz_curve",
-    "op_abc_classification",
-    # events / timeseries
-    "ev_ab_test_metrics",
-    "ev_cm_heavy_hitters",
-    "ev_feature_store_pit",
-    "ev_ewma_level",
-    "ev_time_weighted_avg",
-    "ev_cusum_alarm",
-    "ev_survival_kaplan_meier",
-    "ev_seasonal_decompose",
-    # NEW this round (VERDICT item 3: new registrations land in-window):
-    # Holt-Winters triple fold — the r4 backlog stretch item
-    "ev_holt_winters",
+    # relational / SQL-surface micro-ops
+    "op_map_functions",
+    "op_date_spine",
+    "op_percent_change_mom",
+    "op_group_sample_exact_k",
+    "op_sql_scripting",
+    "op_skyline_pareto",
+    "op_not_in_null_semantics",
+    "op_moving_average_centered",
+    "op_explode_outer",
+    "op_set_ops_all",
+    "op_null_safe_join",
+    "op_collation_group",
+    "op_window_nth_value",
+    "op_sql_udf",
+    "op_constraint_check",
+    "op_map_in_arrow",
+    "op_udtf_polymorphic",
+    "op_pandas_api_groupby",
+    # dedup / similarity (oracled never-checked members)
+    "dedup_lsh_recall_report",
+    "sim_range_search",
+    "sim_ann_recall_report",
     # text
-    "text_vocab_growth",
-    "text_filter_attrition",
-    # dedup / similarity representative
-    "dedup_url_canonicalize",
-    # multimodal — promoted from rows-only to full DuckDB oracles this
-    # round (integer-only outputs re-derived per character; VERDICT r4
-    # item 4), so their first driver rows are hash-checked ones
-    "mm_wav_features",
-    "mm_ppm_features",
-    "mm_binaryfile_source",
-    "mm_phash_dedup",
-    # cogrouped applyInPandas mechanism (merge_asof, user_id%64 buckets)
-    "op_cogroup_asof",
+    "text_oov_rate",
+    "text_dup_span_keep_first",
+    "text_temperature_resample",
+    "text_split_leakage_audit",
+    # events / timeseries — closes the oracled backlog of the tier
+    "ev_dwell_time",
+    "ev_burst_detection",
+    "ev_cohort_ltv",
+    "ev_interval_coverage",
+    "ev_audience_overlap",
+    "ev_seasonality_profile",
+    "ev_rolling_wau",
+    "ev_funnel_dropoff",
+    "ev_peak_concurrency",
+    "ev_bounce_rate",
+    "ev_conversion_lag",
+    "ev_forecast_backtest",
+    "ev_holt_linear_trend",
+    "ev_interarrival_percentiles",
+    "ev_nearest_join",
+    # statistics tier
+    "op_crosstab_chi2",
+    "op_regression_closed_form",
+    "op_quantile_normalization",
+    "op_benford_first_digit",
+    "op_weighted_median",
+    "op_group_moments_mergeable",
+    "op_median_absolute_deviation",
+    "op_pandas_udaf_trimmed_mean",
+    # warehouse straggler (displaced from the r5 window)
+    "wh_compaction_plan",
+    # NEW this round (lands in-window per the r4/r5 convention):
+    # the RFM approx-percentile production variant, bounded oracle
+    "op_rfm_segments_approx",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -145,8 +145,30 @@ def _run(qs, name, spark, sf_dir, n_runs, errors):
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             return None
+        finally:
+            _release_query_caches()
         runs.append(time.time() - t)
     return runs
+
+
+def _release_query_caches() -> None:
+    """Unpersist graph-query scratch tables after materialization (ADVICE
+    r5: they were only released on the NEXT graph query's entry, holding
+    executor memory under every later timing)."""
+    try:
+        from data_pipeline_4_online_retail_spark.operators.graph import (
+            release_caches,
+        )
+
+        release_caches()
+    except Exception:  # noqa: BLE001 — never let cleanup break a timing
+        pass
+
+
+def _median(runs: list[float]) -> float:
+    s = sorted(runs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _scale10_dir(spark, errors):
@@ -173,6 +195,7 @@ _COMPACT_KEYS = (
     "unit",
     "sf",
     "queries",
+    "headline_median_sec",
     "cold_total_sec",
     "warmup_sec",
     "extra_total_sec",
@@ -270,17 +293,24 @@ def main() -> None:
         result["warmup_sec"] = round(time.time() - t0, 3)
 
         timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
         cold: dict[str, float] = {}
         for name in HEADLINE:
             runs = _run(qs, name, spark, SF_DIR, 3, errors)
             if runs is None:
                 continue
             # first run pays one-time broadcast/scan setup; min-of-3 damps
-            # single-machine scheduling noise
+            # single-machine scheduling noise. Median-of-3 is reported
+            # alongside (VERDICT r5 item 4): on a host drifting ±40%,
+            # best-of-N is optimistic-biased — the median is the
+            # round-over-round comparator, the min the capability floor.
             cold[name] = round(runs[0], 3)
             timings[name] = round(min(runs), 3)  # steady-state
+            medians[name] = round(_median(runs), 3)
         result["queries"] = timings
+        result["queries_median"] = medians
         result["value"] = round(sum(timings.values()), 3)
+        result["headline_median_sec"] = round(sum(medians.values()), 3)
         result["cold_total_sec"] = round(sum(cold.values()), 3)
 
         extra: dict[str, float] = {}
