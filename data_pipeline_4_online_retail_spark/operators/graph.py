@@ -167,7 +167,16 @@ TRIANGLE_MIN_W = 2
 )
 def graph_triangle_count(spark, sf_dir):
     li = load_tables(spark, sf_dir).table("lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # repartition by l_orderkey BEFORE the distinct: hashpartitioning on
+    # the orderkey alone satisfies the (l_orderkey, l_partkey) aggregate's
+    # distribution requirement AND co-partitions both self-join sides, so
+    # the basket subtree pays ONE fact exchange instead of two (sf10
+    # A/B: edge build 110 -> 39 s, identical 357,300 edges).
+    basket = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
     a, b = basket.alias("a"), basket.alias("b")
     # Persist the pruned edge list: it feeds all THREE sides of the
     # triangle join, and without the cache the basket self-join + pair
@@ -272,7 +281,14 @@ def graph_itemcf_recs(
     from pyspark.sql.window import Window
 
     li = load_tables(spark, sf_dir).table("lineitem")
-    bp = li.select("l_orderkey", "l_partkey").distinct()
+    # okey-repartition before distinct: one fact exchange serves the
+    # distinct AND both pair-join sides (same trick as triangle-count;
+    # sf10 A/B: bpn build 14.3 -> 9.9 s, identical row count).
+    bp = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
     if max_basket is not None:
         # One extra orderkey-grouped pass; n_baskets (popularity) is
         # recomputed AFTER the drop so cosine stays a true cosine over
