@@ -402,14 +402,96 @@ def dedup_minhash_lsh(spark, sf_dir):
     return jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD)
 
 
+def _xx_banded_ctes() -> str:
+    """CTE block: documents → ``xbanded(doc_id, band_idx, band_hash)``
+    with Spark-bit-exact xxhash64 MinHash signatures and band keys,
+    generated by functions/xxh64_sql.py (HUGEINT modular arithmetic;
+    equality vs F.xxhash64 pinned in tests/test_xxh64_sql.py).
+
+    Mirrors the Spark pipeline's factoring: ONE string hash per shingle
+    (seed 42), then hashInt(perm) per permutation — exactly how Spark
+    chains ``xxhash64(shingle, lit(i))`` — signed MIN per (doc, perm),
+    band key = hashLong(h_odd, hashLong(h_even, 42)). Docs whose shingle
+    set is empty produce no band rows here while Spark bands them with
+    the all-NULL signature (band key = seed); those candidates die at
+    the Jaccard >= threshold verification on both engines (0/0 is never
+    >= 0.6), so the final pair sets agree — same contract the md5 twin
+    relies on."""
+    from data_pipeline_4_online_retail_spark.functions.xxh64_sql import (
+        CteChain,
+        hash_int_ctes,
+        hash_long_ctes,
+        string_xxh64_ctes,
+        to_signed,
+        to_unsigned,
+    )
+
+    chain = string_xxh64_ctes("shx", "s", "hu", "xxs")
+    chain.step(perm="unnest(range(16))")
+    hash_int_ctes(chain, "hu", "perm", "pu", "xxp")
+    wide_cols = ", ".join(
+        f"MAX(CASE WHEN perm = {i} THEN mh END) AS h{i}" for i in range(N_HASHES)
+    )
+    lo_case = " ".join(
+        f"WHEN {b} THEN h{b * ROWS_PER_BAND}" for b in range(N_BANDS)
+    )
+    hi_case = " ".join(
+        f"WHEN {b} THEN h{b * ROWS_PER_BAND + 1}" for b in range(N_BANDS)
+    )
+    head = f"""
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sharr),
+{chain.sql()},
+xsig AS (SELECT doc_id, perm, MIN({to_signed("pu")}) AS mh
+         FROM {chain.last()} GROUP BY doc_id, perm),
+xwide AS (SELECT doc_id, {wide_cols} FROM xsig GROUP BY doc_id),
+xband0 AS (SELECT doc_id, b AS band_idx,
+                  CASE b {lo_case} END AS lo,
+                  CASE b {hi_case} END AS hi
+           FROM xwide CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b))
+"""
+    bc = CteChain("xband0", "xxb")
+    hash_long_ctes(bc, "42", to_unsigned("lo"), "s1", "xb1")
+    hash_long_ctes(bc, "s1", to_unsigned("hi"), "s2", "xb2")
+    return (
+        head
+        + ",\n"
+        + bc.sql()
+        + f""",
+xbanded AS (SELECT doc_id, band_idx, {to_signed("s2")} AS band_hash
+            FROM {bc.last()})
+"""
+    )
+
+
+_MINHASH_LSH_FAST_SQL = f"""
+WITH {SHINGLES_ARRAY_CTE.strip()},
+{_xx_banded_ctes().strip()},
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM xbanded x JOIN xbanded y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b
+FROM cand
+JOIN sharr a ON doc_a = a.doc_id
+JOIN sharr b ON doc_b = b.doc_id
+WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+"""
+
+
 @register(
     "dedup_minhash_lsh_fast",
-    None,  # xxhash64 has no DuckDB twin → rows-only; equivalence vs the
-    # md5 pipeline is asserted in tests/test_dedup.py
+    _MINHASH_LSH_FAST_SQL,
     doc="near-dup at scale, production variant: xxhash64 MinHash "
     "signatures (one 8-byte long per hash vs a 32-char md5 string — "
     "~4× narrower signature, ~10× cheaper hashing), same LSH geometry "
-    "and verification as dedup_minhash_lsh.",
+    "and verification as dedup_minhash_lsh. PROMOTED from rows-only in "
+    "r6: the oracle re-derives Spark's xxhash64 bit-exactly in DuckDB "
+    "SQL (functions/xxh64_sql.py — HUGEINT modular arithmetic, "
+    "bytecode-verified constants), so signatures, band keys, candidate "
+    "generation, and verification are all hash-checked end-to-end; "
+    "equivalence vs the md5 pipeline additionally in tests/test_dedup.py.",
 )
 def dedup_minhash_lsh_fast(spark, sf_dir):
     release_caches()
@@ -488,13 +570,86 @@ def simhash_band_keys(col: Column) -> list[Column]:
     ]
 
 
+def _simhash_sql() -> str:
+    """Full-pipeline DuckDB oracle for dedup_simhash: bit-exact xxhash64
+    per shingle (functions/xxh64_sql.py), 64 ±1 bit sums → fingerprint,
+    the 5-chunk/10-pair band keys as rows through one
+    hashLong→hashLong→hashInt chain, self-join, exact popcount ≤ 3."""
+    from itertools import combinations
+
+    from data_pipeline_4_online_retail_spark.functions.xxh64_sql import (
+        CteChain,
+        hash_int_ctes,
+        hash_long_ctes,
+        string_xxh64_ctes,
+    )
+
+    chain = string_xxh64_ctes("shx", "s", "hu", "xs")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hu // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS HUGEINT) ELSE 0 END)"
+        for j in range(64)
+    )
+    offs = []
+    off = 0
+    for width in SIMHASH_CHUNK_BITS:
+        offs.append((off, width))
+        off += width
+    chunk_cols = ", ".join(
+        f"(fp // {1 << o}) % {1 << w} AS c{i}" for i, (o, w) in enumerate(offs)
+    )
+    pairs = list(combinations(range(len(SIMHASH_CHUNK_BITS)), 2))
+    ci_case = " ".join(f"WHEN {k} THEN c{i}" for k, (i, j) in enumerate(pairs))
+    cj_case = " ".join(f"WHEN {k} THEN c{j}" for k, (i, j) in enumerate(pairs))
+    head = f"""
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sharr),
+{chain.sql()},
+xsums AS (SELECT doc_id, {sums} FROM {chain.last()} GROUP BY doc_id),
+xfp AS (SELECT doc_id, ({fp}) AS fp FROM xsums),
+xchunks AS (SELECT doc_id, fp, {chunk_cols} FROM xfp),
+xkeys0 AS (SELECT doc_id, fp, k AS band_idx,
+                  CASE k {ci_case} END AS ci,
+                  CASE k {cj_case} END AS cj
+           FROM xchunks CROSS JOIN (SELECT unnest(range({len(pairs)})) AS k))
+"""
+    bc = CteChain("xkeys0", "xk")
+    # chunks are small non-negative longs: already in the unsigned domain
+    hash_long_ctes(bc, "42", "ci", "s1", "xk1")
+    hash_long_ctes(bc, "s1", "cj", "s2", "xk2")
+    hash_int_ctes(bc, "s2", "band_idx", "s3", "xk3")
+    return f"""
+WITH {SHINGLES_ARRAY_CTE.strip()},
+{head.strip()},
+{bc.sql()},
+xbanded AS (SELECT doc_id, fp, band_idx, s3 AS band_key FROM {bc.last()}),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.fp AS fp_a, y.fp AS fp_b
+    FROM xbanded x JOIN xbanded y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
-    None,  # xxhash64 has no DuckDB equivalent → rows-only check
+    _simhash_sql(),
     doc="near-dup: 64-bit SimHash fingerprints; Hamming-distance ≤ 3 pairs "
     "via chunk-pair LSH (5 chunks, C(5,2)=10 ~26-bit band keys; ≤3 "
     "differing bits leave ≥2 clean chunks ⇒ ≥1 matching pair-key), "
-    "candidates verified by exact popcount.",
+    "candidates verified by exact popcount. PROMOTED from rows-only in "
+    "r6: the oracle re-derives the xxhash64 shingle hashes, bit sums, "
+    "fingerprint, and all 10 chunk-pair band keys bit-exactly in DuckDB "
+    "SQL (functions/xxh64_sql.py), so banding recall and the popcount "
+    "filter are hash-checked end-to-end.",
 )
 def dedup_simhash(spark, sf_dir):
     release_caches()
@@ -816,14 +971,33 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+_INCR_FAST_SQL = f"""
+WITH {SHINGLES_ARRAY_CTE.strip()},
+{_xx_banded_ctes().strip()},
+cand AS (
+    SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+    FROM xbanded n JOIN xbanded i
+      ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+    WHERE n.{_INCR_NEW} AND i.{_INCR_IDX}
+)
+SELECT doc_a AS doc_id, doc_b AS dup_of
+FROM cand
+JOIN sharr a ON doc_a = a.doc_id
+JOIN sharr b ON doc_b = b.doc_id
+WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+"""
+
+
 @register(
     "dedup_incremental_fast",
-    None,  # xxhash64 signatures have no DuckDB twin → rows-only; pair-set
-    # equivalence vs the md5 variant is asserted in tests/test_r3_ops.py
+    _INCR_FAST_SQL,
     doc="incremental dedup, production variant: xxhash64 MinHash "
     "signatures and 8-byte band keys (same ~4x narrower / ~10x cheaper "
     "hashing trade as dedup_minhash_lsh_fast) probing the corpus "
-    "buckets. Same geometry and verification as dedup_incremental.",
+    "buckets. Same geometry and verification as dedup_incremental. "
+    "PROMOTED from rows-only in r6 via the bit-exact DuckDB xxhash64 "
+    "re-derivation (functions/xxh64_sql.py); pair-set equivalence vs "
+    "the md5 variant additionally in tests/test_r3_ops.py.",
 )
 def dedup_incremental_fast(spark, sf_dir):
     release_caches()
