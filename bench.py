@@ -236,8 +236,17 @@ def _emit(result: dict, out_dir: str | None = None) -> None:
     if the line would still exceed ~1.8 KB (e.g. every query failed), the
     error dict collapses to a count + one sample — the full texts are in
     BENCH_full.json either way.
+
+    ``SPARK_GRAFT_BENCH_OUT`` redirects the artifact: pytest's
+    failure-path subprocess runs MUST set it, or their all-errors output
+    overwrites the committed repo-root BENCH_full.json (this silently
+    shipped a garbage artifact in r5/r6 until caught).
     """
-    here = out_dir or os.path.dirname(os.path.abspath(__file__))
+    here = (
+        out_dir
+        or os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        or os.path.dirname(os.path.abspath(__file__))
+    )
     try:
         with open(os.path.join(here, "BENCH_full.json"), "w") as f:
             json.dump(result, f)

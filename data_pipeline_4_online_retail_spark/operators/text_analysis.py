@@ -472,8 +472,33 @@ def _doc_bigrams(toks_df: DataFrame) -> DataFrame:
 
 @register(
     "text_lm_score",
-    None,  # log2 is libm-dependent → rows-only; pytest replays the exact
-    # model in pure Python and bounds the relative error
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    dg AS (
+        SELECT doc_id,
+               unnest(toks[:len(toks) - 1]) AS w1,
+               unnest(toks[2:]) AS w2
+        FROM t WHERE len(toks) >= 2),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM dg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    probs AS (
+        SELECT c2.w1, c2.w2,
+               CAST(c2.c2 AS DOUBLE) * 1.0 / CAST(c1.c1 AS DOUBLE) AS p
+        FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+    scored AS (
+        SELECT dg.doc_id, probs.p
+        FROM dg JOIN probs ON dg.w1 = probs.w1 AND dg.w2 = probs.w2),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               SUM(-log2(p)) / COUNT(*) AS ce
+        FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           ROUND(ce, 4) AS cross_entropy_q4,
+           ROUND(power(2.0, ce), 2) AS perplexity_q2
+    FROM agg
+    """,
     doc="text analysis: corpus-bigram language-model scoring — the "
     "perplexity-style quality filter of CCNet/CC-Net-descended pipelines "
     "(Wenzek et al. 2020): train MLE bigram probabilities on the corpus "
@@ -483,8 +508,15 @@ def _doc_bigrams(toks_df: DataFrame) -> DataFrame:
     "flags gibberish; outlier-low flags boilerplate. Scale: the count "
     "tables are vocab-bounded (never corpus-bounded) and merge "
     "map-side; scoring is one join keyed (w1,w2) + one doc_id "
-    "aggregate. Rows-only: log2 is libm-dependent, so pytest replays "
-    "the model bit-for-bit in Python instead of a SQL oracle.",
+    "aggregate. Promoted from rows-only (VERDICT r5 item 5): the raw "
+    "log-sum is libm- and sum-order-dependent (cross-engine diffs "
+    "~1e-14 absolute), so the registered output quantizes the scores — "
+    "ROUND(ce, 4) / ROUND(2^ce, 2) on BOTH engines puts the nearest "
+    "rounding boundary ~5e-5 away from values that agree to ~1e-14, "
+    "making the 6-decimal driver hash deterministic; n_bigrams stays "
+    "exact. The unquantized model is still pinned bit-tight by "
+    "tests/test_r3_ops.py::test_lm_score_matches_python_replica "
+    "(pure-Python replay, 1e-9 relative).",
     tags=("text",),
 )
 def text_lm_score(spark, sf_dir):
@@ -496,15 +528,16 @@ def text_lm_score(spark, sf_dir):
         "w1", "w2", (F.col("c2") * F.lit(1.0) / F.col("c1")).alias("p")
     )
     scored = dg.join(probs, ["w1", "w2"])
-    ce = (F.sum(-F.log2("p")) / F.count(F.lit(1))).alias("cross_entropy")
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        ce,
-    ).select(
-        "doc_id",
-        "n_bigrams",
-        "cross_entropy",
-        F.pow(F.lit(2.0), F.col("cross_entropy")).alias("perplexity"),
+    ce = (F.sum(-F.log2("p")) / F.count(F.lit(1))).alias("ce")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), ce)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("ce"), 4).alias("cross_entropy_q4"),
+            F.round(F.pow(F.lit(2.0), F.col("ce")), 2).alias("perplexity_q2"),
+        )
     )
 
 

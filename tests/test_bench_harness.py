@@ -44,15 +44,21 @@ def test_run_times_good_query():
     assert not errors
 
 
-def test_bench_emits_json_even_when_harness_breaks():
+def test_bench_emits_json_even_when_harness_breaks(tmp_path):
     """End-to-end: point bench at a nonexistent SF dir — every query
     fails, but stdout's last line must still parse as the contract JSON
-    with per-query errors recorded."""
+    with per-query errors recorded.
+
+    SPARK_GRAFT_BENCH_OUT is MANDATORY here: without it this subprocess
+    writes its all-errors BENCH_full.json into the repo root, silently
+    replacing the committed real-run artifact whenever pytest runs before
+    a commit (this actually shipped garbage in r5/r6)."""
     proc = subprocess.run(
         [sys.executable, str(Path(bench.__file__).resolve())],
         env={
             "SPARK_GRAFT_SF_DIR": "/nonexistent/sf0",
             "SPARK_GRAFT_SCALE10": "0",
+            "SPARK_GRAFT_BENCH_OUT": str(tmp_path),
             "PATH": "/usr/bin:/bin",
             "HOME": "/root",
             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
@@ -71,7 +77,7 @@ def test_bench_emits_json_even_when_harness_breaks():
     # because the single output line outgrew the capture window).
     assert len(line) <= 2000, f"compact line too long: {len(line)} bytes"
     assert doc["n_errors"] == len(json.loads(
-        (Path(bench.__file__).resolve().parent / "BENCH_full.json").read_text()
+        (tmp_path / "BENCH_full.json").read_text()
     )["errors"])
 
 

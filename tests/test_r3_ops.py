@@ -152,11 +152,13 @@ def test_lm_score_matches_python_replica(spark, catalog):
         ce = sum(-math.log2(c2[g] / c1[g[0]]) for g in grams) / len(grams)
         r = got[doc_id]
         assert r.n_bigrams == len(grams)
-        assert abs(r.cross_entropy - ce) < 1e-9 * max(1.0, abs(ce))
-        assert abs(r.perplexity - 2.0**ce) < 1e-9 * max(1.0, 2.0**ce)
+        # registered output is quantized (hash-safe oracle contract);
+        # the quantization step bounds the replica comparison instead
+        assert abs(r.cross_entropy_q4 - ce) < 5.1e-5 * max(1.0, abs(ce))
+        assert abs(r.perplexity_q2 - 2.0**ce) < 5.1e-3 + 1e-9 * 2.0**ce
     # model sanity: probabilities normalize, so ce > 0 for any doc with
     # more than one distinct continuation
-    assert all(r.cross_entropy >= 0 for r in got.values())
+    assert all(r.cross_entropy_q4 >= 0 for r in got.values())
 
 
 def test_approx_percentiles_within_rank_error(spark):

@@ -121,6 +121,14 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "op_join_range",  # broadcast 3-row literal band table — bounded
         "op_sql_udf",  # broadcast 6-row size_bands table function, range
         # predicate p_size BETWEEN lo AND hi — bounded by construction
+        # range-bucket prefix carry (functions/prefix.py): the strictly-
+        # lower-triangle self-join over the <= n_buckets-row per-bucket
+        # totals — <= 64x64 broadcast rows by construction, the explicit
+        # replacement for an unpartitioned fact-sized WindowExec
+        "ev_peak_concurrency",
+        "op_skyline_pareto",
+        "op_sequence_gaps",
+        "op_quantile_normalization",
     }
     offenders = {}
     for name, fn in entry.queries().items():

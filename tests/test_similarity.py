@@ -154,3 +154,41 @@ def test_kmeans_assign_udf_matches_expr(spark):
         ).collect()
     }
     assert via_expr == via_udf
+
+
+def test_lsh_oracle_planes_bit_exact():
+    """The DuckDB recursive-CTE LCG inside _lsh_oracle must reproduce
+    _hyperplanes() BIT-exactly — the whole promotion (VERDICT r5 item 5)
+    rests on both engines hashing the same sign bits. Checks every one of
+    the 216x64 plane weights, not a sample."""
+    import duckdb
+
+    n_planes = S.N_TABLES * S.K_BITS
+    dim = 64
+    planes = S._hyperplanes(dim, n_planes)
+    rows = duckdb.sql(
+        f"""
+        WITH RECURSIVE lcg AS (
+            SELECT 0 AS i, CAST(42 AS HUGEINT) AS state
+            UNION ALL
+            SELECT i + 1,
+                   (state * 6364136223846793005 + 1442695040888963407)
+                       % 18446744073709551616
+            FROM lcg WHERE i < {n_planes * dim}
+        )
+        SELECT CAST((i - 1) // {dim} AS INT) AS p,
+               CAST((i - 1) % {dim} AS INT) AS d,
+               (CAST(state // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0
+                   - 1.0 AS w
+        FROM lcg WHERE i >= 1
+        """
+    ).fetchall()
+    assert len(rows) == n_planes * dim
+    for p, d, w in rows:
+        assert planes[p][d] == w  # exact float equality, no tolerance
+
+
+def test_lsh_query_returns_topk_rows(spark):
+    got = S.sim_ann_lsh(spark, SF_DIR).collect()
+    assert len(got) == S.TOP_K
+    assert len({r.vec_id for r in got}) == S.TOP_K
