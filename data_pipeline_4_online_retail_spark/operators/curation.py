@@ -1344,7 +1344,20 @@ def _ares_key() -> Column:
 
 @register(
     "text_weighted_sample_ares",
-    None,  # libm log/exp → rows-only; bit-level Python replica in pytest
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               exp(ln(CAST(('0x' || substr(md5('ares:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE)) AS priority
+        FROM documents)
+    SELECT doc_id, source, n_chars,
+           ROUND(priority, 6) AS priority_q6
+    FROM scored
+    ORDER BY priority DESC, doc_id
+    LIMIT {ARES_SAMPLE_K}
+    """,
     doc="curation: weighted sampling without replacement (Efraimidis-"
     "Spirakis A-Res): each document draws priority u^(1/w) from a "
     "seed-free md5 uniform and its quality weight (n_chars); the "
@@ -1355,7 +1368,15 @@ def _ares_key() -> Column:
     "higher-quality documents with an exact sample size (the "
     "acceptance-probability samplers give only expected sizes). "
     "Scale: per-partition top-k heaps via TakeOrderedAndProject; only "
-    "k rows per partition reach the driver-free final ordering.",
+    "k rows per partition reach the driver-free final ordering. "
+    "Promoted from rows-only (VERDICT r5 item 5): the md5 uniform is "
+    "integer/2^52 (exact on both engines); ln/exp are libm (ulp-level "
+    "cross-engine drift), so the output quantizes to ROUND(priority, "
+    "6) — the k-th/(k+1)-th priority GAP is order-statistics-sized "
+    "(~1e-4), eight orders above libm drift, so the SELECTION is "
+    "engine-stable and only the reported score needs quantizing. The "
+    "unquantized priority stays pinned bit-tight by the Python "
+    "replica in tests/test_r4c_ops.py.",
     tags=("curation", "sampling", "r4c"),
 )
 def text_weighted_sample_ares(spark, sf_dir):
@@ -1364,6 +1385,12 @@ def text_weighted_sample_ares(spark, sf_dir):
         d.select("doc_id", "source", "n_chars", _ares_key().alias("priority"))
         .orderBy(F.desc("priority"), "doc_id")
         .limit(ARES_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("priority"), 6).alias("priority_q6"),
+        )
     )
 
 

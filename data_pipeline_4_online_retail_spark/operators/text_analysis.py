@@ -800,8 +800,32 @@ def text_dsir_stats(spark, sf_dir):
 
 @register(
     "text_dsir_weights",
-    None,  # ln() is libm-dependent → rows-only; pytest replays the model
-    # in pure Python and bounds the relative error
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))
+                    AS BIGINT) % {_DSIR_B} AS bucket
+        FROM documents),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_t FROM toks
+            WHERE source = 'src0' GROUP BY bucket),
+    raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r FROM toks
+            GROUP BY bucket),
+    tt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_total FROM tgt),
+    rt AS (SELECT CAST(SUM(c_r) AS BIGINT) AS r_total FROM raw),
+    scored AS (
+        SELECT t.doc_id,
+               ln(CAST(COALESCE(g.c_t, 0) + 1 AS DOUBLE))
+                   - ln(CAST(tt.t_total + {_DSIR_B} AS DOUBLE))
+                   - ln(CAST(r.c_r + 1 AS DOUBLE))
+                   + ln(CAST(rt.r_total + {_DSIR_B} AS DOUBLE)) AS pt
+        FROM toks t
+        LEFT JOIN tgt g ON t.bucket = g.bucket
+        JOIN raw r ON t.bucket = r.bucket
+        CROSS JOIN tt CROSS JOIN rt)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(SUM(pt), 4) AS log_weight_q4
+    FROM scored GROUP BY doc_id
+    """,
     doc="DSIR importance weights: log w(x) = sum over the document's "
     "hashed-unigram features of ln p_target(b) - ln p_raw(b), add-1 "
     "smoothed over B=512 buckets — documents resembling the target "
@@ -809,7 +833,14 @@ def text_dsir_stats(spark, sf_dir):
     "softmax of these weights is the DSIR selection step (the "
     "materialization twin is text_temperature_resample's hash-frac "
     "acceptance pattern). Scale: identical to text_dsir_stats — "
-    "broadcast B-row count tables + one per-doc aggregate.",
+    "broadcast B-row count tables + one per-doc aggregate. Promoted "
+    "from rows-only (VERDICT r5 item 5, the text_lm_score pattern): "
+    "buckets are md5-exact on both engines and every ln() argument is "
+    "an integer, so the only cross-engine drift is libm ulps + "
+    "sum-order (~1e-13 absolute) — ROUND(log_weight, 4) on both sides "
+    "makes the 6-decimal driver hash deterministic; n_toks stays "
+    "exact. The unquantized model is still pinned at 1e-9 by "
+    "tests/test_r4_ops.py (pure-Python replay).",
     tags=("text",),
 )
 def text_dsir_weights(spark, sf_dir):
@@ -837,6 +868,11 @@ def text_dsir_weights(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
             F.sum(per_tok).alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("log_weight"), 4).alias("log_weight_q4"),
         )
     )
 

@@ -623,7 +623,8 @@ def test_dsir_matches_python_replica(spark, catalog):
         )
         w = weights[doc_id]
         assert w.n_toks == len(toks)
-        assert abs(w.log_weight - lw) < 1e-9 * max(1.0, abs(lw))
+        # registered output is quantized (ROUND 4dp, oracle contract)
+        assert abs(w.log_weight_q4 - lw) < 5.1e-5 + 1e-9 * abs(lw)
         src_mean.setdefault(source, []).append(lw)
     # (no semantic assert on the sf corpus: every synthetic source draws
     # from the SAME vocabulary, so there is no domain signal — the
@@ -650,7 +651,7 @@ def test_dsir_signal_separates_domains(spark, tmp_path_factory):
         "n_chars", F.length("text")
     ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
 
-    w = {r.doc_id: r.log_weight for r in text_dsir_weights(spark, sf_dir).collect()}
+    w = {r.doc_id: r.log_weight_q4 for r in text_dsir_weights(spark, sf_dir).collect()}
     tgt_mean = sum(w[i] for i in range(10)) / 10
     off_mean = sum(w[i] for i in range(10, 30)) / 20
     assert tgt_mean > w[30] > off_mean, (tgt_mean, w[30], off_mean)

@@ -810,12 +810,14 @@ def test_ares_sample_matches_python_replica_and_favors_weight(spark, catalog):
     )
     expect = [(d, p) for p, d in ranked[:ARES_SAMPLE_K]]
     got = [
-        (r["doc_id"], r["priority"])
+        (r["doc_id"], r["priority_q6"])
         for r in text_weighted_sample_ares(spark, SF_DIR).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in expect]
     for (_, gp), (_, ep) in zip(got, expect):
-        assert gp == ep  # same libm on one host: bit-identical
+        # registered output is quantized (ROUND 6dp, oracle contract);
+        # the selection itself is pinned exact by the id list above
+        assert abs(gp - ep) < 5.1e-7
     # weighting bias: sampled docs skew heavier than the corpus average
     avg_all = sum(r["n_chars"] for r in docs) / len(docs)
     chars = {r["doc_id"]: r["n_chars"] for r in docs}
