@@ -163,6 +163,14 @@ def _release_query_caches() -> None:
         release_caches()
     except Exception:  # noqa: BLE001 — never let cleanup break a timing
         pass
+    try:
+        from data_pipeline_4_online_retail_spark.functions.prefix import (
+            release_caches as release_prefix,
+        )
+
+        release_prefix()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def _median(runs: list[float]) -> float:

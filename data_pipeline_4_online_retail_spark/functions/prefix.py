@@ -47,6 +47,29 @@ from pyspark.sql.window import Window
 
 _BUCKET = "__pfx_bucket"
 
+# Scoped persist registry (the dedup.py/graph.py convention): the bucketed
+# input frame feeds THREE consumers (the approxQuantile sampling pass, the
+# per-bucket local window, and the bucket-totals aggregate) — unpersisted,
+# Spark re-evaluates the whole upstream plan for each, and NESTED
+# global_prefix calls (op_quantile_normalization chains three) multiply
+# that re-execution: the r6 sf10 probe measured 274 s for the unpersisted
+# chain vs 55 s persisted. Caches are released by the calling operator at
+# its next entry (release_caches()), and bench releases after every
+# timed materialization.
+_RETAINED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _RETAINED.append(out)
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every tracked prefix-helper cache."""
+    while _RETAINED:
+        _RETAINED.pop().unpersist()
+
 # (local window fn, bucket-total fn, cross-bucket carry fn, combine(loc, off)).
 # The carry fn re-aggregates the per-bucket TOTALS — for count that is a
 # SUM of counts (counting the totals rows would count buckets instead).
@@ -73,16 +96,26 @@ def attach_range_buckets(
     mechanism ``repartitionByRange`` uses, made explicit so the bucket id
     is a deterministic *column* the rest of the plan can join on.
     """
-    tmp = df.withColumn("__pfx_key", bucket_expr.cast("double"))
+    tmp = _persist(df.withColumn("__pfx_key", bucket_expr.cast("double")))
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = sorted({c for c in tmp.stat.approxQuantile("__pfx_key", probs, rel_err)})
     if not cuts:  # empty input: one bucket
-        return tmp.withColumn(_BUCKET, F.lit(0)).drop("__pfx_key")
-    # bucket = #cuts strictly below the key → monotone, ties co-bucketed.
-    bucket: Column = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (F.col("__pfx_key") > F.lit(float(c))).cast("int")
-    return tmp.withColumn(_BUCKET, bucket).drop("__pfx_key")
+        out = _persist(tmp.withColumn(_BUCKET, F.lit(0)).drop("__pfx_key"))
+    else:
+        # bucket = #cuts strictly below the key → monotone, ties co-bucketed.
+        bucket: Column = F.lit(0)
+        for c in cuts:
+            bucket = bucket + (F.col("__pfx_key") > F.lit(float(c))).cast("int")
+        out = _persist(tmp.withColumn(_BUCKET, bucket).drop("__pfx_key"))
+    # Materialize the BUCKETED frame once and drop the pre-bucket cache:
+    # the callers fan it out to three-plus consumers (local window, bucket
+    # totals, and — via the totals self-join — BOTH triangle sides plus
+    # the broadcast build), and without this the n_buckets-term bucket
+    # expression re-evaluates over the full fact for every consumer
+    # (r6 sf10 profile: the 320-row offsets subtree alone cost 32 s).
+    out.count()
+    tmp.unpersist()
+    return out
 
 
 def global_prefix(
@@ -91,6 +124,7 @@ def global_prefix(
     aggs: dict,
     bucket_expr: Column,
     n_buckets: int = 64,
+    partition_cols: list | None = None,
 ) -> DataFrame:
     """Running aggregates over a global total order, without a
     single-partition fact window.
@@ -102,17 +136,32 @@ def global_prefix(
     component is ``bucket_expr`` (ties on the bucket key broken by the
     remaining columns *within* a bucket).
 
+    ``partition_cols`` generalizes to PARTITIONED prefix aggregates whose
+    partition key has BOUNDED cardinality but fact-sized groups (e.g. a
+    percent_rank per order-priority: 5 groups × |orders|/5 rows each —
+    an ordinary partitioned window serializes each group through one
+    task). Buckets still come from one global sampling pass (shared cut
+    points across groups: correctness needs only within-group
+    monotonicity, and the local windows hash on (partition, bucket), so
+    a group whose distribution skews into few buckets still splits
+    across the OTHER groups' tasks); the carry join and the broadcast
+    offset table grow to |distinct partition keys| × n_buckets rows —
+    the bounded-cardinality contract. High-cardinality keys don't want
+    this helper at all: their ordinary partitioned window already
+    parallelizes.
+
     Returns ``df`` plus one column per ``aggs`` entry; the ``__pfx_bucket``
     helper column is dropped.
     """
+    pc = list(partition_cols or [])
     b = attach_range_buckets(df, bucket_expr, n_buckets)
     w_incl = (
-        Window.partitionBy(_BUCKET)
+        Window.partitionBy(*pc, _BUCKET)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_excl = (
-        Window.partitionBy(_BUCKET)
+        Window.partitionBy(*pc, _BUCKET)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -124,12 +173,13 @@ def global_prefix(
             f"__loc_{name}", local_fn(expr).over(w_incl if incl else w_excl)
         )
         tot_aggs.append(total_fn(expr).alias(f"__tot_{name}"))
-    totals = b.groupBy(_BUCKET).agg(*tot_aggs)
-    # Cross-bucket carry over the ≤ n_buckets-row totals: a strictly-lower
-    # triangle self-join (≤ n_buckets² broadcast-nested-loop rows, trivial)
-    # instead of an unpartitioned window — keeps WindowExec's
-    # single-partition warning AND Exchange SinglePartition out of the
-    # plan entirely; bucket 0's left-join miss yields NULL offsets.
+    totals = b.groupBy(*pc, _BUCKET).agg(*tot_aggs)
+    # Cross-bucket carry over the ≤ |partition keys|·n_buckets totals
+    # rows: a strictly-lower triangle self-join (broadcast-sized by the
+    # bounded-cardinality contract) instead of an unpartitioned window —
+    # keeps WindowExec's single-partition warning AND Exchange
+    # SinglePartition out of the plan entirely; each partition's bucket 0
+    # left-join miss yields NULL offsets.
     t1, t2 = totals.alias("__pfx_t1"), totals.alias("__pfx_t2")
     carry_aggs = []
     for name, (kind, _expr, _incl) in aggs.items():
@@ -137,16 +187,18 @@ def global_prefix(
         carry_aggs.append(
             carry_fn(F.col(f"__pfx_t2.__tot_{name}")).alias(f"__off_{name}")
         )
+    cond = F.col(f"__pfx_t2.{_BUCKET}") < F.col(f"__pfx_t1.{_BUCKET}")
+    for c in pc:
+        cond = cond & F.col(f"__pfx_t2.{c}").eqNullSafe(F.col(f"__pfx_t1.{c}"))
     offsets = (
-        t1.join(
-            t2,
-            F.col(f"__pfx_t2.{_BUCKET}") < F.col(f"__pfx_t1.{_BUCKET}"),
-            "left",
+        t1.join(t2, cond, "left")
+        .groupBy(
+            *[F.col(f"__pfx_t1.{c}").alias(c) for c in pc],
+            F.col(f"__pfx_t1.{_BUCKET}").alias(_BUCKET),
         )
-        .groupBy(F.col(f"__pfx_t1.{_BUCKET}").alias(_BUCKET))
         .agg(*carry_aggs)
     )
-    out = out.join(F.broadcast(offsets), _BUCKET, "left")
+    out = out.join(F.broadcast(offsets), pc + [_BUCKET], "left")
     for name, (kind, _expr, _incl) in aggs.items():
         _local_fn, _total_fn, _carry, combine = _KINDS[kind]
         out = out.withColumn(

@@ -1676,7 +1676,10 @@ def ev_funnel_dropoff(spark, sf_dir):
 def ev_peak_concurrency(spark, sf_dir):
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_prefix,
+        release_caches,
     )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
 
     e = _events(spark, sf_dir)
     iv = e.select(

@@ -279,16 +279,41 @@ def op_window_lead_lag(spark, sf_dir):
                               ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank
     FROM customer
     """,
-    doc="window extension: rank/dense_rank with deterministic tie-break",
+    doc="window extension: rank/dense_rank with deterministic tie-break. "
+    "Scale shape (r6): PARTITION BY c_nationkey is a bounded-cardinality "
+    "key (25 nations) over a fact-sized input — an ordinary partitioned "
+    "window serializes |customer|/25 rows through one task each. "
+    "Because the ordering (c_acctbal DESC, c_custkey) is UNIQUE "
+    "(c_custkey is a key), rank == dense_rank == row position, so the "
+    "scale-safe form is the partitioned range-bucket count prefix "
+    "(functions/prefix.py): buckets on -c_acctbal split every nation "
+    "across ~64 parallel tasks, and the triangle carry re-assembles the "
+    "global position — same values, no fact-sized window partition. "
+    "(Under a TIED ordering rank/dense_rank diverge from position and "
+    "want a value-keyed carry instead — that variant belongs to the "
+    "helper, not this demo.)",
 )
 def op_window_rank(spark, sf_dir):
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_prefix,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
+    ranked = global_prefix(
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        {"__pos": ("count", F.lit(1), True)},
+        -F.col("c_acctbal"),
+        partition_cols=["c_nationkey"],
+    )
+    return ranked.select(
         "c_custkey",
         "c_nationkey",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.col("__pos").cast("int").alias("bal_rank"),
+        F.col("__pos").cast("int").alias("bal_dense_rank"),
     )
 
 
@@ -1209,7 +1234,10 @@ def op_lateral_join(spark, sf_dir):
 def op_sequence_gaps(spark, sf_dir):
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_lead,
+        release_caches,
     )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 3)
     edges = global_lead(
@@ -1550,7 +1578,10 @@ def op_sql_scripting(spark, sf_dir):
 def op_skyline_pareto(spark, sf_dir):
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_prefix,
+        release_caches,
     )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
 
     o = _t(spark, sf_dir, "orders")
     pts = global_prefix(

@@ -696,7 +696,10 @@ def op_regression_closed_form(spark, sf_dir):
 def op_quantile_normalization(spark, sf_dir):
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_prefix,
+        release_caches,
     )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
 
     o = _t(spark, sf_dir, "orders")
     n_row = o.agg(F.count(F.lit(1)).alias("__n"))
@@ -718,14 +721,29 @@ def op_quantile_normalization(spark, sf_dir):
         F.lit(None).cast("long").alias("okey"),
         F.lit(None).cast("string").alias("grp"),
     )
-    grouped = o.select(
+    # percent_rank PARTITION BY o_orderpriority is a bounded-cardinality
+    # key (5 priorities) over the fact table — |orders|/5 rows per window
+    # task. Same decomposition as the global side: partitioned range-
+    # bucket count prefix + broadcast group totals; the ordering
+    # (o_totalprice, o_orderkey) is unique, so position == rank and
+    # percent_rank == (pos-1)/(n-1) bit-exactly (same integer division).
+    grp_ranked = global_prefix(
+        o.select("o_totalprice", "o_orderkey", "o_orderpriority"),
+        ["o_totalprice", "o_orderkey"],
+        {"__grn": ("count", F.lit(1), True)},
+        F.col("o_totalprice"),
+        partition_cols=["o_orderpriority"],
+    )
+    grp_n = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__gn")
+    )
+    grouped = grp_ranked.join(F.broadcast(grp_n), "o_orderpriority").select(
         F.col("o_totalprice").alias("val"),
-        F.percent_rank()
-        .over(
-            Window.partitionBy("o_orderpriority").orderBy(
-                "o_totalprice", "o_orderkey"
-            )
+        F.when(
+            F.col("__gn") > 1,
+            (F.col("__grn") - 1).cast("double") / (F.col("__gn") - 1),
         )
+        .otherwise(F.lit(0.0))
         .alias("p"),
         F.lit(1).alias("tag"),
         F.col("o_orderkey").alias("okey"),

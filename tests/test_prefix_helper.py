@@ -173,3 +173,61 @@ def test_no_fact_sized_single_partition_window(spark, name):
         # beneath is a hashpartitioning, never SinglePartition)
         below = "\n".join(lines[i : i + 4])
         assert "SinglePartition" not in below, f"{name}: {line}"
+
+
+def test_partitioned_prefix_matches_partitioned_window(skewed_df):
+    """partition_cols: same values as an ordinary PARTITION BY window —
+    the bounded-cardinality decomposition for fact-sized groups (r6,
+    op_window_rank / op_quantile_normalization's grouped side)."""
+    df, _rows = skewed_df
+    g = df.withColumn("grp", (F.col("k") % 3).cast("int"))
+    out = global_prefix(
+        g,
+        ["d", "k"],
+        {"run": ("sum", F.col("v"), True), "pos": ("count", F.lit(1), True)},
+        F.col("d"),
+        n_buckets=7,
+        partition_cols=["grp"],
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("d", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = g.withColumn("run", F.sum("v").over(w)).withColumn(
+        "pos", F.count(F.lit(1)).over(w)
+    )
+    got = {r["k"]: (r["run"], r["pos"]) for r in out.collect()}
+    exp = {r["k"]: (r["run"], r["pos"]) for r in ref.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][1] == exp[k][1]
+        assert got[k][0] == pytest.approx(exp[k][0])
+
+
+def test_window_rank_decomposition_matches_rank(spark):
+    """op_window_rank's count-prefix form == rank()/dense_rank() under
+    the unique tie-broken ordering (the docstring's claim)."""
+    from data_pipeline_4_online_retail_spark.operators.relational import (
+        op_window_rank,
+    )
+    from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["c_custkey"]: (r["bal_rank"], r["bal_dense_rank"])
+        for r in op_window_rank(spark, sf).collect()
+    }
+    c = load_tables(spark, sf).table("customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ref = {
+        r["c_custkey"]: (r["r"], r["dr"])
+        for r in c.select(
+            "c_custkey",
+            F.rank().over(w).alias("r"),
+            F.dense_rank().over(w).alias("dr"),
+        ).collect()
+    }
+    assert got == ref
