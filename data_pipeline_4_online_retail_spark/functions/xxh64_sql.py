@@ -21,9 +21,12 @@ Spark chains multi-argument ``xxhash64(c1, c2, …)`` as
 costs ONE string hash per shingle plus a cheap per-permutation
 ``hashInt`` — the generated SQL mirrors that factoring.
 
-Strings are supported to 31 bytes (no 32-byte stripe loop — the corpus
-max shingle is 26 bytes); a longer input yields NULL, which poisons the
-signature and reds the driver row loudly instead of silently truncating.
+Strings are supported to 63 bytes: lengths below 32 skip the stripe,
+lengths in [32, 64) run ONE 32-byte stripe (four lane accumulators +
+merge — added in r6 after the 100x scale replica's c-prefixed tokens
+pushed shingles to 35 bytes and the old <32 guard NULLed them); >= 64
+still yields NULL, which poisons the signature and reds the driver row
+loudly instead of silently truncating.
 """
 
 from __future__ import annotations
@@ -109,7 +112,9 @@ def string_xxh64_ctes(
     src: str, s_col: str, out: str, prefix: str, seed: int = 42
 ) -> CteChain:
     """CTE chain computing ``out`` = unsigned XXH64 of ASCII string
-    ``s_col`` (< 32 bytes; >= 32 -> NULL) with a constant seed."""
+    ``s_col`` (< 64 bytes: one optional 32-byte stripe + tail; >= 64 ->
+    NULL — the corpus max shingle is 26 bytes and the 100x c-prefixed
+    scale replicas reach 35, both inside the single-stripe window)."""
     c = CteChain(src, prefix)
     # bytes are guarded per position so short strings read 0 (never used:
     # every round is length-guarded, zeros are just placeholders)
@@ -133,30 +138,79 @@ def string_xxh64_ctes(
             f"{byte_fixed(off + j + 1)} * {1 << (8 * j)}" for j in range(8)
         )
 
+    # the tail starts after the consumed stripes: base = (L // 32) * 32,
+    # so tail words live at expression offsets (0 when L < 32)
+    B = f"(({L} // 32) * 32)"
+
+    def word8_base(off: int) -> str:
+        return " + ".join(
+            f"{byte_at(f'{B} + {off + j + 1}')} * {1 << (8 * j)}"
+            for j in range(8)
+        )
+
     o4 = f"(({L} // 8) * 8)"
     t4 = " + ".join(f"{byte_at(f'{o4} + {j + 1}')} * {1 << (8 * j)}" for j in range(4))
     toff = f"({o4} + (CASE WHEN {L} % 8 >= 4 THEN 4 ELSE 0 END))"
     c.step(
         **{
-            f"{prefix}w0": word8(0),
-            f"{prefix}w8": word8(8),
-            f"{prefix}w16": word8(16),
+            f"{prefix}w0": word8_base(0),
+            f"{prefix}w8": word8_base(8),
+            f"{prefix}w16": word8_base(16),
             f"{prefix}t4": f"({t4})",
             f"{prefix}nb": f"({L} - {toff})",
             f"{prefix}tb0": byte_at(f"{toff} + 1"),
             f"{prefix}tb1": byte_at(f"{toff} + 2"),
             f"{prefix}tb2": byte_at(f"{toff} + 3"),
+            # stripe words (fixed offsets 0..24; only read when L >= 32,
+            # which guarantees all 32 bytes exist)
+            f"{prefix}sw0": word8(0),
+            f"{prefix}sw8": word8(8),
+            f"{prefix}sw16": word8(16),
+            f"{prefix}sw24": word8(24),
         }
     )
-    # init; >=32 bytes unsupported -> NULL poisons every later stage
+    # one 32-byte stripe (L in [32, 64)): four lane accumulators, merged
+    lane_seeds = (
+        (seed + P1 + P2) % M64,
+        (seed + P2) % M64,
+        seed % M64,
+        (seed - P1) % M64,
+    )
+    vnames = []
+    vsteps = {}
+    for lane, (a, woff) in enumerate(zip(lane_seeds, (0, 8, 16, 24))):
+        vn = f"{prefix}v{lane + 1}"
+        vsteps[vn] = _mul(
+            _rotl(f"(({a} + {_mul(f'{prefix}sw{woff}', str(P2))}) % {_M})", 31),
+            str(P1),
+        )
+        vnames.append(vn)
+    c.step(**vsteps)
+    h = f"{prefix}sh0"
+    c.step(
+        **{
+            h: "(("
+            + " + ".join(
+                _rotl(vn, r) for vn, r in zip(vnames, (1, 7, 12, 18))
+            )
+            + f") % {_M})"
+        }
+    )
+    for lane, vn in enumerate(vnames):
+        nxt = f"{prefix}sh{lane + 1}"
+        merged = _xor(h, _mul(_rotl(_mul(vn, str(P2)), 31), str(P1)))
+        c.step(**{nxt: f"(({_mul(merged, str(P1))} + {P4}) % {_M})"})
+        h = nxt
+    # init: stripe merge for [32, 64), plain seed for < 32, NULL >= 64
     g = f"{prefix}g0"
     c.step(
         **{
-            g: f"(CASE WHEN {L} >= 32 THEN NULL ELSE "
-            f"({seed} + {P5} + {L}) % {_M} END)"
+            g: f"(CASE WHEN {L} >= 64 THEN NULL "
+            f"WHEN {L} >= 32 THEN ({h} + {L}) % {_M} "
+            f"ELSE ({seed} + {P5} + {L}) % {_M} END)"
         }
     )
-    # three guarded 8-byte rounds
+    # three guarded 8-byte tail rounds (remaining after stripes = L % 32)
     for ridx, (w, need) in enumerate(
         ((f"{prefix}w0", 8), (f"{prefix}w8", 16), (f"{prefix}w16", 24))
     ):
@@ -166,7 +220,7 @@ def string_xxh64_ctes(
         nxt = f"{prefix}g{ridx + 1}"
         c.step(
             **{
-                nxt: f"(CASE WHEN {L} >= {need} THEN "
+                nxt: f"(CASE WHEN {L} % 32 >= {need} THEN "
                 f"({_mul(_rotl(ga, 27), str(P1))} + {P4}) % {_M} "
                 f"ELSE {g} END)"
             }

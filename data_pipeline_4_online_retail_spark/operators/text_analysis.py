@@ -823,7 +823,7 @@ def text_dsir_stats(spark, sf_dir):
         JOIN raw r ON t.bucket = r.bucket
         CROSS JOIN tt CROSS JOIN rt)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-           ROUND(SUM(pt), 4) AS log_weight_q4
+           ROUND(SUM(pt), 4) + 0.0 AS log_weight_q4
     FROM scored GROUP BY doc_id
     """,
     doc="DSIR importance weights: log w(x) = sum over the document's "
@@ -872,7 +872,13 @@ def text_dsir_weights(spark, sf_dir):
         .select(
             "doc_id",
             "n_toks",
-            F.round(F.col("log_weight"), 4).alias("log_weight_q4"),
+            # + 0.0 canonicalizes -0.0 (DuckDB ROUND keeps the sign of a
+            # tiny negative, Spark's BigDecimal round does not — %.6f then
+            # renders "-0.000000" vs "0.000000" and the driver hash reds;
+            # found at the sf1 replica, r6)
+            (F.round(F.col("log_weight"), 4) + F.lit(0.0)).alias(
+                "log_weight_q4"
+            ),
         )
     )
 

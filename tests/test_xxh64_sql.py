@@ -140,7 +140,7 @@ def test_python_replica_matches_spark(spark, corpus):
 
 
 def test_sql_string_and_perm_paths_match_replica(corpus):
-    short = [s for s in corpus if len(s) < 32]
+    short = [s for s in corpus if len(s) < 64]  # r6: single-stripe window
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t AS SELECT * FROM (VALUES "
@@ -180,7 +180,27 @@ def test_sql_hash_long_chain_matches_replica():
 
 def test_sql_length_guard_yields_null():
     con = duckdb.connect()
-    con.execute("CREATE TABLE t AS SELECT 1 AS id, repeat('x', 40) AS s")
+    con.execute("CREATE TABLE t AS SELECT 1 AS id, repeat('x', 64) AS s")
     chain = string_xxh64_ctes("t", "s", "hu", "q")
     sql = "WITH " + chain.sql() + " SELECT hu FROM " + chain.last()
     assert con.execute(sql).fetchone()[0] is None
+
+
+def test_sql_stripe_window_boundary_lengths():
+    """Exhaustive boundary sweep of the r6 single-stripe path: every
+    length 30..63 (stripe entry, each tail-round guard flip, 63 = max)
+    must match the Python replica bit-for-bit; 64 must NULL."""
+    rng = random.Random(23)
+    alpha = "abcdefghij KLMNO0123.:?c"
+    rows = [(n, "".join(rng.choice(alpha) for _ in range(n))) for n in range(30, 64)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({n}, '{s}')" for n, s in rows)
+        + ") v(id, s)"
+    )
+    chain = string_xxh64_ctes("t", "s", "hu", "q")
+    sql = "WITH " + chain.sql() + f" SELECT s, {to_signed('hu')} AS h FROM " + chain.last()
+    got = dict(con.execute(sql).fetchall())
+    for _n, s in rows:
+        assert got[s] == _sgn(py_hash_bytes(s.encode(), 42)), (len(s), repr(s))
