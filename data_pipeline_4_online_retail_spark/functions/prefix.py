@@ -210,6 +210,50 @@ def global_prefix(
     return out.drop(*drop)
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_tiles: int,
+    bucket_expr: Column,
+    out_name: str = "__tile",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """``ntile(n_tiles)`` over a global total order, range-bucketed.
+
+    ntile is a pure function of (row position, total count): with
+    ``q = n // k`` and ``r = n % k``, the first ``r`` tiles hold ``q+1``
+    rows. Position comes from the decomposed count prefix (one parallel
+    exchange, no fact-sized single-partition sort — the op_rfm_segments /
+    op_lorenz_curve ntiles ran |customers| rows through ONE task); the
+    1-row total broadcasts; tile assignment is exact integer arithmetic,
+    so outputs are bit-identical to WindowExec's ntile. ``order_cols``
+    must be a total order (unique tie-break) whose first component is
+    ``bucket_expr``.
+    """
+    pos = global_prefix(
+        df,
+        order_cols,
+        {"__pfx_pos": ("count", F.lit(1), True)},
+        bucket_expr,
+        n_buckets,
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__pfx_n"))
+    out = pos.crossJoin(F.broadcast(total))  # 1-row total frame
+    q = F.floor(F.col("__pfx_n") / n_tiles).cast("long")
+    r = F.col("__pfx_n") % n_tiles
+    p = F.col("__pfx_pos")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    tile = (
+        F.when(p <= big, (p - 1) / (q + 1))
+        .otherwise(r + (p - big - 1) / F.greatest(q, F.lit(1)))
+        .cast("long")
+        + 1
+    )
+    return out.withColumn(out_name, tile.cast("int")).drop(
+        "__pfx_pos", "__pfx_n"
+    )
+
+
 def global_lead(
     df: DataFrame,
     order_cols: list,

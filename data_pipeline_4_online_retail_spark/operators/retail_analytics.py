@@ -58,6 +58,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tags=("retail", "r4b"),
 )
 def op_rfm_segments(spark, sf_dir):
+    # r6: the three exact-quartile ntiles ran |customers| rows through ONE
+    # task each (unpartitioned WindowExec); global_ntile decomposes each
+    # into a range-bucketed count prefix + closed-form tile arithmetic —
+    # bit-identical outputs (ntile is a pure function of position and
+    # count), one parallel exchange per dimension. The sketch-cutoff
+    # production variant remains op_rfm_segments_approx.
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_ntile,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -66,20 +78,35 @@ def op_rfm_segments(spark, sf_dir):
         .cast("double")
         .alias("monetary"),
     )
-    return per_cust.select(
+    scored = global_ntile(
+        per_cust,
+        [F.desc("last_order"), F.asc("o_custkey")],
+        4,
+        -F.unix_micros(F.col("last_order")),
+        out_name="r_score",
+    )
+    scored = global_ntile(
+        scored,
+        [F.desc("frequency"), F.asc("o_custkey")],
+        4,
+        -F.col("frequency"),
+        out_name="f_score",
+    )
+    scored = global_ntile(
+        scored,
+        [F.desc("monetary"), F.asc("o_custkey")],
+        4,
+        -F.col("monetary"),
+        out_name="m_score",
+    )
+    return scored.select(
         "o_custkey",
         "last_order",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -530,21 +557,31 @@ def op_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("retail", "r4e"),
 )
 def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: the rank index decomposed (was an unpartitioned row_number over
+    # the |customers|-row aggregate — one task); n rides a broadcast
+    # 1-row frame instead of an unbounded-frame window. The i*cents
+    # products stay exact longs, so the final 1-row Gini is bit-identical.
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_prefix,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
     o = load_tables(spark, sf_dir).table("orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+    pos = global_prefix(
+        per_cust,
+        ["cents", "o_custkey"],
+        {"__i": ("count", F.lit(1), True)},
+        F.col("cents"),
+    )
+    n_row = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = pos.crossJoin(F.broadcast(n_row)).select(
+        "cents", F.col("__i").alias("i"), F.col("__n").alias("n")
     )
     return ranked.agg(
         F.max("n").cast("long").alias("n_customers"),
@@ -601,16 +638,28 @@ def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("retail", "r4e"),
 )
 def op_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: decile assignment decomposed (was an unpartitioned ntile over
+    # the |customers|-row aggregate — one task); the 10-row cumulative
+    # stays a plain window (bounded input by construction).
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_ntile,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
     o = load_tables(spark, sf_dir).table("orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    ranked = per_cust.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
-    )
+    ranked = global_ntile(
+        per_cust,
+        ["cents", "o_custkey"],
+        10,
+        F.col("cents"),
+        out_name="decile",
+    ).select("cents", "decile")
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").cast("long").alias("decile_cents"),
@@ -677,23 +726,34 @@ ABC_B_CUT = 0.95
     tags=("retail", "r4e"),
 )
 def op_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: the cumulative-cents prefix decomposed (was an unpartitioned
+    # running sum over the |parts|-row aggregate — one task); integer
+    # cents make the bucket recombination exact. The grand total rides a
+    # broadcast 1-row frame instead of an unbounded-frame window.
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_prefix,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
     li = load_tables(spark, sf_dir).table("lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    w_cum = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = global_prefix(
+        per_part,
+        [F.desc("cents"), F.asc("l_partkey")],
+        {"__cum": ("sum", F.col("cents"), True)},
+        -F.col("cents"),
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_part.select(
+    total = per_part.agg(F.sum("cents").cast("long").alias("__total"))
+    ranked = cum.crossJoin(F.broadcast(total)).select(
         F.col("l_partkey").alias("part_id"),
         "cents",
-        F.sum("cents").over(w_cum).cast("long").alias("cum_cents"),
-        F.sum("cents").over(w_all).cast("long").alias("total_cents"),
+        F.col("__cum").cast("long").alias("cum_cents"),
+        F.col("__total").alias("total_cents"),
     )
     a_pct = int(ABC_A_CUT * 100)
     b_pct = int(ABC_B_CUT * 100)

@@ -927,8 +927,17 @@ def text_dsir_weights(spark, sf_dir):
     tags=("text", "curation", "r4d"),
 )
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # r6: the two running sums ran the per-doc aggregate (|docs| rows —
+    # corpus-scale, THE fact of a text pipeline) through one unpartitioned
+    # window task; decomposed over the range-bucket prefix (integer token/
+    # vocab counts recombine exactly; doc_id is unique, so the original
+    # rangeBetween frame == the rows frame).
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_prefix,
+        release_caches,
+    )
 
+    release_caches()  # scoped: drop the previous prefix query's caches
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
@@ -939,15 +948,16 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("new_words"))
     )
-    w = Window.orderBy("doc_id").rangeBetween(Window.unboundedPreceding, 0)
-    return (
-        counts.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tokens").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("new_words", F.lit(0))).over(w).alias("cum_vocab"),
-        )
-    )
+    per_doc = counts.join(new_per_doc, "doc_id", "left")
+    return global_prefix(
+        per_doc,
+        ["doc_id"],
+        {
+            "cum_tokens": ("sum", F.col("n_tokens"), True),
+            "cum_vocab": ("sum", F.coalesce("new_words", F.lit(0)), True),
+        },
+        F.col("doc_id"),
+    ).select("doc_id", "cum_tokens", "cum_vocab")
 
 
 # ---------------------------------------------------------------------------

@@ -231,3 +231,28 @@ def test_window_rank_decomposition_matches_rank(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile == WindowExec ntile for every (n, k) shape that
+    exercises the closed-form tile arithmetic: n % k == 0, n % k != 0,
+    n < k (each row its own tile)."""
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_ntile,
+    )
+
+    for n, k in ((40, 4), (43, 4), (3, 10), (10, 10), (101, 7)):
+        rows = [(i, (i * 37) % 19) for i in range(n)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: r["t"]
+            for r in global_ntile(
+                df, ["v", "k"], k, F.col("v"), out_name="t", n_buckets=5
+            ).collect()
+        }
+        w = Window.orderBy("v", "k")
+        exp = {
+            r["k"]: r["t"]
+            for r in df.select("k", F.ntile(k).over(w).alias("t")).collect()
+        }
+        assert got == exp, (n, k)

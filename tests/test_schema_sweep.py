@@ -129,6 +129,13 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "op_skyline_pareto",
         "op_sequence_gaps",
         "op_quantile_normalization",
+        # same carry + a broadcast 1-row total/count frame (global_ntile
+        # / cumulative share over the per-customer/part aggregates)
+        "op_rfm_segments",
+        "op_lorenz_curve",
+        "op_abc_classification",
+        "op_gini_revenue_concentration",
+        "text_vocab_growth",
     }
     offenders = {}
     for name, fn in entry.queries().items():
