@@ -70,6 +70,15 @@ def release_caches() -> None:
     while _RETAINED:
         _RETAINED.pop().unpersist()
 
+
+def persist_scoped(df: DataFrame) -> DataFrame:
+    """Public scoped persist for operators replacing a global-total
+    window (`Window.partitionBy()` — moves the whole frame to one task)
+    with an agg + broadcast crossJoin: the persist keeps the expensive
+    subtree single-evaluation, the registry ties its lifetime to the
+    same release points as the prefix caches."""
+    return _persist(df)
+
 # (local window fn, bucket-total fn, cross-bucket carry fn, combine(loc, off)).
 # The carry fn re-aggregates the per-bucket TOTALS — for count that is a
 # SUM of counts (counting the totals rows would count buckets instead).

@@ -630,18 +630,30 @@ def tpch_q14(spark, sf_dir):
     tags=("tpch",),
 )
 def tpch_q15(spark, sf_dir):
+    # r6: the max-revenue threshold rides a 1-row agg + broadcast
+    # crossJoin over the scoped-persisted per-supplier frame instead of
+    # Window.partitionBy() (which funneled the |suppliers|-sized frame
+    # through one task); MAX is order-free, so bit-identical.
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        persist_scoped,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous query's caches
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(sum_revenue_col().alias("total_revenue"))
-        .withColumn(
-            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    per_supp = persist_scoped(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            sum_revenue_col().alias("total_revenue")
         )
-        .where(F.col("total_revenue") == F.col("max_revenue"))
-        .drop("max_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    revenue = (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1223,10 +1235,18 @@ def tpch_q11(spark, sf_dir):
     # semi-join on l_suppkey — legal because each (partkey, suppkey)
     # pair has a single supplier, so dropping other nations' rows never
     # splits a pair; the wide groupBy then reads ~1/25th of lineitem.
-    # (2) the threshold comes from a global window over the per-part
-    # frame (|parts| rows, one small single-partition pass — the q15
-    # idiom) instead of an agg fork + crossJoin, which recomputed the
-    # whole pair aggregation twice.
+    # (2) r6: the threshold comes from a 1-row agg + broadcast crossJoin
+    # over the SCOPED-PERSISTED per-part frame — single evaluation of
+    # the pair aggregation (the r4 concern that motivated the window)
+    # without Window.partitionBy() funneling the |parts|-sized frame
+    # through one task; DECIMAL sums are order-free, so the threshold is
+    # bit-identical to the window form.
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        persist_scoped,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous query's caches
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = F.broadcast(
@@ -1247,17 +1267,20 @@ def tpch_q11(spark, sf_dir):
         .alias("ps_availqty"),
         F.min("l_extendedprice").alias("ps_supplycost"),
     )
-    vals = ps.groupBy("ps_partkey").agg(
-        F.sum(
-            F.col("ps_supplycost").cast("decimal(14,2)") * F.col("ps_availqty")
-        ).alias("value_dec")
+    vals = persist_scoped(
+        ps.groupBy("ps_partkey").agg(
+            F.sum(
+                F.col("ps_supplycost").cast("decimal(14,2)")
+                * F.col("ps_availqty")
+            ).alias("value_dec")
+        )
     )
-    threshold = (
-        F.sum("value_dec").over(Window.partitionBy()).cast("double")
-        * F.lit(0.0001)
-    )
+    tot = vals.agg(F.sum("value_dec").alias("__tot"))
     return (
-        vals.withColumn("threshold", threshold)
+        vals.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "threshold", F.col("__tot").cast("double") * F.lit(0.0001)
+        )
         .where(F.col("value_dec").cast("double") > F.col("threshold"))
         .select(
             "ps_partkey", F.col("value_dec").cast("double").alias("part_value")

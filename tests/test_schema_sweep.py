@@ -105,6 +105,9 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
         "sim_knn_classify",  # same broadcast Q-row query batch
         "text_dsir_weights",  # broadcast 1-row target/raw token totals
         "tpch_q22",  # broadcast 1-row avg-acctbal threshold (scalar subquery)
+        "tpch_q11",  # r6: broadcast 1-row value-total threshold (was a
+        # global window funneling the |parts| frame through one task)
+        "tpch_q15",  # r6: broadcast 1-row max-revenue threshold (same)
         "ev_ab_test_metrics",  # 1-row x 1-row variant crossJoin (A x B)
         "sim_range_search",  # broadcast Q-row query batch (Q=10), radius filter
         "ev_conversion_lag",  # broadcast 1-row global-percentile frame
