@@ -246,7 +246,10 @@ def global_ntile(
         bucket_expr,
         n_buckets,
     )
-    total = df.agg(F.count(F.lit(1)).alias("__pfx_n"))
+    # n = max position (count-include-current over a total order) — read
+    # from the prefix output so the total rides the PERSISTED bucketed
+    # frame instead of re-evaluating the caller's upstream subtree
+    total = pos.agg(F.max("__pfx_pos").alias("__pfx_n"))
     out = pos.crossJoin(F.broadcast(total))  # 1-row total frame
     q = F.floor(F.col("__pfx_n") / n_tiles).cast("long")
     r = F.col("__pfx_n") % n_tiles

@@ -1836,10 +1836,22 @@ def ev_conversion_lag(spark, sf_dir):
         .cast("long")
         .alias("p90_lag_us"),
     )
+    # r6: quartile assignment decomposed (was an unpartitioned ntile over
+    # the |converting-users|-sized lag frame — one task); global_ntile is
+    # bit-identical (pure function of position and count).
+    from data_pipeline_4_online_retail_spark.functions.prefix import (
+        global_ntile,
+        release_caches,
+    )
+
+    release_caches()  # scoped: drop the previous prefix query's caches
     return (
-        lags.withColumn(
-            "lag_quartile",
-            F.ntile(4).over(Window.orderBy("lag_us", "user_id")),
+        global_ntile(
+            lags,
+            ["lag_us", "user_id"],
+            4,
+            F.col("lag_us"),
+            out_name="lag_quartile",
         )
         .crossJoin(F.broadcast(pcts))
         .select("user_id", "lag_us", "lag_quartile", "p50_lag_us", "p90_lag_us")
