@@ -45,84 +45,82 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 6. The driver checks the FIRST 50
-# registrations; after r5 the cross-round union stood at 215/287 with
-# 72 never driver-checked (57 of them fully oracled —
-# tools/rotation_audit.py). VERDICT r5 item 1: rotate the window onto
-# the never-checked backlog, target union >= 265. All 50 slots again go
-# to NEVER-CHECKED names (49 of the 57 oracled backlog + the round's
-# one new registration, op_rfm_segments_approx — itself never checked);
-# zero repeat controls, same justification as r5 (0 reds ever, former
-# windows' code paths re-proven by tools/oracle_check.py +
-# tools/vanilla_sweep.py each round, tests/test_schema_sweep.py pins
-# every registration's analyzed plan). Three of the slots —
-# ev_peak_concurrency, op_skyline_pareto, op_quantile_normalization —
-# are the r6 range-bucket prefix rewrites (VERDICT item 2), so their
-# first driver rows also certify the rewrite. Deferred to r7: the
-# remaining 8 oracled (op_parameterized_sql, op_sql_pipe_syntax,
-# op_transpose_summary, op_stack_long_format, dedup_minhash_estimate,
-# sim_knn_classify, ev_gap_fill_forward, op_histogram_fixed_bins) +
-# the rows-only tier — together they fit r7's window with room.
+# Driver-visible ordering, round 7. The driver checks the FIRST 50
+# registrations; after r6 the cross-round union stood at 265/288 with 23
+# never driver-checked + 5 promoted-since-r1/r3 queries whose rows-only
+# driver record predates their oracle (VERDICT r6 item 1 names all 28).
+# This window closes the union: all 23 never-checked (two of them —
+# ev_markov_absorption, graph_pagerank_copurchase — promoted to FULL
+# oracles this round, VERDICT item 6), the 5 stale-promoted, the round's
+# one new registration (graph_itemcf_recs_capped, VERDICT item 2 — the
+# scale-safe itemcf path's own green row), and 21 re-proof slots: every
+# prefix-helper consumer (the r7 adaptive-bypass + tie-salt + eqNullSafe
+# + exact-div changes route them through NEW code at sf0.01 — the bypass
+# path — so these driver rows certify this round's plan change, while
+# the forced-decomposition path is re-proven by tools/oracle_check.py
+# with SPARK_GRAFT_PREFIX_SMALL_BYTES=0 and the pytest bit-identity
+# pins), the r6-touched graph/tpch queries (tpch_q11/q15 consume the
+# prefix module's persist_scoped), and 4 stalest-r1 controls per the
+# rotation_audit convention. Registry growth (+1) <= rotation (VERDICT
+# item 8); after this round every oracled registration has a hash-green
+# driver row in some round (288 of 289 checked + the new capped twin).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # relational / SQL-surface micro-ops
-    "op_map_functions",
-    "op_date_spine",
-    "op_percent_change_mom",
-    "op_group_sample_exact_k",
-    "op_sql_scripting",
-    "op_skyline_pareto",
-    "op_not_in_null_semantics",
-    "op_moving_average_centered",
-    "op_explode_outer",
-    "op_set_ops_all",
-    "op_null_safe_join",
-    "op_collation_group",
-    "op_window_nth_value",
-    "op_sql_udf",
-    "op_constraint_check",
-    "op_map_in_arrow",
-    "op_udtf_polymorphic",
-    "op_pandas_api_groupby",
-    # dedup / similarity (oracled never-checked members)
-    "dedup_lsh_recall_report",
-    "sim_range_search",
-    "sim_ann_recall_report",
-    # text
-    "text_oov_rate",
-    "text_dup_span_keep_first",
-    "text_temperature_resample",
-    "text_split_leakage_audit",
-    # events / timeseries — closes the oracled backlog of the tier
-    "ev_dwell_time",
-    "ev_burst_detection",
-    "ev_cohort_ltv",
-    "ev_interval_coverage",
-    "ev_audience_overlap",
-    "ev_seasonality_profile",
-    "ev_rolling_wau",
-    "ev_funnel_dropoff",
-    "ev_peak_concurrency",
-    "ev_bounce_rate",
-    "ev_conversion_lag",
-    "ev_forecast_backtest",
-    "ev_holt_linear_trend",
-    "ev_interarrival_percentiles",
-    "ev_nearest_join",
-    # statistics tier
-    "op_crosstab_chi2",
-    "op_regression_closed_form",
+    # --- the 23 never-driver-checked (closes the union) ---
+    "op_histogram_fixed_bins",
+    "op_parameterized_sql",
+    "op_sql_pipe_syntax",
+    "op_stack_long_format",
+    "op_transpose_summary",
+    "dedup_semantic_within_label_fast",
+    "dedup_minhash_estimate",
+    "emb_pca_project",
+    "sim_pq_encode",
+    "sim_ann_pq_adc",
+    "sim_ann_ivf_pq",
+    "sim_knn_classify",
+    "sim_mmr_rerank",
+    "sim_ann_pq_refine",
+    "text_bpe_apply",
+    "text_dsir_weights",
+    "ev_gap_fill_forward",
+    "ev_markov_absorption",
+    "mm_ppm_resize",
+    "op_agg_approx_distinct_raw",
+    "op_percentiles_approx_raw",
+    "text_weighted_sample_ares",
+    "graph_pagerank_copurchase",
+    # --- the 5 promoted-since-r1/r3 whose driver record predates the oracle ---
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_incremental_fast",
+    "sim_ann_lsh",
+    "text_lm_score",
+    # --- NEW this round (lands in-window per the r4-r6 convention) ---
+    "graph_itemcf_recs_capped",
+    # --- r7 re-proof: every prefix-helper consumer (bypass/salt/div/NULL
+    #     changes) + r6-touched graph/tpch + 4 stalest-r1 controls ---
+    "op_rfm_segments",
+    "op_lorenz_curve",
+    "op_abc_classification",
+    "op_gini_revenue_concentration",
+    "text_vocab_growth",
+    "op_sequence_gaps",
+    "op_window_rank",
     "op_quantile_normalization",
-    "op_benford_first_digit",
-    "op_weighted_median",
-    "op_group_moments_mergeable",
-    "op_median_absolute_deviation",
-    "op_pandas_udaf_trimmed_mean",
-    # warehouse straggler (displaced from the r5 window)
-    "wh_compaction_plan",
-    # NEW this round (lands in-window per the r4/r5 convention):
-    # the RFM approx-percentile production variant, bounded oracle
+    "op_skyline_pareto",
+    "ev_peak_concurrency",
+    "ev_conversion_lag",
     "op_rfm_segments_approx",
+    "tpch_q11",
+    "tpch_q15",
+    "graph_triangle_count",
+    "graph_itemcf_recs",
+    "op_market_basket_pairs",
+    "op_window_group_max",
+    "star_dim_customer",
+    "op_project_alias",
+    "op_surrogate_key",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -245,10 +245,12 @@ def _emit(result: dict, out_dir: str | None = None) -> None:
     error dict collapses to a count + one sample — the full texts are in
     BENCH_full.json either way.
 
-    ``SPARK_GRAFT_BENCH_OUT`` redirects the artifact: pytest's
-    failure-path subprocess runs MUST set it, or their all-errors output
-    overwrites the committed repo-root BENCH_full.json (this silently
-    shipped a garbage artifact in r5/r6 until caught).
+    ``SPARK_GRAFT_BENCH_OUT`` redirects the artifact (pytest's
+    failure-path subprocess runs set it to a tmp dir). Artifact
+    ownership (VERDICT r6 item 5): the repo-root BENCH_full.json is
+    UNTRACKED scratch (.gitignore'd) so a driver bench run never dirties
+    the committed tree; the builder's certification runs are committed
+    explicitly as BENCH_close_r{N}.json via SPARK_GRAFT_BENCH_OUT.
     """
     here = (
         out_dir

@@ -27,19 +27,47 @@ offset rows. No ``Exchange SinglePartition`` under any fact-sized window.
 
 Correctness does not depend on where the cut points land (any monotone
 co-bucketing of ties yields the same prefix values), so the sampling's
-nondeterminism is plan-only. Skew caveat: a single key value with a huge
-tie count still lands in one bucket — for heavier skew, salt *within* the
-tie group only when the aggregate is commutative over ties (sum/count are;
-see each call site).
+nondeterminism is plan-only.
+
+**Adaptive bypass (r7, VERDICT r6 item 3).** The decomposition pays a
+fixed constant (sampling pass, persist, carry join) that is pure overhead
+below its crossover (~10M rows — SCALING.md §r6 measured 2.5–11x at
+sf0.1). Each entry point therefore reads the input's Catalyst size
+estimate (``optimizedPlan().stats().sizeInBytes`` — plan-time, no job)
+and below ``SPARK_GRAFT_PREFIX_SMALL_BYTES`` (default 32 MiB ≈ 5–10M
+rows of a narrow projection) falls back to the plain single-partition
+window. Both paths are pinned bit-identical in
+tests/test_prefix_helper.py, so the switch is plan-only. Set the env var
+to ``0`` to force the decomposition (the plan-shape tests do), or huge
+to force the plain window.
+
+**Tie-skew salting (r7, VERDICT r6 item 4).** A single key value with a
+huge tie count lands in one bucket and re-creates the straggler inside
+the decomposition. ``salt_expr`` fixes this *exactly* (not just for
+commutative aggregates): it names the NEXT component of the caller's
+total order (cast-able to double, e.g. the numeric tie-break column),
+and any key value that spans ≥2 quantile positions — i.e. holds ≥
+~1/n_buckets of the rows — is sub-bucketed on ``salt_expr``'s quantiles
+*within the tie group*. Because boundaries are then lexicographic in
+(key, salt), bucket ids stay monotone along the full total order and
+every kind (sum/max/count, any frame) recombines bit-identically; the
+degenerate-key fixture pins both the balance bound and the values.
+``salt_expr`` must be non-null and monotone in the order's next
+component over equal keys (a non-strict monotone projection is fine —
+remaining ties co-bucket as before).
 
 Used by: ``ev_peak_concurrency`` (events sweep line),
 ``op_skyline_pareto`` / ``op_sequence_gaps`` (orders),
-``op_quantile_normalization`` (orders, twice). Reference parity: the
-reference's only window is per-invoice (``dags/online_retail.py:46``) —
-this is the repo's own 100 TB bar.
+``op_quantile_normalization`` (orders, twice), the RFM/Lorenz/ABC/Gini/
+vocab-growth aggregate windows, ``ev_conversion_lag``. Reference parity:
+the reference's only window is per-invoice (``dags/online_retail.py:46``)
+— this is the repo's own 100 TB bar.
 """
 
 from __future__ import annotations
+
+import os
+from collections import deque
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,15 +75,27 @@ from pyspark.sql.window import Window
 
 _BUCKET = "__pfx_bucket"
 
+# Below this Catalyst size estimate for the input frame, skip the
+# decomposition and run the plain window (see module docstring).
+_SMALL_BYTES_DEFAULT = 32 << 20
+
+# Last ~N (fn, bypassed, est_bytes) decisions — introspection for the
+# path-engagement tests; bounded so long sessions don't grow it.
+DECISIONS: deque = deque(maxlen=128)
+
 # Scoped persist registry (the dedup.py/graph.py convention): the bucketed
-# input frame feeds THREE consumers (the approxQuantile sampling pass, the
-# per-bucket local window, and the bucket-totals aggregate) — unpersisted,
-# Spark re-evaluates the whole upstream plan for each, and NESTED
-# global_prefix calls (op_quantile_normalization chains three) multiply
-# that re-execution: the r6 sf10 probe measured 274 s for the unpersisted
-# chain vs 55 s persisted. Caches are released by the calling operator at
-# its next entry (release_caches()), and bench releases after every
-# timed materialization.
+# input frame feeds THREE consumers (the per-bucket local window, the
+# bucket-totals aggregate, and the totals' triangle self-join) —
+# unpersisted, Spark re-evaluates the whole upstream plan for each, and
+# NESTED global_prefix calls (op_quantile_normalization chains three)
+# multiply that re-execution: the r6 sf10 probe measured 274 s for the
+# unpersisted chain vs 55 s persisted. Caches are released by the calling
+# operator at its next entry (release_caches()), and bench releases after
+# every timed materialization. The registry assumes SINGLE-THREADED query
+# execution per process (the repo's operators run sequentially): a
+# release_caches() from a concurrent query would unpersist another
+# operator's in-flight cache — recompute-only in Spark, but it defeats
+# the persist (ADVICE r6).
 _RETAINED: list[DataFrame] = []
 
 
@@ -79,6 +119,30 @@ def persist_scoped(df: DataFrame) -> DataFrame:
     same release points as the prefix caches."""
     return _persist(df)
 
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate — driver-side only, no job."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge; fail toward scale-safe
+        return None
+
+
+def _use_plain_window(df: DataFrame, fn: str) -> bool:
+    """True when the input is small enough that the plain window wins.
+    Unknown size falls back to the decomposition (the scale-safe path)."""
+    try:
+        small = int(
+            os.environ.get("SPARK_GRAFT_PREFIX_SMALL_BYTES", _SMALL_BYTES_DEFAULT)
+        )
+    except ValueError:  # pragma: no cover - malformed env
+        small = _SMALL_BYTES_DEFAULT
+    est = _estimated_bytes(df)
+    bypass = est is not None and est < small
+    DECISIONS.append((fn, bypass, est))
+    return bypass
+
+
 # (local window fn, bucket-total fn, cross-bucket carry fn, combine(loc, off)).
 # The carry fn re-aggregates the per-bucket TOTALS — for count that is a
 # SUM of counts (counting the totals rows would count buckets instead).
@@ -89,33 +153,94 @@ _KINDS = {
     "count": (F.count, F.count, F.sum, _ADD),
 }
 
+# Plain-window equivalents that reproduce the decomposition's NULL
+# behavior exactly (sum/count coalesce missing prefixes to 0; max keeps
+# NULL) — the bypass path must be bit-identical to the decomposed one.
+_PLAIN = {
+    "sum": lambda c: F.coalesce(c, F.lit(0)),
+    "max": lambda c: c,
+    "count": lambda c: c,
+}
+
 
 def attach_range_buckets(
     df: DataFrame,
     bucket_expr: Column,
     n_buckets: int = 64,
     rel_err: float = 0.01,
+    salt_expr: Column | None = None,
 ) -> DataFrame:
-    """Add an int ``__pfx_bucket`` column, non-decreasing in ``bucket_expr``.
+    """Add an int ``__pfx_bucket`` column, non-decreasing in ``bucket_expr``
+    (and, for tie groups split by ``salt_expr``, in (bucket, salt) lex
+    order).
 
     ``bucket_expr`` must be castable to double, non-null, and a *prefix* of
     the intended global sort order (rows with equal ``bucket_expr`` values
-    are always co-bucketed, so secondary sort columns never cross buckets).
-    Cut points come from one ``approxQuantile`` sampling pass — the same
-    mechanism ``repartitionByRange`` uses, made explicit so the bucket id
-    is a deterministic *column* the rest of the plan can join on.
+    are always co-bucketed — unless ``salt_expr`` sub-buckets a heavy tie
+    group, in which case equal (bucket, salt) pairs are co-bucketed — so
+    later sort columns never cross buckets). Cut points come from one
+    ``approxQuantile`` sampling pass — the same mechanism
+    ``repartitionByRange`` uses, made explicit so the bucket id is a
+    deterministic *column* the rest of the plan can join on.
+
+    ``salt_expr`` (tie-skew salting, module docstring): non-null, double-
+    castable, monotone in the order's next component within equal keys.
+    Only consulted for key values that occupy ≥2 quantile positions; the
+    sub-cuts come from ONE extra grouped percentile pass over just the
+    heavy keys (≤ n_buckets groups, bounded collect).
     """
-    tmp = _persist(df.withColumn("__pfx_key", bucket_expr.cast("double")))
+    tmp = df.withColumn("__pfx_key", bucket_expr.cast("double"))
+    if salt_expr is not None:
+        tmp = tmp.withColumn("__pfx_salt", salt_expr.cast("double"))
+    # persisted OUTSIDE the registry: consumed only by the sampling pass
+    # below, and dropped here — a registry entry would go stale (ADVICE r6)
+    tmp = tmp.persist()
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted({c for c in tmp.stat.approxQuantile("__pfx_key", probs, rel_err)})
-    if not cuts:  # empty input: one bucket
-        out = _persist(tmp.withColumn(_BUCKET, F.lit(0)).drop("__pfx_key"))
+    raw = tmp.stat.approxQuantile("__pfx_key", probs, rel_err)
+    cuts = sorted(set(raw))
+    # A value at >=2 quantile positions holds >= ~1/n_buckets of the rows:
+    # sub-bucket its tie group on the salt key so no bucket exceeds
+    # ~2/n_buckets of the input even under a degenerate key distribution.
+    heavy: list[float] = []
+    if salt_expr is not None and raw:
+        heavy = sorted({v for v in set(raw) if raw.count(v) >= 2})
+    sub_cuts: dict[float, list[float]] = {}
+    if heavy:
+        mult = max(raw.count(v) for v in heavy)
+        sub_probs = [j / (mult + 1) for j in range(1, mult + 1)]
+        for row in (
+            tmp.filter(F.col("__pfx_key").isin([float(v) for v in heavy]))
+            .groupBy("__pfx_key")
+            .agg(F.percentile_approx("__pfx_salt", sub_probs, 10000).alias("sc"))
+            .collect()
+        ):
+            sub_cuts[row["__pfx_key"]] = sorted(set(row["sc"]))
+    if not cuts:  # empty input (or all-equal tiny sample): one bucket
+        out = _persist(
+            tmp.withColumn(_BUCKET, F.lit(0)).drop("__pfx_key", "__pfx_salt")
+        )
     else:
-        # bucket = #cuts strictly below the key → monotone, ties co-bucketed.
+        # bucket = number of lexicographic boundaries strictly below the
+        # row: plain cuts contribute (key > c); a heavy value v's sub-cut
+        # s contributes (key > v) OR (key == v AND salt > s). Every
+        # indicator is upward-closed in (key, salt) lex order, so the sum
+        # is monotone along the caller's total order; ties on (key, salt)
+        # still co-bucket.
         bucket: Column = F.lit(0)
         for c in cuts:
             bucket = bucket + (F.col("__pfx_key") > F.lit(float(c))).cast("int")
-        out = _persist(tmp.withColumn(_BUCKET, bucket).drop("__pfx_key"))
+        for v, scs in sub_cuts.items():
+            for s in scs:
+                bucket = bucket + (
+                    (F.col("__pfx_key") > F.lit(float(v)))
+                    | (
+                        (F.col("__pfx_key") == F.lit(float(v)))
+                        & (F.col("__pfx_salt") > F.lit(float(s)))
+                    )
+                ).cast("int")
+        out = _persist(
+            tmp.withColumn(_BUCKET, bucket).drop("__pfx_key", "__pfx_salt")
+        )
     # Materialize the BUCKETED frame once and drop the pre-bucket cache:
     # the callers fan it out to three-plus consumers (local window, bucket
     # totals, and — via the totals self-join — BOTH triangle sides plus
@@ -134,16 +259,20 @@ def global_prefix(
     bucket_expr: Column,
     n_buckets: int = 64,
     partition_cols: list | None = None,
+    salt_expr: Column | None = None,
 ) -> DataFrame:
     """Running aggregates over a global total order, without a
-    single-partition fact window.
+    single-partition fact window (unless the input is small — see the
+    module docstring's adaptive bypass; both paths are bit-identical).
 
     ``aggs``: ``{out_name: (kind, value_expr, include_current)}`` with
     ``kind`` in {"sum", "max", "count"}. ``include_current=False`` gives the
     strict prefix (``ROWS … AND 1 PRECEDING``), e.g. skyline's
     ``best_earlier``. ``order_cols`` must be a total order whose first
     component is ``bucket_expr`` (ties on the bucket key broken by the
-    remaining columns *within* a bucket).
+    remaining columns *within* a bucket). ``salt_expr`` optionally names
+    the order's next component to split degenerate tie groups across
+    buckets (module docstring).
 
     ``partition_cols`` generalizes to PARTITIONED prefix aggregates whose
     partition key has BOUNDED cardinality but fact-sized groups (e.g. a
@@ -155,15 +284,35 @@ def global_prefix(
     a group whose distribution skews into few buckets still splits
     across the OTHER groups' tasks); the carry join and the broadcast
     offset table grow to |distinct partition keys| × n_buckets rows —
-    the bounded-cardinality contract. High-cardinality keys don't want
-    this helper at all: their ordinary partitioned window already
-    parallelizes.
+    the bounded-cardinality contract. NULL partition keys are supported:
+    both the carry and the offsets join back onto the fact compare with
+    eqNullSafe, matching PARTITION BY's null-grouping. High-cardinality
+    keys don't want this helper at all: their ordinary partitioned
+    window already parallelizes.
 
     Returns ``df`` plus one column per ``aggs`` entry; the ``__pfx_bucket``
     helper column is dropped.
     """
     pc = list(partition_cols or [])
-    b = attach_range_buckets(df, bucket_expr, n_buckets)
+    if _use_plain_window(df, "global_prefix"):
+        w_i = (
+            Window.partitionBy(*pc)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_e = (
+            Window.partitionBy(*pc)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = df
+        for name, (kind, expr, incl) in aggs.items():
+            local_fn = _KINDS[kind][0]
+            out = out.withColumn(
+                name, _PLAIN[kind](local_fn(expr).over(w_i if incl else w_e))
+            )
+        return out
+    b = attach_range_buckets(df, bucket_expr, n_buckets, salt_expr=salt_expr)
     w_incl = (
         Window.partitionBy(*pc, _BUCKET)
         .orderBy(*order_cols)
@@ -202,18 +351,24 @@ def global_prefix(
     offsets = (
         t1.join(t2, cond, "left")
         .groupBy(
-            *[F.col(f"__pfx_t1.{c}").alias(c) for c in pc],
-            F.col(f"__pfx_t1.{_BUCKET}").alias(_BUCKET),
+            *[F.col(f"__pfx_t1.{c}").alias(f"__offk_{c}") for c in pc],
+            F.col(f"__pfx_t1.{_BUCKET}").alias("__offk_b"),
         )
         .agg(*carry_aggs)
     )
-    out = out.join(F.broadcast(offsets), pc + [_BUCKET], "left")
+    # Join the offsets back with eqNullSafe on the partition keys (a
+    # name-equality join drops NULL-keyed rows' offsets — ADVICE r6);
+    # <=> keys are still equi-join keys, so this stays a BroadcastHashJoin.
+    jc = F.col(_BUCKET) == F.col("__offk_b")
+    for c in pc:
+        jc = jc & F.col(c).eqNullSafe(F.col(f"__offk_{c}"))
+    out = out.join(F.broadcast(offsets), jc, "left")
     for name, (kind, _expr, _incl) in aggs.items():
         _local_fn, _total_fn, _carry, combine = _KINDS[kind]
         out = out.withColumn(
             name, combine(F.col(f"__loc_{name}"), F.col(f"__off_{name}"))
         )
-    drop = [_BUCKET]
+    drop = [_BUCKET, "__offk_b"] + [f"__offk_{c}" for c in pc]
     for name in aggs:
         drop += [f"__loc_{name}", f"__off_{name}"]
     return out.drop(*drop)
@@ -226,6 +381,7 @@ def global_ntile(
     bucket_expr: Column,
     out_name: str = "__tile",
     n_buckets: int = 64,
+    salt_expr: Column | None = None,
 ) -> DataFrame:
     """``ntile(n_tiles)`` over a global total order, range-bucketed.
 
@@ -234,35 +390,49 @@ def global_ntile(
     rows. Position comes from the decomposed count prefix (one parallel
     exchange, no fact-sized single-partition sort — the op_rfm_segments /
     op_lorenz_curve ntiles ran |customers| rows through ONE task); the
-    1-row total broadcasts; tile assignment is exact integer arithmetic,
-    so outputs are bit-identical to WindowExec's ntile. ``order_cols``
-    must be a total order (unique tie-break) whose first component is
-    ``bucket_expr``.
+    1-row total broadcasts; tile assignment uses the SQL ``div`` operator
+    (true integral division on longs — a double division truncates the
+    wrong way within half an ulp of an integer once tiles exceed ~2^50
+    rows, ADVICE r6), so outputs are bit-identical to WindowExec's ntile
+    at any scale. ``order_cols`` must be a total order (unique tie-break)
+    whose first component is ``bucket_expr``. Small inputs bypass to the
+    plain ``F.ntile`` window (module docstring).
     """
+    if _use_plain_window(df, "global_ntile"):
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(out_name, F.ntile(n_tiles).over(w))
     pos = global_prefix(
         df,
         order_cols,
         {"__pfx_pos": ("count", F.lit(1), True)},
         bucket_expr,
         n_buckets,
+        salt_expr=salt_expr,
     )
     # n = max position (count-include-current over a total order) — read
     # from the prefix output so the total rides the PERSISTED bucketed
     # frame instead of re-evaluating the caller's upstream subtree
     total = pos.agg(F.max("__pfx_pos").alias("__pfx_n"))
-    out = pos.crossJoin(F.broadcast(total))  # 1-row total frame
-    q = F.floor(F.col("__pfx_n") / n_tiles).cast("long")
-    r = F.col("__pfx_n") % n_tiles
-    p = F.col("__pfx_pos")
-    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    out = (
+        pos.crossJoin(F.broadcast(total))  # 1-row total frame
+        .withColumn("__pfx_q", F.expr(f"__pfx_n div {int(n_tiles)}"))
+        .withColumn("__pfx_r", F.col("__pfx_n") % n_tiles)
+        .withColumn("__pfx_big", F.col("__pfx_r") * (F.col("__pfx_q") + 1))
+    )
     tile = (
-        F.when(p <= big, (p - 1) / (q + 1))
-        .otherwise(r + (p - big - 1) / F.greatest(q, F.lit(1)))
-        .cast("long")
+        F.when(
+            F.col("__pfx_pos") <= F.col("__pfx_big"),
+            F.expr("(__pfx_pos - 1) div (__pfx_q + 1)"),
+        ).otherwise(
+            F.col("__pfx_r")
+            + F.expr(
+                "(__pfx_pos - __pfx_big - 1) div greatest(__pfx_q, CAST(1 AS BIGINT))"
+            )
+        )
         + 1
     )
     return out.withColumn(out_name, tile.cast("int")).drop(
-        "__pfx_pos", "__pfx_n"
+        "__pfx_pos", "__pfx_n", "__pfx_q", "__pfx_r", "__pfx_big"
     )
 
 
@@ -280,8 +450,12 @@ def global_lead(
     the head value of the next *non-empty* bucket (computed with
     ``min_by`` per bucket, then a lead over the ≤ ``n_buckets``-row heads
     table — empty bucket ids simply don't appear, so the tiny lead skips
-    them correctly).
+    them correctly). Small inputs bypass to the plain ``F.lead`` window
+    (module docstring).
     """
+    if _use_plain_window(df, "global_lead"):
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(out_name, F.lead(col).over(w))
     b = attach_range_buckets(df, bucket_expr, n_buckets)
     w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
     led = b.withColumn("__loc_lead", F.lead(col).over(w))

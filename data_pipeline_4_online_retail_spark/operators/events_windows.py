@@ -1852,6 +1852,7 @@ def ev_conversion_lag(spark, sf_dir):
             4,
             F.col("lag_us"),
             out_name="lag_quartile",
+            salt_expr=F.col("user_id"),
         )
         .crossJoin(F.broadcast(pcts))
         .select("user_id", "lag_us", "lag_quartile", "p50_lag_us", "p90_lag_us")
@@ -2721,10 +2722,129 @@ ABSORB_WIN = "purchase"
 ABSORB_LOSE = "error"
 
 
+_MARKOV_TRANSIENT = ("click", "signup", "view")  # the generator's fixed
+# event-type domain minus the two absorbers; sorted, so oracle rows align
+_MARKOV_RESID_TOL = 1e-9
+
+
+def _markov_absorption_oracle() -> str:
+    """Full oracle for the absorbing-chain solve (VERDICT r6 item 6,
+    promoted from rows-only): DuckDB pivots the SAME integer transition
+    counts into the 3x3 system (I - Q) h = r and solves it in closed form
+    (Cramer adjugate — exact arithmetic on the identical q_ij doubles, so
+    it agrees with numpy's LU to ~1e-14, far inside the 6-dp quantized-
+    score contract from r6's text_lm_score). The hash is anchored by the
+    engine-exact integers (n_outgoing / n_to_win / n_to_lose — they pin
+    the entire estimated chain), and each engine self-checks its h
+    against the residual bound |h - (Qh + r)| <= 1e-9 — a drifting solve
+    flips residual_ok and reds the driver row."""
+    t1, t2, t3 = _MARKOV_TRANSIENT
+    cells = []
+    for s in _MARKOV_TRANSIENT:
+        a = s[0]
+        cells.append(
+            f"CAST(COALESCE(SUM(n) FILTER (f = '{s}'), 0) AS BIGINT)"
+            f" AS tot_{a}"
+        )
+        for t in _MARKOV_TRANSIENT:
+            cells.append(
+                f"CAST(COALESCE(SUM(n) FILTER (f = '{s}' AND t = '{t}'), 0)"
+                f" AS BIGINT) AS n_{a}{t[0]}"
+            )
+        cells.append(
+            f"CAST(COALESCE(SUM(n) FILTER (f = '{s}' AND t = '{ABSORB_WIN}'),"
+            f" 0) AS BIGINT) AS w_{a}"
+        )
+        cells.append(
+            f"CAST(COALESCE(SUM(n) FILTER (f = '{s}' AND t = '{ABSORB_LOSE}'),"
+            f" 0) AS BIGINT) AS l_{a}"
+        )
+    qdefs = []
+    for s in _MARKOV_TRANSIENT:
+        a = s[0]
+        for t in _MARKOV_TRANSIENT:
+            b = t[0]
+            qdefs.append(
+                f"CASE WHEN tot_{a} > 0 THEN CAST(n_{a}{b} AS DOUBLE)"
+                f" / CAST(tot_{a} AS DOUBLE) ELSE 0.0 END AS q_{a}{b}"
+            )
+        qdefs.append(
+            f"CASE WHEN tot_{a} > 0 THEN CAST(w_{a} AS DOUBLE)"
+            f" / CAST(tot_{a} AS DOUBLE) ELSE 0.0 END AS r_{a}"
+        )
+    a1, a2, a3 = (s[0] for s in _MARKOV_TRANSIENT)
+    # A = I - Q; Cramer: h_i = det(A with column i := r) / det(A)
+    adefs = ", ".join(
+        f"{'1.0 - ' if i == j else '- '}q_{i}{j} AS a_{i}{j}"
+        for i in (a1, a2, a3)
+        for j in (a1, a2, a3)
+    )
+    det = (
+        f"a_{a1}{a1} * (a_{a2}{a2} * a_{a3}{a3} - a_{a2}{a3} * a_{a3}{a2})"
+        f" - a_{a1}{a2} * (a_{a2}{a1} * a_{a3}{a3} - a_{a2}{a3} * a_{a3}{a1})"
+        f" + a_{a1}{a3} * (a_{a2}{a1} * a_{a3}{a2} - a_{a2}{a2} * a_{a3}{a1})"
+    )
+    h1 = (
+        f"(r_{a1} * (a_{a2}{a2} * a_{a3}{a3} - a_{a2}{a3} * a_{a3}{a2})"
+        f" - a_{a1}{a2} * (r_{a2} * a_{a3}{a3} - a_{a2}{a3} * r_{a3})"
+        f" + a_{a1}{a3} * (r_{a2} * a_{a3}{a2} - a_{a2}{a2} * r_{a3})) / det"
+    )
+    h2 = (
+        f"(a_{a1}{a1} * (r_{a2} * a_{a3}{a3} - a_{a2}{a3} * r_{a3})"
+        f" - r_{a1} * (a_{a2}{a1} * a_{a3}{a3} - a_{a2}{a3} * a_{a3}{a1})"
+        f" + a_{a1}{a3} * (a_{a2}{a1} * r_{a3} - r_{a2} * a_{a3}{a1})) / det"
+    )
+    h3 = (
+        f"(a_{a1}{a1} * (a_{a2}{a2} * r_{a3} - r_{a2} * a_{a3}{a2})"
+        f" - a_{a1}{a2} * (a_{a2}{a1} * r_{a3} - r_{a2} * a_{a3}{a1})"
+        f" + r_{a1} * (a_{a2}{a1} * a_{a3}{a2} - a_{a2}{a2} * a_{a3}{a1})) / det"
+    )
+    branches = []
+    for s, h in zip(_MARKOV_TRANSIENT, ("h_1", "h_2", "h_3")):
+        a = s[0]
+        resid = (
+            f"abs({h} - (q_{a}{a1} * h_1 + q_{a}{a2} * h_2"
+            f" + q_{a}{a3} * h_3 + r_{a})) <= {_MARKOV_RESID_TOL}"
+        )
+        branches.append(
+            f"SELECT '{s}' AS state, tot_{a} AS n_outgoing,"
+            f" w_{a} AS n_to_win, l_{a} AS n_to_lose,"
+            f" CASE WHEN tot_{a} > 0 THEN ROUND({h}, 6) + 0.0"
+            f" ELSE NULL END AS p_absorb,"
+            f" CASE WHEN tot_{a} > 0 THEN {resid} ELSE TRUE END"
+            f" AS residual_ok FROM solved"
+        )
+    branches.append(
+        f"SELECT '{ABSORB_WIN}', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
+        " CAST(0 AS BIGINT), 1.0, TRUE FROM solved"
+    )
+    branches.append(
+        f"SELECT '{ABSORB_LOSE}', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
+        " CAST(0 AS BIGINT), 0.0, TRUE FROM solved"
+    )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS f,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t
+        FROM events),
+    c AS (
+        SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t IS NOT NULL GROUP BY f, t),
+    piv AS (SELECT {", ".join(cells)} FROM c),
+    qm AS (SELECT *, {", ".join(qdefs)} FROM piv),
+    am AS (SELECT *, {adefs} FROM qm),
+    dm AS (SELECT *, {det} AS det FROM am),
+    solved AS (SELECT *, {h1} AS h_1, {h2} AS h_2, {h3} AS h_3 FROM dm)
+    {union}
+    """
+
+
 @register(
     "ev_markov_absorption",
-    None,  # rows-only: driver-side linear solve; exact-rational replica
-    doc="events: ABSORPTION-RACE probability per starting state — make "
+    _markov_absorption_oracle(),
+    doc="events: ABSORPTION-RACE probability per starting state — make"
     "'purchase' (conversion) and 'error' (failure) both absorbing in "
     "the first-order Markov chain estimated from per-user sequences, "
     "and solve h = Q h + r (the canonical absorbing-chain system): "
@@ -2736,11 +2856,17 @@ ABSORB_LOSE = "error"
     "exchange + a 25-cell aggregate — identical shape to "
     "ev_markov_transitions); the (I - Q) solve is a 3x3 driver-side "
     "numpy call, the sim_kmeans bounded-driver-state argument (k x k "
-    "values, never rows). Rows-only because the solve is float linear "
-    "algebra; the pytest replica re-derives the probabilities EXACTLY "
-    "with Fraction Gaussian elimination from the integer transition "
-    "counts and pins agreement to 1e-12, plus the probability bounds "
-    "(h strictly interior when both absorbers are reachable). "
+    "values, never rows). PROMOTED from rows-only in r7 (VERDICT r6 "
+    "item 6): the oracle re-derives the identical integer transition "
+    "counts and solves the same 3x3 system in closed form (Cramer), so "
+    "the output carries the chain-pinning exact integers (n_outgoing / "
+    "n_to_win / n_to_lose), p_absorb under the 6-dp quantized-score "
+    "contract (cross-solver drift ~1e-14), and a per-state "
+    "residual_ok = |h - (Qh + r)| <= 1e-9 self-check flag on each "
+    "engine's own solution. The pytest replica still re-derives the "
+    "UNROUNDED probabilities EXACTLY with Fraction Gaussian "
+    "elimination and pins agreement to 1e-12, plus the probability "
+    "bounds (h strictly interior when both absorbers are reachable). "
     "Dangling journeys (a user's final event) simply do not emit a "
     "transition — the estimator conditions on a next event existing. "
     "A transient state with ZERO observed outgoing transitions has an "
@@ -2764,17 +2890,25 @@ def ev_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = {(r.from_state, r.to_state): r.n for r in pairs.collect()}
     rows = absorption_rows(counts)
-    return spark.createDataFrame(
-        rows, "state string, n_outgoing long, p_absorb double"
+    out = spark.createDataFrame(
+        rows,
+        "state string, n_outgoing long, n_to_win long, n_to_lose long, "
+        "p_absorb double, residual_ok boolean",
     )
+    # quantized-score contract (r6 text_lm_score): ROUND at 6 dp on both
+    # engines (Spark HALF_UP == DuckDB ROUND for positive h); + 0.0
+    # canonicalizes a potential -0.0
+    return out.withColumn("p_absorb", F.round(F.col("p_absorb"), 6) + 0.0)
 
 
 def absorption_rows(counts: dict) -> list:
     """Solve the absorption race h = Q h + r from integer transition
     counts; pure driver-side math so the pytest replica can exercise
     edge cases (e.g. a dangling transient state) on literal counts.
-    Returns (state, n_outgoing, p_absorb) rows; p_absorb is None for a
-    transient state with no observed outgoing transitions."""
+    Returns (state, n_outgoing, n_to_win, n_to_lose, p_absorb,
+    residual_ok) rows; p_absorb is None for a transient state with no
+    observed outgoing transitions, and residual_ok self-checks the
+    solver's h against |h - (Qh + r)| <= 1e-9 (the oracle's contract)."""
     import numpy as np
 
     states = sorted({s for s, _ in counts} | {t for _, t in counts})
@@ -2794,16 +2928,20 @@ def absorption_rows(counts: dict) -> list:
         for j, t in enumerate(transient):
             q[i, j] = counts.get((s, t), 0) / tot
     h = np.linalg.solve(np.eye(n) - q, r)
+    resid = np.abs(h - (q @ h + r))
     rows = [
         (
             s,
             int(out_totals[s]),
+            int(counts.get((s, ABSORB_WIN), 0)),
+            int(counts.get((s, ABSORB_LOSE), 0)),
             float(h[i]) if out_totals[s] > 0 else None,
+            bool(resid[i] <= _MARKOV_RESID_TOL) if out_totals[s] > 0 else True,
         )
         for i, s in enumerate(transient)
     ]
-    rows.append((ABSORB_WIN, 0, 1.0))
-    rows.append((ABSORB_LOSE, 0, 0.0))
+    rows.append((ABSORB_WIN, 0, 0, 0, 1.0, True))
+    rows.append((ABSORB_LOSE, 0, 0, 0, 0.0, True))
     return rows
 
 

@@ -107,26 +107,93 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     return ranks
 
 
+def _pagerank_oracle(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
+    """Full oracle for the 10-iteration PageRank (VERDICT r6 item 6,
+    promoted from rows-only): DuckDB unrolls the SAME ten synchronized
+    power iterations over the identical edge probabilities (w / out_w on
+    exact integer counts — IEEE-identical doubles), so the only
+    cross-engine drift is float summation ORDER inside each dst
+    aggregate (~1e-13 relative over 10 rounds). The registered output is
+    therefore rank * N — mean 1.0 at ANY graph size, which removes the
+    magnitude-collapses-with-n objection that kept this rows-only —
+    under the 6-dp quantized-score contract (r6 text_lm_score). The
+    (1-d)/n base is embedded as Python's exact float repr: DuckDB would
+    otherwise evaluate 1 - 0.85 in DECIMAL and land half an ulp away."""
+    one_minus_d = repr(1.0 - damping)
+    steps = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        steps.append(
+            f"""r{k} AS (
+        SELECT n.node,
+               (SELECT b FROM basev)
+                 + CAST({damping!r} AS DOUBLE) * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(e.p * r.rank) AS mass
+            FROM edges e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst) m ON n.node = m.node)"""
+        )
+        prev = f"r{k}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+        GROUP BY 1, 2),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM pairs GROUP BY src),
+    edges AS (
+        SELECT p.src, p.dst,
+               CAST(p.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
+        FROM pairs p JOIN outw o ON p.src = o.src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    basev AS (
+        SELECT CAST({one_minus_d} AS DOUBLE) / CAST(n AS DOUBLE) AS b FROM nn),
+    r0 AS (
+        SELECT node,
+               CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE) AS rank
+        FROM nodes),
+    {steps_sql}
+    SELECT node AS part_key,
+           ROUND(rank * CAST((SELECT n FROM nn) AS DOUBLE), 6) + 0.0
+               AS pagerank_x_n
+    FROM {prev}
+    """
+
+
 @register(
     "graph_pagerank_copurchase",
-    None,  # iterative float fixpoint — no SQL oracle; numpy replica pytest
+    _pagerank_oracle(),
     doc="graph analytics: weighted PageRank over the product co-purchase "
     "graph (10 damped power iterations as DataFrame join+agg rounds, "
-    "localCheckpoint lineage truncation every 4). Output row count = "
-    "node count (deterministic); score values replica-tested to 1e-9 "
-    "against numpy power iteration. Scale: per-iteration cost is one "
-    "src-key join + one dst-key aggregate, both partial-agg'd; the "
-    "edge list is the invariant big operand and would be persisted + "
-    "pre-partitioned once at 100 TB.",
+    "localCheckpoint lineage truncation every 4). PROMOTED from "
+    "rows-only in r7 (VERDICT r6 item 6): the oracle unrolls the same "
+    "ten iterations in SQL over bit-identical edge probabilities, and "
+    "the output reports the size-stable rank * N (mean 1.0 at any "
+    "scale) rounded at 6 dp — cross-engine drift is summation order "
+    "only, ~1e-13. The unrounded raw ranks stay replica-tested to 1e-9 "
+    "against numpy power iteration (tests/test_r4b_ops.py). Scale: "
+    "per-iteration cost is one src-key join + one dst-key aggregate, "
+    "both partial-agg'd; the edge list is the invariant big operand "
+    "and would be persisted + pre-partitioned once at 100 TB.",
     tags=("graph", "r4b"),
 )
 def graph_pagerank_copurchase(spark, sf_dir):
     li = load_tables(spark, sf_dir).table("lineitem")
     edges = copurchase_edges(li).persist()
     try:
+        n = edges.select("src").distinct().count()
         ranks = pagerank(edges)
         return ranks.select(
-            F.col("node").alias("part_key"), F.col("rank").alias("pagerank")
+            F.col("node").alias("part_key"),
+            (F.round(F.col("rank") * F.lit(float(n)), 6) + 0.0).alias(
+                "pagerank_x_n"
+            ),
         )
     finally:
         # unpersist lazily; blocks release after the query's jobs finish
@@ -360,6 +427,66 @@ def graph_itemcf_recs(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= CF_TOP_N)
     )
+
+
+CF_MAX_BASKET = 7  # drops ~5% of baskets at every SF (the binding case)
+
+
+@register(
+    "graph_itemcf_recs_capped",
+    f"""
+    WITH bp0 AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    kept AS (
+        SELECT l_orderkey FROM bp0
+        GROUP BY l_orderkey HAVING COUNT(*) <= {CF_MAX_BASKET}),
+    bp AS (
+        SELECT bp0.l_orderkey, bp0.l_partkey
+        FROM bp0 JOIN kept USING (l_orderkey)),
+    pop AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM bp GROUP BY l_partkey),
+    cooc AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_cooc
+        FROM bp a JOIN bp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT item_a, item_b, n_cooc,
+               CAST(n_cooc AS DOUBLE)
+                   / sqrt(CAST(pa.n_baskets AS DOUBLE)
+                          * CAST(pb.n_baskets AS DOUBLE)) AS cosine_sim
+        FROM cooc
+        JOIN pop pa ON item_a = pa.l_partkey
+        JOIN pop pb ON item_b = pb.l_partkey)
+    SELECT item_a, item_b, n_cooc, cosine_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY item_a
+            ORDER BY cosine_sim DESC, n_cooc DESC, item_b) AS rnk
+        FROM scored)
+    WHERE rnk <= {CF_TOP_N}
+    """,
+    doc="recommendations: the PRODUCTION (scale-safe) variant of "
+    "graph_itemcf_recs — identical cosine/top-N semantics, but baskets "
+    f"larger than max_basket={CF_MAX_BASKET} are DROPPED before the "
+    "per-basket self-join (VERDICT r6 item 2: the uncapped default is "
+    "quadratic in basket size, and one power-law basket — a crawler or "
+    "a warehouse transfer, not a preference signal — blows the pair "
+    "stream up at 100 TB; the cap bounds it at |baskets| * "
+    "max_basket^2). Popularity counts are recomputed AFTER the drop so "
+    "cosine stays a true cosine over the surviving basket set. The cap "
+    "BINDS at test scale (~5% of baskets exceed 7 distinct parts at "
+    "sf0.01), so this is a FULL exact oracle of the capped semantics — "
+    "all-integer counts plus one IEEE-identical sqrt/division — not a "
+    "bounded contract; the skewed-basket pytest additionally pins the "
+    "pair-count bound itself.",
+    tags=("graph", "retail", "similarity", "r7"),
+)
+def graph_itemcf_recs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_itemcf_recs(spark, sf_dir, max_basket=CF_MAX_BASKET)
 
 
 # ---------------------------------------------------------------------------

@@ -308,6 +308,7 @@ def op_window_rank(spark, sf_dir):
         {"__pos": ("count", F.lit(1), True)},
         -F.col("c_acctbal"),
         partition_cols=["c_nationkey"],
+        salt_expr=F.col("c_custkey"),
     )
     return ranked.select(
         "c_custkey",
@@ -1589,6 +1590,7 @@ def op_skyline_pareto(spark, sf_dir):
         ["o_orderdate", F.desc("o_totalprice"), "o_orderkey"],
         {"best_earlier": ("max", F.col("o_totalprice"), False)},
         F.unix_micros(F.col("o_orderdate")),
+        salt_expr=-F.col("o_totalprice"),
     )
     return pts.filter(
         F.col("best_earlier").isNull()

@@ -84,6 +84,7 @@ def op_rfm_segments(spark, sf_dir):
         4,
         -F.unix_micros(F.col("last_order")),
         out_name="r_score",
+        salt_expr=F.col("o_custkey"),
     )
     scored = global_ntile(
         scored,
@@ -91,6 +92,7 @@ def op_rfm_segments(spark, sf_dir):
         4,
         -F.col("frequency"),
         out_name="f_score",
+        salt_expr=F.col("o_custkey"),
     )
     scored = global_ntile(
         scored,
@@ -98,6 +100,7 @@ def op_rfm_segments(spark, sf_dir):
         4,
         -F.col("monetary"),
         out_name="m_score",
+        salt_expr=F.col("o_custkey"),
     )
     return scored.select(
         "o_custkey",
@@ -578,8 +581,11 @@ def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         ["cents", "o_custkey"],
         {"__i": ("count", F.lit(1), True)},
         F.col("cents"),
+        salt_expr=F.col("o_custkey"),
     )
-    n_row = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+    # n = max rank: rides the PERSISTED bucketed frame instead of
+    # re-evaluating the per-customer aggregate a second time (ADVICE r6)
+    n_row = pos.agg(F.max("__i").alias("__n"))
     ranked = pos.crossJoin(F.broadcast(n_row)).select(
         "cents", F.col("__i").alias("i"), F.col("__n").alias("n")
     )
@@ -659,6 +665,7 @@ def op_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
         F.col("cents"),
         out_name="decile",
+        salt_expr=F.col("o_custkey"),
     ).select("cents", "decile")
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -747,8 +754,12 @@ def op_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("cents"), F.asc("l_partkey")],
         {"__cum": ("sum", F.col("cents"), True)},
         -F.col("cents"),
+        salt_expr=F.col("l_partkey"),
     )
-    total = per_part.agg(F.sum("cents").cast("long").alias("__total"))
+    # grand total = max of the inclusive running sum (cents >= 0): rides
+    # the PERSISTED bucketed frame instead of re-evaluating the per-part
+    # aggregate a second time (ADVICE r6)
+    total = cum.agg(F.max("__cum").cast("long").alias("__total"))
     ranked = cum.crossJoin(F.broadcast(total)).select(
         F.col("l_partkey").alias("part_id"),
         "cents",

@@ -791,9 +791,21 @@ def test_markov_absorption_matches_fraction_gauss(spark, catalog, qs):
     assert set(got) == set(transient) | {ABSORB_WIN, ABSORB_LOSE}
     assert got[ABSORB_WIN].p_absorb == 1.0
     assert got[ABSORB_LOSE].p_absorb == 0.0
+    # r7: the registered output quantizes p_absorb at 6 dp (oracle
+    # contract); the UNROUNDED solver is pinned to 1e-12 via
+    # absorption_rows directly.
+    from data_pipeline_4_online_retail_spark.operators.events_windows import (
+        absorption_rows,
+    )
+
+    raw = {row[0]: row for row in absorption_rows(counts)}
     for s in transient:
         assert got[s].n_outgoing == tot[s]
-        assert got[s].p_absorb == pytest.approx(float(expect[s]), abs=1e-12)
+        assert got[s].n_to_win == counts.get((s, ABSORB_WIN), 0)
+        assert got[s].n_to_lose == counts.get((s, ABSORB_LOSE), 0)
+        assert got[s].residual_ok is True
+        assert got[s].p_absorb == pytest.approx(float(expect[s]), abs=5e-7)
+        assert raw[s][4] == pytest.approx(float(expect[s]), abs=1e-12)
         assert 0.0 < got[s].p_absorb < 1.0  # both absorbers reachable
 
 
@@ -813,12 +825,14 @@ def test_markov_absorption_dangling_state_is_null():
         ("view", ABSORB_LOSE): 1,
         ("view", "dead"): 4,  # 'dead' never emits a transition
     }
-    rows = {s: (n, p) for s, n, p in absorption_rows(counts)}
+    rows = {s: (n, p) for s, n, _w, _l, p, _ok in absorption_rows(counts)}
     assert rows["dead"] == (0, None)
     # 'view' treats 'dead' as never-converting: h = 3/8 exactly
     n_view, p_view = rows["view"]
     assert n_view == 8 and p_view == pytest.approx(3 / 8, abs=1e-15)
     assert rows[ABSORB_WIN] == (0, 1.0) and rows[ABSORB_LOSE] == (0, 0.0)
+    oks = {s: ok for s, _n, _w, _l, _p, ok in absorption_rows(counts)}
+    assert all(oks.values())  # residual self-check holds on the fixture
 
 
 def test_did_estimate_matches_decimal_replica(spark, catalog, qs):
