@@ -1142,9 +1142,96 @@ MMR_K = 5
 MMR_LAMBDA = 0.7
 
 
+def _mmr_oracle(dim: int = 64) -> str:
+    """Full oracle for the MMR greedy chain (r7, promoted from
+    rows-only): the selection loop is BOUNDED (k=5 picks over a 20-item
+    pool), so it unrolls into five argmax CTE steps. Every float on both
+    engines is the same left-to-right fold over the same float32→double
+    widenings (the sim_ann_lsh idiom: Spark's ``aggregate`` 0.0-fold ==
+    DuckDB's init-less ``list_reduce``; the driver-side greedy mirrors
+    it with sequential Python folds — NOT numpy, whose pairwise/BLAS
+    summation order differs), and MAX over a selected set is order-free,
+    so the per-step scores are bit-identical and the argmax chain picks
+    identical ids. The 1-λ weight is embedded as Python's exact float
+    repr (0.30000000000000004): DuckDB's DECIMAL 1 - 0.7 lands half an
+    ulp away."""
+    lam = repr(MMR_LAMBDA)
+    oml = repr(1.0 - MMR_LAMBDA)
+    sq = (
+        "sqrt(list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+    )
+    parts = [
+        f"""q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+               {sq.format(v="embedding")} AS qn
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    pool AS (
+        SELECT e.vec_id,
+               list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]),
+                   (a, b) -> a + b)
+               / ({sq.format(v="e.embedding")} * q.qn) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos DESC, e.vec_id ASC LIMIT {MMR_POOL}),
+    nv AS (
+        SELECT e.vec_id,
+               list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) / {sq.format(v="e.embedding")}) AS v
+        FROM embeddings e JOIN pool p ON e.vec_id = p.vec_id)"""
+    ]
+    for k in range(1, MMR_K + 1):
+        if k == 1:
+            score = f"CAST({lam} AS DOUBLE) * p.cos - CAST({oml} AS DOUBLE) * 0.0"
+            filt = "TRUE"
+        else:
+            score = (
+                f"CAST({lam} AS DOUBLE) * p.cos - CAST({oml} AS DOUBLE)"
+                " * COALESCE(mx.d, 0.0)"
+            )
+            filt = f"p.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})"
+        mx_join = (
+            ""
+            if k == 1
+            else f"""
+            LEFT JOIN (
+                SELECT a.vec_id,
+                       MAX(list_reduce(
+                           list_transform(range(1, {dim + 1}),
+                               i -> a.v[i] * b.v[i]),
+                           (x, y) -> x + y)) AS d
+                FROM nv a JOIN nv b
+                  ON b.vec_id IN (SELECT vec_id FROM sel{k - 1})
+                GROUP BY a.vec_id) mx ON mx.vec_id = p.vec_id"""
+        )
+        parts.append(
+            f"""s{k} AS (
+        SELECT vec_id, cos FROM (
+            SELECT p.vec_id, p.cos, {score} AS score
+            FROM pool p{mx_join}
+            WHERE {filt})
+        ORDER BY score DESC, vec_id ASC LIMIT 1)"""
+        )
+        prev_sel = f"sel{k - 1}" if k > 1 else None
+        if k == 1:
+            parts.append(f"sel1 AS (SELECT vec_id FROM s1)")
+        else:
+            parts.append(
+                f"sel{k} AS (SELECT vec_id FROM {prev_sel}"
+                f" UNION ALL SELECT vec_id FROM s{k})"
+            )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS INT) AS mmr_rank, vec_id, cos AS cosine FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return "\n    WITH " + ",\n    ".join(parts) + "\n    " + union + "\n    "
+
+
 @register(
     "sim_mmr_rerank",
-    None,  # greedy argmax chain over driver-collected pool — rows-only
+    _mmr_oracle(),
     doc="retrieval post-processing: Maximal-Marginal-Relevance "
     "re-ranking — the distributed scan produces the top-{pool} cosine "
     "candidates (same plan as sim_topk_bruteforce), then a greedy "
@@ -1153,13 +1240,19 @@ MMR_LAMBDA = 0.7
     "with redundancy suppression, the standard diversifier for RAG "
     "context packing and eval-set construction. Driver work is "
     "O(pool^2) on a BOUNDED pool (the sim_kmeans k*dim discipline — "
-    "never the corpus); ties break by vec_id. Verified by an "
+    "never the corpus); ties break by vec_id. PROMOTED from rows-only "
+    "in r7: the bounded greedy unrolls into five SQL argmax steps, and "
+    "the driver-side similarity math uses sequential left-to-right "
+    "folds (bit-identical to both engines' list folds — numpy's "
+    "pairwise/BLAS summation was the only obstacle), so pool, scores "
+    "and the selected-id chain are all exact — raw-double cosines in "
+    "the output, no quantization needed. Also verified by the "
     "independent pure-Python re-derivation incl. the "
     "first-pick==top-cosine and pairwise-diversity invariants.",
     tags=("similarity", "r4c"),
 )
 def sim_mmr_rerank(spark, sf_dir):
-    import numpy as np
+    import math
 
     emb = _emb(spark, sf_dir)
     q = F.broadcast(
@@ -1177,12 +1270,26 @@ def sim_mmr_rerank(spark, sf_dir):
     )
     ids = [r["vec_id"] for r in pool_rows]
     rel = {r["vec_id"]: float(r["cos"]) for r in pool_rows}
+
+    def _normed(v: list) -> list:
+        # sequential 0.0-init fold == Spark aggregate == DuckDB
+        # list_reduce — bit-identical norms (numpy would pairwise-sum)
+        s = 0.0
+        for x in v:
+            s += float(x) * float(x)
+        n = math.sqrt(s)
+        return [float(x) / n for x in v]
+
     vecs = {
-        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        r["vec_id"]: _normed(r["embedding"])
         for r in emb.filter(F.col("vec_id").isin(ids)).collect()
     }
-    for v in vecs.values():
-        v /= np.linalg.norm(v)
+
+    def _dot(a: list, b: list) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
 
     selected: list[int] = []
     remaining = sorted(ids)
@@ -1190,7 +1297,7 @@ def sim_mmr_rerank(spark, sf_dir):
         best_id, best_score = None, None
         for cand in remaining:
             div = max(
-                (float(vecs[cand] @ vecs[s]) for s in selected), default=0.0
+                (_dot(vecs[cand], vecs[s]) for s in selected), default=0.0
             )
             score = MMR_LAMBDA * rel[cand] - (1 - MMR_LAMBDA) * div
             if best_score is None or score > best_score or (

@@ -169,7 +169,6 @@ _EXPECTED_ROWS_ONLY_SLOTS = {
     "sim_pq_encode",
     "sim_ann_pq_adc",
     "sim_ann_ivf_pq",
-    "sim_mmr_rerank",
     "sim_ann_pq_refine",
     "text_bpe_apply",
     "mm_ppm_resize",
