@@ -118,7 +118,12 @@ def _pagerank_oracle(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
     magnitude-collapses-with-n objection that kept this rows-only —
     under the 6-dp quantized-score contract (r6 text_lm_score). The
     (1-d)/n base is embedded as Python's exact float repr: DuckDB would
-    otherwise evaluate 1 - 0.85 in DECIMAL and land half an ulp away."""
+    otherwise evaluate 1 - 0.85 in DECIMAL and land half an ulp away.
+    basket/pairs/edges/nodes carry AS MATERIALIZED: each iteration
+    references edges, and DuckDB's default CTE inlining re-evaluated the
+    whole basket self-join per iteration (the first sf1-replica run
+    spilled >50 GB to temp before the hint; materialized it runs
+    in-memory)."""
     one_minus_d = repr(1.0 - damping)
     steps = []
     prev = "r0"
@@ -137,20 +142,20 @@ def _pagerank_oracle(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
         prev = f"r{k}"
     steps_sql = ",\n    ".join(steps)
     return f"""
-    WITH basket AS (
+    WITH basket AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.l_partkey AS src, b.l_partkey AS dst,
                CAST(COUNT(*) AS BIGINT) AS w
         FROM basket a JOIN basket b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
         GROUP BY 1, 2),
     outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM pairs GROUP BY src),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT p.src, p.dst,
                CAST(p.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
         FROM pairs p JOIN outw o ON p.src = o.src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
     basev AS (
         SELECT CAST({one_minus_d} AS DOUBLE) / CAST(n AS DOUBLE) AS b FROM nn),
