@@ -215,13 +215,16 @@ def attach_range_buckets(
         # the salted RFM ntile 2-4x SLOWER at the sf10 probe.
         mult = max(raw.count(v) for v in heavy)
         sub_probs = [j / (mult + 1) for j in range(1, mult + 1)]
+        # accuracy 1000: cut placement is balance-only (correctness never
+        # depends on where a boundary lands), and 10000 cost ~1 s more
+        # per call at the sf10 probe for nothing
         grids = {
             row["__pfx_key"]: row["sc"]
             for row in (
                 tmp.filter(F.col("__pfx_key").isin([float(v) for v in heavy]))
                 .groupBy("__pfx_key")
                 .agg(
-                    F.percentile_approx("__pfx_salt", sub_probs, 10000).alias("sc")
+                    F.percentile_approx("__pfx_salt", sub_probs, 1000).alias("sc")
                 )
                 .collect()
             )
@@ -239,23 +242,36 @@ def attach_range_buckets(
         )
     else:
         # bucket = number of lexicographic boundaries strictly below the
-        # row: plain cuts contribute (key > c); a heavy value v's sub-cut
-        # s contributes (key > v) OR (key == v AND salt > s). Every
-        # indicator is upward-closed in (key, salt) lex order, so the sum
-        # is monotone along the caller's total order; ties on (key, salt)
-        # still co-bucket.
+        # row. Conceptually a heavy value v's sub-cut s contributes
+        # (key > v) OR (key == v AND salt > s) — upward-closed in
+        # (key, salt) lex order, so the sum is monotone along the
+        # caller's total order and ties on (key, salt) still co-bucket.
+        # The expression below is an algebraically IDENTICAL but
+        # cheaper factoring: all of v's (key > v) legs collapse into one
+        # weighted comparison, and the in-group salt comparisons sit in
+        # a CASE that only evaluates for the matching tie group (the
+        # flat OR/AND sum cost +4 s per call at the sf10 probe).
         bucket: Column = F.lit(0)
         for c in cuts:
             bucket = bucket + (F.col("__pfx_key") > F.lit(float(c))).cast("int")
+        sub_case: Column | None = None
         for v, scs in sub_cuts.items():
+            bucket = bucket + (
+                F.col("__pfx_key") > F.lit(float(v))
+            ).cast("int") * len(scs)
+            in_group: Column = F.lit(0)
             for s in scs:
-                bucket = bucket + (
-                    (F.col("__pfx_key") > F.lit(float(v)))
-                    | (
-                        (F.col("__pfx_key") == F.lit(float(v)))
-                        & (F.col("__pfx_salt") > F.lit(float(s)))
-                    )
+                in_group = in_group + (
+                    F.col("__pfx_salt") > F.lit(float(s))
                 ).cast("int")
+            cond = F.col("__pfx_key") == F.lit(float(v))
+            sub_case = (
+                F.when(cond, in_group)
+                if sub_case is None
+                else sub_case.when(cond, in_group)
+            )
+        if sub_case is not None:
+            bucket = bucket + sub_case.otherwise(F.lit(0))
         out = _persist(
             tmp.withColumn(_BUCKET, bucket).drop("__pfx_key", "__pfx_salt")
         )
