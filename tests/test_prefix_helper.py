@@ -456,3 +456,35 @@ def test_null_partition_keys_match_partitioned_window(spark):
     for k in exp:
         assert got[k][0] == exp[k][0], k
         assert got[k][1] == pytest.approx(exp[k][1]), k
+
+
+def test_salted_partitioned_prefix_matches_partitioned_window(spark):
+    """salt_expr composes with partition_cols (op_window_rank wires
+    both): buckets are global, heavy tie groups split on the salt, the
+    local windows hash on (partition, bucket) — values must still match
+    the ordinary PARTITION BY window bit-for-bit."""
+    rows = [
+        (i, 7 if i % 10 else int(i % 40), float(i % 11), f"g{i % 3}")
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "k long, d long, v double, grp string")
+    out = global_prefix(
+        df,
+        ["d", "k"],
+        {"pos": ("count", F.lit(1), True), "run": ("sum", F.col("v"), True)},
+        F.col("d"),
+        n_buckets=16,
+        partition_cols=["grp"],
+        salt_expr=F.col("k"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("d", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = df.withColumn("pos", F.count(F.lit(1)).over(w)).withColumn(
+        "run", F.coalesce(F.sum("v").over(w), F.lit(0))
+    )
+    got = {r["k"]: (r["pos"], r["run"]) for r in out.collect()}
+    exp = {r["k"]: (r["pos"], r["run"]) for r in ref.collect()}
+    assert got == exp
