@@ -193,8 +193,20 @@ def attach_range_buckets(
     if salt_expr is not None:
         tmp = tmp.withColumn("__pfx_salt", salt_expr.cast("double"))
     # persisted OUTSIDE the registry: consumed only by the sampling pass
-    # below, and dropped here — a registry entry would go stale (ADVICE r6)
+    # below, and dropped in the finally — a registry entry would go
+    # stale (ADVICE r6), and without the finally an exception between
+    # persist and unpersist (cancelled job, executor loss) would leak a
+    # cache no release_caches() can reclaim
     tmp = tmp.persist()
+    try:
+        return _bucketize(tmp, n_buckets, rel_err, salt_expr is not None)
+    finally:
+        tmp.unpersist()
+
+
+def _bucketize(
+    tmp: DataFrame, n_buckets: int, rel_err: float, salted: bool
+) -> DataFrame:
     probs = [i / n_buckets for i in range(1, n_buckets)]
     raw = tmp.stat.approxQuantile("__pfx_key", probs, rel_err)
     cuts = sorted(set(raw))
@@ -202,7 +214,7 @@ def attach_range_buckets(
     # sub-bucket its tie group on the salt key so no bucket exceeds
     # ~2/n_buckets of the input even under a degenerate key distribution.
     heavy: list[float] = []
-    if salt_expr is not None and raw:
+    if salted and raw:
         heavy = sorted({v for v in set(raw) if raw.count(v) >= 2})
     sub_cuts: dict[float, list[float]] = {}
     if heavy:
@@ -281,8 +293,8 @@ def attach_range_buckets(
     # the broadcast build), and without this the n_buckets-term bucket
     # expression re-evaluates over the full fact for every consumer
     # (r6 sf10 profile: the 320-row offsets subtree alone cost 32 s).
+    # The caller (attach_range_buckets) unpersists tmp in its finally.
     out.count()
-    tmp.unpersist()
     return out
 
 

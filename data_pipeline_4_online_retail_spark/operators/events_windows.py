@@ -2890,6 +2890,15 @@ def ev_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = {(r.from_state, r.to_state): r.n for r in pairs.collect()}
     rows = absorption_rows(counts)
+    # Symmetric row domain with the oracle (which hardcodes the
+    # generator's three transient states for the Cramer pivot): a
+    # transient state with NO observed transitions at all still gets
+    # its (0, 0, 0, NULL, TRUE) row — absorption_rows only sees states
+    # that appear in some transition.
+    present = {r[0] for r in rows}
+    for s in _MARKOV_TRANSIENT:
+        if s not in present:
+            rows.append((s, 0, 0, 0, None, True))
     out = spark.createDataFrame(
         rows,
         "state string, n_outgoing long, n_to_win long, n_to_lose long, "

@@ -80,10 +80,21 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
-    """Weighted PageRank; returns (node, rank)."""
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+    nodes: DataFrame | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """Weighted PageRank; returns (node, rank). ``nodes``/``n`` accept a
+    precomputed distinct-node frame + count so callers that already need
+    them (graph_pagerank_copurchase scales by N) don't pay the
+    distinct+count job twice."""
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+    if n is None:
+        n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(n_iter):
@@ -192,8 +203,9 @@ def graph_pagerank_copurchase(spark, sf_dir):
     li = load_tables(spark, sf_dir).table("lineitem")
     edges = copurchase_edges(li).persist()
     try:
-        n = edges.select("src").distinct().count()
-        ranks = pagerank(edges)
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        n = nodes.count()
+        ranks = pagerank(edges, nodes=nodes, n=n)
         return ranks.select(
             F.col("node").alias("part_key"),
             (F.round(F.col("rank") * F.lit(float(n)), 6) + 0.0).alias(

@@ -566,15 +566,24 @@ def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     # products stay exact longs, so the final 1-row Gini is bit-identical.
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_prefix,
+        persist_scoped,
         release_caches,
     )
 
     release_caches()  # scoped: drop the previous prefix query's caches
     o = load_tables(spark, sf_dir).table("orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
+    # scope-persisted so BOTH the rank prefix and the n total ride ONE
+    # evaluation of the per-customer aggregate — on the decomposed path
+    # the bucketed frame derives from this cache, and on the bypass
+    # path the total needs no window re-evaluation (ADVICE r6, amended
+    # after the r7 bypass made the ride-the-prefix-output form
+    # re-evaluate the aggregate + window on small inputs)
+    per_cust = persist_scoped(
+        o.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
     )
     pos = global_prefix(
         per_cust,
@@ -583,9 +592,7 @@ def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("cents"),
         salt_expr=F.col("o_custkey"),
     )
-    # n = max rank: rides the PERSISTED bucketed frame instead of
-    # re-evaluating the per-customer aggregate a second time (ADVICE r6)
-    n_row = pos.agg(F.max("__i").alias("__n"))
+    n_row = per_cust.agg(F.count(F.lit(1)).alias("__n"))
     ranked = pos.crossJoin(F.broadcast(n_row)).select(
         "cents", F.col("__i").alias("i"), F.col("__n").alias("n")
     )
@@ -739,15 +746,21 @@ def op_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast 1-row frame instead of an unbounded-frame window.
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_prefix,
+        persist_scoped,
         release_caches,
     )
 
     release_caches()  # scoped: drop the previous prefix query's caches
     li = load_tables(spark, sf_dir).table("lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
+    # scope-persisted so the cumulative prefix AND the grand total ride
+    # ONE evaluation of the per-part aggregate on either prefix path
+    # (ADVICE r6, amended after the r7 bypass — see op_gini's note)
+    per_part = persist_scoped(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
     )
     cum = global_prefix(
         per_part,
@@ -756,10 +769,7 @@ def op_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.col("cents"),
         salt_expr=F.col("l_partkey"),
     )
-    # grand total = max of the inclusive running sum (cents >= 0): rides
-    # the PERSISTED bucketed frame instead of re-evaluating the per-part
-    # aggregate a second time (ADVICE r6)
-    total = cum.agg(F.max("__cum").cast("long").alias("__total"))
+    total = per_part.agg(F.sum("cents").cast("long").alias("__total"))
     ranked = cum.crossJoin(F.broadcast(total)).select(
         F.col("l_partkey").alias("part_id"),
         "cents",

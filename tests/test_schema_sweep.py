@@ -160,9 +160,10 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
 
 
 # The r7 window deliberately spends slots on the rows-only tier: VERDICT
-# r6 item 1 rotates the never-driver-checked backlog — including its 11
-# rows-only members — into the window so EVERY registration has some
-# driver record (hash rows for the oracled, rows-only rows for these).
+# r6 item 1 rotates the never-driver-checked backlog — 11 rows-only
+# members at composition time, 10 after sim_mmr_rerank's mid-round
+# promotion to a full oracle — into the window so EVERY registration has
+# some driver record (hash rows for the oracled, rows-only for these).
 _EXPECTED_ROWS_ONLY_SLOTS = {
     "dedup_semantic_within_label_fast",
     "emb_pca_project",
