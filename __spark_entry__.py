@@ -49,9 +49,10 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # registrations; after r6 the cross-round union stood at 265/288 with 23
 # never driver-checked + 5 promoted-since-r1/r3 queries whose rows-only
 # driver record predates their oracle (VERDICT r6 item 1 names all 28).
-# This window closes the union: all 23 never-checked (two of them —
-# ev_markov_absorption, graph_pagerank_copurchase — promoted to FULL
-# oracles this round, VERDICT item 6), the 5 stale-promoted, the round's
+# This window closes the union: all 23 never-checked (three of them —
+# ev_markov_absorption, graph_pagerank_copurchase (VERDICT item 6), and
+# sim_mmr_rerank (beyond the ask) — promoted to FULL oracles this
+# round), the 5 stale-promoted, the round's
 # one new registration (graph_itemcf_recs_capped, VERDICT item 2 — the
 # scale-safe itemcf path's own green row), and 21 re-proof slots: every
 # prefix-helper consumer (the r7 adaptive-bypass + tie-salt + eqNullSafe
