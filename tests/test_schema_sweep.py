@@ -161,11 +161,11 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
 
 # The r7 window deliberately spends slots on the rows-only tier: VERDICT
 # r6 item 1 rotates the never-driver-checked backlog — 11 rows-only
-# members at composition time, 10 after sim_mmr_rerank's mid-round
-# promotion to a full oracle — into the window so EVERY registration has
-# some driver record (hash rows for the oracled, rows-only for these).
+# members at composition time, 9 after the mid-round promotions of
+# sim_mmr_rerank and dedup_semantic_within_label_fast to full oracles —
+# into the window so EVERY registration has some driver record (hash
+# rows for the oracled, rows-only for these).
 _EXPECTED_ROWS_ONLY_SLOTS = {
-    "dedup_semantic_within_label_fast",
     "emb_pca_project",
     "sim_pq_encode",
     "sim_ann_pq_adc",
