@@ -128,15 +128,43 @@ def _estimated_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def _use_plain_window(df: DataFrame, fn: str) -> bool:
+# A dimension-sized window input below this many rows is cheaper as a
+# plain single-partition window than as the decomposition (the ~10M-row
+# crossover SCALING.md §r6/§r7 measures). Used only when the caller
+# passes an exact ``rows_hint`` — Catalyst's byte estimate stays the
+# fallback signal (it passes an aggregate's CHILD size through, so a
+# per-customer frame over a fact table reads ~10x too big and
+# decomposes a decade early; callers that already persist + count their
+# aggregate know the true size for free).
+_SMALL_ROWS_DEFAULT = 10_000_000
+
+
+def _use_plain_window(
+    df: DataFrame, fn: str, rows_hint: int | None = None
+) -> bool:
     """True when the input is small enough that the plain window wins.
-    Unknown size falls back to the decomposition (the scale-safe path)."""
+    ``rows_hint`` (an exact row count the caller already has) beats the
+    byte estimate; unknown size falls back to the decomposition (the
+    scale-safe path). SPARK_GRAFT_PREFIX_SMALL_BYTES=0 forces the
+    decomposition for BOTH signals (the plan-shape tests rely on it)."""
     try:
         small = int(
             os.environ.get("SPARK_GRAFT_PREFIX_SMALL_BYTES", _SMALL_BYTES_DEFAULT)
         )
     except ValueError:  # pragma: no cover - malformed env
         small = _SMALL_BYTES_DEFAULT
+    if rows_hint is not None:
+        try:
+            small_rows = int(
+                os.environ.get(
+                    "SPARK_GRAFT_PREFIX_SMALL_ROWS", _SMALL_ROWS_DEFAULT
+                )
+            )
+        except ValueError:  # pragma: no cover - malformed env
+            small_rows = _SMALL_ROWS_DEFAULT
+        bypass = small > 0 and rows_hint < small_rows
+        DECISIONS.append((fn, bypass, rows_hint))
+        return bypass
     est = _estimated_bytes(df)
     bypass = est is not None and est < small
     DECISIONS.append((fn, bypass, est))
@@ -306,6 +334,7 @@ def global_prefix(
     n_buckets: int = 64,
     partition_cols: list | None = None,
     salt_expr: Column | None = None,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Running aggregates over a global total order, without a
     single-partition fact window (unless the input is small — see the
@@ -340,7 +369,7 @@ def global_prefix(
     helper column is dropped.
     """
     pc = list(partition_cols or [])
-    if _use_plain_window(df, "global_prefix"):
+    if _use_plain_window(df, "global_prefix", rows_hint):
         w_i = (
             Window.partitionBy(*pc)
             .orderBy(*order_cols)
@@ -428,6 +457,7 @@ def global_ntile(
     out_name: str = "__tile",
     n_buckets: int = 64,
     salt_expr: Column | None = None,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """``ntile(n_tiles)`` over a global total order, range-bucketed.
 
@@ -444,7 +474,7 @@ def global_ntile(
     whose first component is ``bucket_expr``. Small inputs bypass to the
     plain ``F.ntile`` window (module docstring).
     """
-    if _use_plain_window(df, "global_ntile"):
+    if _use_plain_window(df, "global_ntile", rows_hint):
         w = Window.orderBy(*order_cols)
         return df.withColumn(out_name, F.ntile(n_tiles).over(w))
     pos = global_prefix(
@@ -454,6 +484,7 @@ def global_ntile(
         bucket_expr,
         n_buckets,
         salt_expr=salt_expr,
+        rows_hint=rows_hint,
     )
     # n = max position (count-include-current over a total order) — read
     # from the prefix output so the total rides the PERSISTED bucketed
@@ -489,6 +520,7 @@ def global_lead(
     bucket_expr: Column,
     out_name: str = "__lead",
     n_buckets: int = 64,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """``lead(col, 1)`` over a global total order, range-bucketed.
 
@@ -499,7 +531,7 @@ def global_lead(
     them correctly). Small inputs bypass to the plain ``F.lead`` window
     (module docstring).
     """
-    if _use_plain_window(df, "global_lead"):
+    if _use_plain_window(df, "global_lead", rows_hint):
         w = Window.orderBy(*order_cols)
         return df.withColumn(out_name, F.lead(col).over(w))
     b = attach_range_buckets(df, bucket_expr, n_buckets)

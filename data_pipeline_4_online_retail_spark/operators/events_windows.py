@@ -1841,10 +1841,16 @@ def ev_conversion_lag(spark, sf_dir):
     # bit-identical (pure function of position and count).
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_ntile,
+        persist_scoped,
         release_caches,
     )
 
     release_caches()  # scoped: drop the previous prefix query's caches
+    # persist + count: the lag frame is |converting users|-sized, and
+    # the exact row count (rows_hint) routes the ntile — the byte
+    # estimate passes the events-scan size through and over-decomposes;
+    # the percentile agg above rides the same cache
+    lags = persist_scoped(lags)
     return (
         global_ntile(
             lags,
@@ -1853,6 +1859,7 @@ def ev_conversion_lag(spark, sf_dir):
             F.col("lag_us"),
             out_name="lag_quartile",
             salt_expr=F.col("user_id"),
+            rows_hint=lags.count(),
         )
         .crossJoin(F.broadcast(pcts))
         .select("user_id", "lag_us", "lag_quartile", "p50_lag_us", "p90_lag_us")

@@ -66,18 +66,27 @@ def op_rfm_segments(spark, sf_dir):
     # production variant remains op_rfm_segments_approx.
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_ntile,
+        persist_scoped,
         release_caches,
     )
 
     release_caches()  # scoped: drop the previous prefix query's caches
     o = _t(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("monetary"),
+    # persist + count once: the EXACT row count routes all three ntiles
+    # (rows_hint) — Catalyst's byte estimate passes the orders-scan size
+    # through the aggregate and would force the decomposition a decade
+    # before the |customers| crossover (sf10 probe: 28 s decomposed vs
+    # ~7 s plain for a 1.5M-row frame)
+    per_cust = persist_scoped(
+        o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
     )
+    n_cust = per_cust.count()
     scored = global_ntile(
         per_cust,
         [F.desc("last_order"), F.asc("o_custkey")],
@@ -85,6 +94,7 @@ def op_rfm_segments(spark, sf_dir):
         -F.unix_micros(F.col("last_order")),
         out_name="r_score",
         salt_expr=F.col("o_custkey"),
+        rows_hint=n_cust,
     )
     scored = global_ntile(
         scored,
@@ -93,6 +103,7 @@ def op_rfm_segments(spark, sf_dir):
         -F.col("frequency"),
         out_name="f_score",
         salt_expr=F.col("o_custkey"),
+        rows_hint=n_cust,
     )
     scored = global_ntile(
         scored,
@@ -101,6 +112,7 @@ def op_rfm_segments(spark, sf_dir):
         -F.col("monetary"),
         out_name="m_score",
         salt_expr=F.col("o_custkey"),
+        rows_hint=n_cust,
     )
     return scored.select(
         "o_custkey",
@@ -585,12 +597,14 @@ def op_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("cents")
         )
     )
+    n_cust = per_cust.count()  # exact rows_hint; also warms the cache
     pos = global_prefix(
         per_cust,
         ["cents", "o_custkey"],
         {"__i": ("count", F.lit(1), True)},
         F.col("cents"),
         salt_expr=F.col("o_custkey"),
+        rows_hint=n_cust,
     )
     n_row = per_cust.agg(F.count(F.lit(1)).alias("__n"))
     ranked = pos.crossJoin(F.broadcast(n_row)).select(
@@ -656,15 +670,18 @@ def op_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays a plain window (bounded input by construction).
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_ntile,
+        persist_scoped,
         release_caches,
     )
 
     release_caches()  # scoped: drop the previous prefix query's caches
     o = load_tables(spark, sf_dir).table("orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
+    per_cust = persist_scoped(
+        o.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
     )
     ranked = global_ntile(
         per_cust,
@@ -673,6 +690,7 @@ def op_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents"),
         out_name="decile",
         salt_expr=F.col("o_custkey"),
+        rows_hint=per_cust.count(),
     ).select("cents", "decile")
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -762,12 +780,14 @@ def op_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    n_parts = per_part.count()  # exact rows_hint; also warms the cache
     cum = global_prefix(
         per_part,
         [F.desc("cents"), F.asc("l_partkey")],
         {"__cum": ("sum", F.col("cents"), True)},
         -F.col("cents"),
         salt_expr=F.col("l_partkey"),
+        rows_hint=n_parts,
     )
     total = per_part.agg(F.sum("cents").cast("long").alias("__total"))
     ranked = cum.crossJoin(F.broadcast(total)).select(

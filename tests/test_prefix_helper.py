@@ -488,3 +488,29 @@ def test_salted_partitioned_prefix_matches_partitioned_window(spark):
     got = {r["k"]: (r["pos"], r["run"]) for r in out.collect()}
     exp = {r["k"]: (r["pos"], r["run"]) for r in ref.collect()}
     assert got == exp
+
+
+def test_rows_hint_overrides_byte_estimate(monkeypatch, spark):
+    """An exact caller-supplied row count beats Catalyst's byte estimate
+    (which passes an aggregate's CHILD size through): small hint ->
+    plain window even when bytes say huge; big hint -> decomposed even
+    when bytes say tiny; env=0 force-decomposes BOTH signals."""
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_SMALL_BYTES", raising=False)
+    local = spark.createDataFrame([(i, i) for i in range(20)], "k long, v long")
+    args = (["v", "k"], {"rn": ("count", F.lit(1), True)}, F.col("v"))
+    prefix.DECISIONS.clear()
+    global_prefix(local, *args, rows_hint=20)  # unknown bytes, tiny rows
+    assert prefix.DECISIONS[0][1] is True and prefix.DECISIONS[0][2] == 20
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    small_bytes = o.select("o_orderkey", "o_totalprice")
+    prefix.DECISIONS.clear()
+    global_prefix(
+        small_bytes, ["o_totalprice", "o_orderkey"],
+        {"rn": ("count", F.lit(1), True)}, F.col("o_totalprice"),
+        rows_hint=50_000_000,  # claims huge -> decomposed despite tiny bytes
+    )
+    assert prefix.DECISIONS[0][1] is False
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_SMALL_BYTES", "0")
+    prefix.DECISIONS.clear()
+    global_prefix(local, *args, rows_hint=20)
+    assert prefix.DECISIONS[0][1] is False  # force-decomposed wins
