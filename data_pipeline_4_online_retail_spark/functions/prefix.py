@@ -37,9 +37,18 @@ estimate (``optimizedPlan().stats().sizeInBytes`` — plan-time, no job)
 and below ``SPARK_GRAFT_PREFIX_SMALL_BYTES`` (default 32 MiB ≈ 5–10M
 rows of a narrow projection) falls back to the plain single-partition
 window. Both paths are pinned bit-identical in
-tests/test_prefix_helper.py, so the switch is plan-only. Set the env var
-to ``0`` to force the decomposition (the plan-shape tests do), or huge
-to force the plain window.
+tests/test_prefix_helper.py, so the switch is plan-only.
+
+Callers that already persist + count their aggregate pass the exact row
+count as ``rows_hint`` (RFM/Gini/ABC/Lorenz/conversion-lag); those route
+on ``SPARK_GRAFT_PREFIX_SMALL_ROWS`` (default 10M — the measured
+crossover) instead of the byte estimate, because Catalyst passes an
+Aggregate's CHILD size through and would decompose a dimension-sized
+frame a decade early. Env forcing works uniformly across BOTH signals
+(ADVICE r7): ``SPARK_GRAFT_PREFIX_SMALL_BYTES=0`` forces the
+decomposition everywhere (the plan-shape tests do), and a huge value
+(>= 2^60) forces the plain window everywhere — no separate
+``SMALL_ROWS`` override needed to force either path.
 
 **Tie-skew salting (r7, VERDICT r6 item 4).** A single key value with a
 huge tie count lands in one bucket and re-creates the straggler inside
@@ -145,14 +154,19 @@ def _use_plain_window(
     """True when the input is small enough that the plain window wins.
     ``rows_hint`` (an exact row count the caller already has) beats the
     byte estimate; unknown size falls back to the decomposition (the
-    scale-safe path). SPARK_GRAFT_PREFIX_SMALL_BYTES=0 forces the
-    decomposition for BOTH signals (the plan-shape tests rely on it)."""
+    scale-safe path). SPARK_GRAFT_PREFIX_SMALL_BYTES forces BOTH
+    signals at its extremes (ADVICE r7): ``0`` forces the decomposition
+    (the plan-shape tests rely on it), and a huge value (>= 2^60)
+    forces the plain window even for rows_hint callers."""
     try:
         small = int(
             os.environ.get("SPARK_GRAFT_PREFIX_SMALL_BYTES", _SMALL_BYTES_DEFAULT)
         )
     except ValueError:  # pragma: no cover - malformed env
         small = _SMALL_BYTES_DEFAULT
+    if small >= 1 << 60:  # explicit forcing: plain window on both signals
+        DECISIONS.append((fn, True, rows_hint))
+        return True
     if rows_hint is not None:
         try:
             small_rows = int(

@@ -1183,7 +1183,8 @@ def dedup_containment(spark, sf_dir):
     "drift (~1e-13) of the 0.4 threshold flipping membership — and the "
     "measured minimum |cos - threshold| over every within-label pair "
     "is 1.2e-4 at sf0.1 (1.7e-3 at sf0.01 and the sf1 replica), eight "
-    "orders of magnitude of margin; the same argument already "
+    "orders of magnitude of margin — now an executable 1e-6 floor "
+    "(tests/test_r8_margins.py, ADVICE r7); the same argument already "
     "underwrites the slow twin's fold-vs-list_cosine_similarity "
     "greenness. Same pair semantics as dedup_semantic_within_label "
     "(pytest pins pair-set equality) — the fold twin remains the "

@@ -192,7 +192,10 @@ def _pagerank_oracle(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
     "ten iterations in SQL over bit-identical edge probabilities, and "
     "the output reports the size-stable rank * N (mean 1.0 at any "
     "scale) rounded at 6 dp — cross-engine drift is summation order "
-    "only, ~1e-13. The unrounded raw ranks stay replica-tested to 1e-9 "
+    "only, ~1e-13, and the min distance of rank*N to a 5e-7 rounding "
+    "boundary is an executable floor (tests/test_r8_margins.py: "
+    "measured 2.0e-9 at sf0.001, 1.9e-10 at sf0.01 — ADVICE r7). The "
+    "unrounded raw ranks stay replica-tested to 1e-9 "
     "against numpy power iteration (tests/test_r4b_ops.py). Scale: "
     "per-iteration cost is one src-key join + one dst-key aggregate, "
     "both partial-agg'd; the edge list is the invariant big operand "
