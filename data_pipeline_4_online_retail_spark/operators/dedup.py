@@ -222,6 +222,7 @@ def jaccard_verify_pairs(
     "from a shingle equi-join (O(colliding pairs); this is the baseline "
     "LSH is measured against, not the 100 TB strategy), verification via "
     "map-side array intersection.",
+    tags=("dedup", "verification"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     # Full-pairwise path: |A∩B| falls out of the shingle join itself
@@ -389,7 +390,9 @@ WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
     doc="near-dup at scale: map-side MinHash(16) → LSH(8 bands × 2 rows) "
     "candidate join → map-side exact-Jaccard verification at 0.6. The "
     "md5-based signature makes the whole pipeline oracle-reproducible in "
-    "DuckDB; minhash_signature_xxhash64 is the cheaper production variant.",
+    "DuckDB; minhash_signature_xxhash64 is the cheaper production variant "
+    "(dedup_minhash_lsh_fast — this md5 twin is the exactness tier).",
+    tags=("dedup", "verification"),
 )
 def dedup_minhash_lsh(spark, sf_dir):
     # Persist the shingle arrays: they feed the signature once and the
@@ -704,6 +707,7 @@ def dedup_simhash(spark, sf_dir):
     "(pairs-only output — thresholding is stable across engines' float "
     "summation orders). Scale path: similarity.sim_ann_* LSH/IVF "
     "bucketing makes the pair space sub-quadratic.",
+    tags=("dedup", "embeddings", "verification"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = load_tables(spark, sf_dir).table("embeddings")
@@ -937,7 +941,9 @@ WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
     "O(batch + collisions), never O(corpus): only the fixture recomputes "
     "it here because the index has nowhere to persist between driver "
     "runs. Emits (doc_id, dup_of) for new docs that duplicate an "
-    "indexed document.",
+    "indexed document. dedup_incremental_fast is the production "
+    "xxhash64 twin; this md5 form is the exactness tier.",
+    tags=("dedup", "verification"),
 )
 def dedup_incremental(spark, sf_dir):
     release_caches()
@@ -1055,8 +1061,9 @@ def dedup_incremental_fast(spark, sf_dir):
     "count scales with corpus size, keeping per-cluster pair counts "
     "bounded; a mega-cluster is handled by re-clustering its members "
     "(recursive SemDeDup), not by salting, since the quadratic term "
-    "is intra-key.",
-    tags=("dedup", "embeddings"),
+    "is intra-key. dedup_semantic_within_label_fast is the gemm "
+    "production twin; this per-pair fold form is the exactness tier.",
+    tags=("dedup", "embeddings", "verification"),
 )
 def dedup_semantic_within_label(spark, sf_dir):
     from data_pipeline_4_online_retail_spark.functions.vector import (

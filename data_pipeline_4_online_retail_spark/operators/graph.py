@@ -360,7 +360,7 @@ CF_TOP_N = 5
     "bounding the pair stream at |baskets| * max_basket^2 and the "
     "popularity counts consistently with it. Default None keeps the "
     "registered oracle semantics bit-identical.",
-    tags=("graph", "retail", "similarity", "r4d"),
+    tags=("graph", "retail", "similarity", "r4d", "verification"),
 )
 def graph_itemcf_recs(
     spark: SparkSession, sf_dir: str, max_basket: int | None = None

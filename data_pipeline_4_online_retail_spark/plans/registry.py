@@ -12,6 +12,13 @@ row-count + schema + order-insensitive value hash at sf=0.01
 
 Queries with ``oracle=None`` are genuinely non-SQL-expressible (hash-based
 LSH, streaming state) and get the driver's weaker rows-only check.
+
+The ``"verification"`` tag (r8, VERDICT r7 item 6) marks exactness twins —
+all-pairs, md5-signature, or uncapped forms deliberately kept alongside a
+registered production path (their scale-safe fast/capped counterpart) as
+the oracle-exact baseline. Correctness tooling runs them like any query;
+bulk SCALE tooling (tools/scale_probe.py) skips them unless asked, so
+probe totals reflect production plans.
 """
 
 from __future__ import annotations

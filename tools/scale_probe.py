@@ -7,8 +7,14 @@ round; this tool is for the deeper one-shot probes (e.g. 100x — VERDICT
 r4 item 5) without growing the per-round bench runtime.
 
 Usage:
-  python tools/scale_probe.py BASE_DIR BIG_DIR FACTOR [query ...]
+  python tools/scale_probe.py [--include-verification] BASE_DIR BIG_DIR FACTOR [query ...]
 (defaults: the bench HEADLINE set; FACTOR is recorded, not derived)
+
+Queries tagged ``verification`` in the registry (exactness twins of a
+registered production path — all-pairs dedup, md5 MinHash, uncapped
+itemcf) are SKIPPED unless --include-verification is passed: their cost
+is by design not the production cost, and a bulk probe that sums them
+misreads the engine's scale story. Skips are recorded in the output.
 """
 
 from __future__ import annotations
@@ -35,12 +41,26 @@ def time_query(fn, spark, sf_dir, n=2):
 
 
 def main() -> None:
-    base = sys.argv[1]
-    big = sys.argv[2]
-    factor = int(sys.argv[3])
-    names = sys.argv[4:] or HEADLINE
+    argv = list(sys.argv[1:])
+    include_verification = "--include-verification" in argv
+    if include_verification:
+        argv.remove("--include-verification")
+    base = argv[0]
+    big = argv[1]
+    factor = int(argv[2])
+    names = argv[3:] or HEADLINE
     spark = get_spark("scale-probe")
     qs = entry.queries()
+    from data_pipeline_4_online_retail_spark.plans.registry import REGISTRY
+
+    skipped = []
+    if not include_verification:
+        skipped = [
+            n
+            for n in names
+            if n in REGISTRY and "verification" in REGISTRY[n].tags
+        ]
+        names = [n for n in names if n not in set(skipped)]
     out = {
         "metric": f"scale{factor}_probe",
         "base": base,
@@ -50,6 +70,7 @@ def main() -> None:
         "big_sec": {},
         "ratio": {},
         "errors": {},
+        "skipped_verification": skipped,
     }
     # warmup both catalogs
     for d in (base, big):
