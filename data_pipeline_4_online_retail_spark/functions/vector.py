@@ -16,6 +16,60 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+NANO_SCALE = 1e9  # exactly representable: 10^9 < 2^53
+
+
+def nano_units(col: str | Column) -> Column:
+    """Engine-mirrored quantization of a float/double to integer
+    nano-units: ``floor(|v| * 1e9 + 0.5)`` in IEEE double, sign applied
+    (round-half-away, like HALF_UP). Replaces ``cast(decimal(18,9))``
+    in cross-engine mean aggregates (r8): Spark's double→decimal cast
+    rounds HALF_UP on the exact value while DuckDB's rounds half-even,
+    and float32 data CAN land exactly on a half boundary (0.1494140625
+    · 1e9 = 149414062.5 — a real sf0.1 embedding value that split the
+    engines). This formula is the SAME double multiply/add/floor on
+    both sides, so the result is bit-identical by construction — no
+    margin argument needed. DuckDB twin: :data:`NANO_UNITS_SQL`."""
+    vd = _c(col).cast("double")
+    pos = F.floor(vd * F.lit(NANO_SCALE) + F.lit(0.5))
+    neg = -F.floor(-vd * F.lit(NANO_SCALE) + F.lit(0.5))
+    return F.when(vd >= 0, pos).otherwise(neg).cast("long")
+
+
+# DuckDB twin of nano_units — format with the value expression, e.g.
+# NANO_UNITS_SQL.format(v="CAST(val AS DOUBLE)"). floor() returns DOUBLE
+# in DuckDB; the BIGINT cast of an exact integer double is exact.
+NANO_UNITS_SQL = (
+    "(CASE WHEN {v} >= 0 THEN CAST(floor({v} * 1e9 + 0.5) AS BIGINT) "
+    "ELSE -CAST(floor(-({v}) * 1e9 + 0.5) AS BIGINT) END)"
+)
+
+
+def nano_mean(col: str | Column) -> Column:
+    """Order-independent exact mean of nano-quantized values, returned
+    as double: ``CAST(SUM(nano) AS DOUBLE) / 1e9 / COUNT(*)`` with the
+    sum carried in decimal(38,0) (exact at any scale; the double cast
+    of the exact integer sum is the single rounding both engines
+    share). DuckDB twin: :data:`NANO_MEAN_SQL` (SUM(BIGINT) → HUGEINT
+    is exact there)."""
+    s = F.sum(nano_units(col).cast("decimal(38,0)")).cast("double")
+    return s / F.lit(NANO_SCALE) / F.count(F.lit(1))
+
+
+NANO_MEAN_SQL = (
+    "(CAST(SUM(" + NANO_UNITS_SQL + ") AS DOUBLE) / 1e9 / COUNT(*))"
+)
+
+
+def nano_units_py(v: float) -> int:
+    """Python replica of :func:`nano_units` (same IEEE double ops)."""
+    import math
+
+    if v >= 0:
+        return math.floor(v * NANO_SCALE + 0.5)
+    return -math.floor(-v * NANO_SCALE + 0.5)
+
+
 def dot_product(a: str | Column, b: str | Column) -> Column:
     """Σ aᵢ·bᵢ as double."""
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))

@@ -681,21 +681,27 @@ def op_regression_closed_form(spark, sf_dir):
     "union-then-window as-of: order by (p, tag) and a running "
     "last-global-value-at-or-below picks the greatest global value "
     "at each group quantile. No range join, no per-row subquery. "
-    "Scale (r6 rewrite): BOTH formerly-global windows run through "
-    "functions/prefix.py. The global rank is a range-bucketed prefix "
-    "COUNT ((rank-1)/(n-1) re-derives percent_rank exactly — "
-    "o_orderkey makes the order total, so rank == row_number); the "
-    "as-of lookup is a range-bucketed prefix MAX of struct(p, val) "
-    "over tag-0 rows (p is strictly increasing on the global side, so "
-    "the struct max IS the latest at-or-below global value — "
-    "last_value IGNORE NULLS re-expressed associatively, which is "
-    "what lets per-bucket partials carry). The per-priority "
-    "percent_rank stays a partitioned window (5 bounded groups).",
+    "Scale (r6 rewrite, r8 fusion): the formerly-separate global and "
+    "per-priority ranking passes now ride ONE range-bucketed prefix "
+    "call (VERDICT r7 item 5): o_orderpriority is a bounded enum (5 "
+    "values, one tiny distinct-collect), so the per-priority rank is "
+    "a CONDITIONAL running count (sum of priority==v indicators) over "
+    "the same global (o_totalprice, o_orderkey) order — integer-exact "
+    "equal to the old partitioned window count, computed in the same "
+    "WindowExec as the global rank: one sampling pass, one bucket "
+    "shuffle and one carry join fewer. ((rank-1)/(n-1) re-derives "
+    "percent_rank exactly — o_orderkey makes the order total, so rank "
+    "== row_number.) The as-of lookup stays its own range-bucketed "
+    "prefix MAX of struct(p, val) over tag-0 rows (p is strictly "
+    "increasing on the global side, so the struct max IS the latest "
+    "at-or-below global value — last_value IGNORE NULLS re-expressed "
+    "associatively, which is what lets per-bucket partials carry).",
     tags=("stats", "r4c"),
 )
 def op_quantile_normalization(spark, sf_dir):
     from data_pipeline_4_online_retail_spark.functions.prefix import (
         global_prefix,
+        persist_scoped,
         release_caches,
     )
 
@@ -703,11 +709,29 @@ def op_quantile_normalization(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     n_row = o.agg(F.count(F.lit(1)).alias("__n"))
-    ranked = global_prefix(
-        o.select("o_totalprice", "o_orderkey"),
-        ["o_totalprice", "o_orderkey"],
-        {"__rank": ("count", F.lit(1), True)},
-        F.col("o_totalprice"),
+    # bounded-cardinality contract: o_orderpriority is a 5-value enum;
+    # the distinct-collect is one tiny job and lets the per-priority
+    # running counts fuse into the global ranking pass as conditional
+    # sums (r8 — one global_prefix call instead of two).
+    prios = sorted(
+        r[0]
+        for r in o.select("o_orderpriority").distinct().collect()
+        if r[0] is not None
+    )
+    aggs: dict = {"__rank": ("count", F.lit(1), True)}
+    for j, pv in enumerate(prios):
+        aggs[f"__c{j}"] = (
+            "sum",
+            F.when(F.col("o_orderpriority") == F.lit(pv), 1).otherwise(0),
+            True,
+        )
+    ranked = persist_scoped(
+        global_prefix(
+            o.select("o_totalprice", "o_orderkey", "o_orderpriority"),
+            ["o_totalprice", "o_orderkey"],
+            aggs,
+            F.col("o_totalprice"),
+        )
     )
     glob = ranked.crossJoin(F.broadcast(n_row)).select(
         F.col("o_totalprice").alias("val"),
@@ -721,27 +745,25 @@ def op_quantile_normalization(spark, sf_dir):
         F.lit(None).cast("long").alias("okey"),
         F.lit(None).cast("string").alias("grp"),
     )
-    # percent_rank PARTITION BY o_orderpriority is a bounded-cardinality
-    # key (5 priorities) over the fact table — |orders|/5 rows per window
-    # task. Same decomposition as the global side: partitioned range-
-    # bucket count prefix + broadcast group totals; the ordering
-    # (o_totalprice, o_orderkey) is unique, so position == rank and
-    # percent_rank == (pos-1)/(n-1) bit-exactly (same integer division).
-    grp_ranked = global_prefix(
-        o.select("o_totalprice", "o_orderkey", "o_orderpriority"),
-        ["o_totalprice", "o_orderkey"],
-        {"__grn": ("count", F.lit(1), True)},
-        F.col("o_totalprice"),
-        partition_cols=["o_orderpriority"],
-    )
+    # per-priority rank = the conditional count matching this row's
+    # priority; percent_rank == (rank-1)/(gn-1) with the same integer
+    # division as before (bit-exact vs the old partitioned window).
+    grn = None
+    for j, pv in enumerate(prios):
+        cond = F.col("o_orderpriority") == F.lit(pv)
+        grn = (
+            F.when(cond, F.col(f"__c{j}"))
+            if grn is None
+            else grn.when(cond, F.col(f"__c{j}"))
+        )
     grp_n = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("__gn")
     )
-    grouped = grp_ranked.join(F.broadcast(grp_n), "o_orderpriority").select(
+    grouped = ranked.join(F.broadcast(grp_n), "o_orderpriority").select(
         F.col("o_totalprice").alias("val"),
         F.when(
             F.col("__gn") > 1,
-            (F.col("__grn") - 1).cast("double") / (F.col("__gn") - 1),
+            (grn - 1).cast("double") / (F.col("__gn") - 1),
         )
         .otherwise(F.lit(0.0))
         .alias("p"),

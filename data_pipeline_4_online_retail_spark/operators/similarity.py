@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_pipeline_4_online_retail_spark.functions.vector import (
+    NANO_MEAN_SQL,
     cosine_similarity,
     dot_product,
     l2_norm,
+    nano_mean,
 )
 from data_pipeline_4_online_retail_spark.plans.registry import register
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
@@ -548,9 +550,9 @@ def emb_quantize_int8(spark, sf_dir):
 
 @register(
     "sim_label_centroids",
-    """
+    f"""
     SELECT label, dim_idx,
-           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+           {NANO_MEAN_SQL.format(v="CAST(val AS DOUBLE)")} AS centroid_val
     FROM (
         SELECT label,
                generate_subscripts(embedding, 1) - 1 AS dim_idx,
@@ -560,7 +562,12 @@ def emb_quantize_int8(spark, sf_dir):
     """,
     doc="vector aggregation: per-label centroids (the k-means update step "
     "/ IVF coarse-quantizer training) — posexplode to (label, dim, val), "
-    "one hash aggregate; exact-decimal sums keep components engine-stable",
+    "one hash aggregate; means ride the engine-mirrored nano-unit "
+    "quantization (functions/vector.nano_mean — r8: the old "
+    "decimal(18,9) cast rounds HALF_UP in Spark but half-even in "
+    "DuckDB, and sf0.1 contains 0.1494140625, which lands exactly on a "
+    "half boundary; the mirrored floor-form is bit-identical by "
+    "construction)",
 )
 def sim_label_centroids(spark, sf_dir):
     e = _emb(spark, sf_dir)
@@ -568,10 +575,7 @@ def sim_label_centroids(spark, sf_dir):
         "label", F.posexplode("embedding").alias("dim_idx", "val")
     )
     return exploded.groupBy("label", "dim_idx").agg(
-        (
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("centroid_val")
+        nano_mean(F.col("val")).alias("centroid_val")
     )
 
 
@@ -650,10 +654,84 @@ def _assign_pandas_udf(centroids: list[list[float]]):
     return assign
 
 
+EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md, every SF)
+
+
+def _kmeans_assign_sql(cb: str, dim: int) -> str:
+    """One synchronized Lloyd assignment as SQL: argmin over the ``cb``
+    codebook CTE with the EXACT float semantics of ``_assign_expr`` —
+    per-centroid squared L2 as a left-to-right fold over float32→double
+    widenings (DuckDB's init-less ``list_reduce`` == Spark's
+    ``aggregate`` 0.0-fold: squares are non-negative, so 0.0+v1 == v1
+    bitwise), first-min-wins via row_number ordered (dist ASC, cid ASC)
+    — the same tie rule as array_position-of-array_min and np.argmin."""
+    return f"""
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_reduce(list_transform(range(1, {dim + 1}),
+                           i -> (e.emb[i] - c.cent[i])
+                              * (e.emb[i] - c.cent[i])),
+                           (x, y) -> x + y) ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN {cb} c)
+        WHERE rn = 1"""
+
+
+def _kmeans_oracle(dim: int = EMB_DIM) -> str:
+    """Full oracle for sim_kmeans (r8, promoted from rows-only —
+    VERDICT r7 item 3): the 3 Lloyd iterations over pinned seeds (the
+    k lowest vec_ids) unroll into three assign/update CTE rounds — the
+    pagerank/MMR bounded-unroll pattern. Assignment distances are the
+    same left-to-right double folds on both engines (bit-identical);
+    the centroid update rides the engine-mirrored nano-unit mean
+    (functions/vector.NANO_MEAN_SQL == nano_mean — same IEEE
+    multiply/floor on both sides, replacing the half-boundary-unsafe
+    decimal(18,9) cast), so every centroid coordinate and therefore
+    every integer cluster id is exact. Empty clusters keep the previous
+    centroid (COALESCE, same contract as the Spark loop). Output is
+    integers only. AS MATERIALIZED on every CTE the next round
+    re-references (the r7 DuckDB CTE-inlining lesson)."""
+    mean_sql = NANO_MEAN_SQL.format(v="e.emb[d.i]")
+    parts = [
+        f"""e AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+    cb0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cent
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {KMEANS_K}))"""
+    ]
+    prev = "cb0"
+    for t in range(1, KMEANS_ITERS + 1):
+        assign = _kmeans_assign_sql(prev, dim)
+        parts.append(
+            f"""a{t} AS MATERIALIZED ({assign}),
+    u{t} AS (
+        SELECT a.cid, d.i, {mean_sql} AS v
+        FROM a{t} a JOIN e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) d
+        GROUP BY a.cid, d.i),
+    cb{t} AS MATERIALIZED (
+        SELECT c.cid, COALESCE(u.cent, c.cent) AS cent
+        FROM {prev} c LEFT JOIN (
+            SELECT cid, list(v ORDER BY i) AS cent
+            FROM u{t} GROUP BY cid) u
+          ON c.cid = u.cid)"""
+        )
+        prev = f"cb{t}"
+    final = _kmeans_assign_sql(prev, dim)
+    return f"""
+    WITH {','.join(parts)},
+    fin AS ({final})
+    SELECT f.vec_id, e.label, CAST(f.cid AS INTEGER) AS cluster_id
+    FROM fin f JOIN e USING (vec_id)
+    """
+
+
 @register(
     "sim_kmeans",
-    None,  # iterative algorithm — rows-only driver check; exact numpy-free
-    # replica in tests/test_similarity.py::test_kmeans_matches_replica
+    _kmeans_oracle(),
     doc="iterative k-means (Lloyd, k=8, 3 iterations) over the embeddings "
     "table. Deterministic init (the k lowest vec_ids), assignment as an "
     "Arrow-batched pandas UDF whose per-row fold order is IDENTICAL to "
@@ -661,10 +739,15 @@ def _assign_pandas_udf(centroids: list[list[float]]):
     "argmin — bit-exact twin pinned by pytest; the interpreted HOF path "
     "pays per-element lambda dispatch, the vectorized path is ~10x "
     "faster and shuffle-free), update as posexplode + one hash "
-    "aggregate with exact-decimal sums — only k*dim centroid values "
+    "aggregate with engine-mirrored nano-unit means (r8: nano_mean "
+    "replaced the half-boundary-unsafe decimal(18,9) cast) — only "
+    "k*dim centroid values "
     "ever reach the driver, so the loop is 100 TB-safe: per iteration "
     "one scan + one bounded aggregate. The scan is persisted across "
-    "iterations and unpersisted before the final assignment pass.",
+    "iterations and unpersisted before the final assignment pass. "
+    "PROMOTED from rows-only in r8 (VERDICT r7 item 3): the oracle "
+    "unrolls the 3 pinned-seed Lloyd iterations as SQL CTE rounds; "
+    "the exact Python replica remains in tests/test_similarity.py.",
     tags=("similarity", "iterative"),
 )
 def sim_kmeans(spark, sf_dir):
@@ -687,12 +770,7 @@ def sim_kmeans(spark, sf_dir):
                     "cluster_id", F.posexplode("embedding").alias("dim_idx", "val")
                 )
                 .groupBy("cluster_id", "dim_idx")
-                .agg(
-                    (
-                        F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("centroid_val")
-                )
+                .agg(nano_mean(F.col("val")).alias("centroid_val"))
                 .collect()
             )
             new_centroids = [list(c) for c in centroids]  # empty clusters keep
@@ -800,8 +878,11 @@ def train_pq_codebooks(e: DataFrame, dim: int) -> list:
     """[M][K][dim/M] codebooks via per-subspace Lloyd, all M subspaces
     trained in the SAME per-iteration pass: assignment is M argmin
     expressions over one broadcast codebook table, the update explodes
-    (m, code, dim_idx, val) once and aggregates with exact decimal sums
-    — only M*K*(dim/M) values reach the driver per iteration.
+    (m, code, dim_idx, val) once and aggregates with engine-mirrored
+    nano-unit means (functions/vector.nano_mean, r8 — replaced the
+    half-boundary-unsafe decimal(18,9) cast, which is what unlocked the
+    family's full SQL oracles) — only M*K*(dim/M) values reach the
+    driver per iteration.
 
     Deterministic: seeds are the PQ_K lowest vec_ids' subvectors; empty
     codes keep their previous centroid (same contract as sim_kmeans)."""
@@ -836,12 +917,7 @@ def train_pq_codebooks(e: DataFrame, dim: int) -> list:
             )
             rows = (
                 s2.groupBy("m", "code", "dim_idx")
-                .agg(
-                    (
-                        F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("v")
-                )
+                .agg(nano_mean(F.col("val")).alias("v"))
                 .collect()
             )
             new_cb = [[list(c) for c in books] for books in cb]
@@ -856,10 +932,110 @@ def train_pq_codebooks(e: DataFrame, dim: int) -> list:
     return cb
 
 
+def _pq_assign_sql(cb: str, sub: int) -> str:
+    """One synchronized PQ assignment as SQL — all M subspaces at once:
+    argmin code per (vector, m) over the ``cb`` codebook CTE with the
+    EXACT float semantics of ``_pq_assign_expr`` (left-to-right double
+    fold over the m-th subvector, first-min-wins via row_number ordered
+    (dist ASC, code ASC))."""
+    return f"""
+        SELECT vec_id, m, code FROM (
+            SELECT e.vec_id, c.m, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.m
+                       ORDER BY list_reduce(list_transform(range(1, {sub + 1}),
+                           i -> (e.emb[c.m*{sub} + i] - c.cent[i])
+                              * (e.emb[c.m*{sub} + i] - c.cent[i])),
+                           (x, y) -> x + y) ASC, c.code ASC) AS rn
+            FROM e CROSS JOIN {cb} c)
+        WHERE rn = 1"""
+
+
+def _pq_train_ctes(dim: int = EMB_DIM) -> str:
+    """Shared DuckDB CTE chain for the PQ family (r8, promoted from
+    rows-only — VERDICT r7 item 2): re-derives train_pq_codebooks'
+    [M][K][dim/M] codebooks by unrolling the 3 pinned-seed Lloyd
+    iterations (seeds = the PQ_K lowest vec_ids' subvectors) as SQL
+    rounds — the pagerank/MMR bounded-unroll pattern — then encodes the
+    full corpus with the converged books into ``f(vec_id, m, code)``.
+    Assignment folds and the nano-unit centroid means are bit-identical
+    to the Spark path by construction (see _kmeans_oracle), so the
+    integer codes are exact. Empty codes keep their previous centroid
+    (COALESCE). AS MATERIALIZED everywhere a CTE is re-referenced (the
+    r7 DuckDB CTE-inlining lesson)."""
+    sub = dim // PQ_M
+    mean_sql = NANO_MEAN_SQL.format(v=f"e.emb[a.m*{sub} + d.i]")
+    parts = [
+        f"""e AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+    cb0 AS MATERIALIZED (
+        SELECT ms.m, s.code,
+               list_slice(s.emb, ms.m*{sub} + 1, ms.m*{sub} + {sub}) AS cent
+        FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, emb
+              FROM (SELECT vec_id, emb FROM e ORDER BY vec_id
+                    LIMIT {PQ_K})) s
+        CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) ms)"""
+    ]
+    prev = "cb0"
+    for t in range(1, PQ_ITERS + 1):
+        parts.append(
+            f"""a{t} AS MATERIALIZED ({_pq_assign_sql(prev, sub)}),
+    u{t} AS (
+        SELECT a.m, a.code, d.i, {mean_sql} AS v
+        FROM a{t} a JOIN e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) d
+        GROUP BY a.m, a.code, d.i),
+    cb{t} AS MATERIALIZED (
+        SELECT c.m, c.code, COALESCE(u.cent, c.cent) AS cent
+        FROM {prev} c LEFT JOIN (
+            SELECT m, code, list(v ORDER BY i) AS cent
+            FROM u{t} GROUP BY m, code) u
+          ON c.m = u.m AND c.code = u.code)"""
+        )
+        prev = f"cb{t}"
+    parts.append(f"f AS MATERIALIZED ({_pq_assign_sql(prev, sub)})")
+    return ",\n    ".join(parts)
+
+
+def _pq_adc_ctes(dim: int = EMB_DIM) -> str:
+    """_pq_train_ctes + the ADC distance table and per-vector scores:
+    ``dt(m, code, d)`` mirrors the driver-side Python fold over
+    (query subvector − centroid)² — same left-to-right order — and
+    ``scored`` sums each vector's M lookups in m-order via
+    list(d ORDER BY m) + list_reduce, matching Spark's sequence-fold
+    ((0.0+d0)+d1)+d2)+d3."""
+    sub = dim // PQ_M
+    cb = f"cb{PQ_ITERS}"
+    return (
+        _pq_train_ctes(dim)
+        + f""",
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    dt AS MATERIALIZED (
+        SELECT c.m, c.code,
+               list_reduce(list_transform(range(1, {sub + 1}),
+                   i -> (q.qv[c.m*{sub} + i] - c.cent[i])
+                      * (q.qv[c.m*{sub} + i] - c.cent[i])),
+                   (x, y) -> x + y) AS d
+        FROM {cb} c CROSS JOIN q),
+    scored AS MATERIALIZED (
+        SELECT f.vec_id,
+               list_reduce(list(dt.d ORDER BY dt.m), (x, y) -> x + y)
+                   AS approx_l2
+        FROM f JOIN dt ON f.m = dt.m AND f.code = dt.code
+        GROUP BY f.vec_id)"""
+    )
+
+
 @register(
     "sim_pq_encode",
-    None,  # iterative codebook training → rows-only; bit-exact Python
-    # replica in tests/test_r4_ops.py
+    f"""
+    WITH {_pq_train_ctes()}
+    SELECT f.vec_id, e.label,
+           CAST(f.m AS INTEGER) AS m, CAST(f.code AS INTEGER) AS code
+    FROM f JOIN e USING (vec_id)
+    """,
     doc="similarity: product-quantization encoding (PQ 4x16 over 64-dim "
     "embeddings) — per-subspace Lloyd codebooks (trained in one "
     "distributed pass per iteration across ALL subspaces), each vector "
@@ -868,7 +1044,11 @@ def train_pq_codebooks(e: DataFrame, dim: int) -> list:
     "Quantization for Nearest Neighbor Search', PAMI'11). Output is the "
     "exploded (vec_id, label, m, code) form. 100 TB shape: training "
     "touches only M*K*(dim/M) driver values per iteration; encoding is "
-    "one map-side pass against a broadcast codebook.",
+    "one map-side pass against a broadcast codebook. PROMOTED from "
+    "rows-only in r8 (VERDICT r7 item 2): the oracle unrolls the 3 "
+    "pinned-seed Lloyd rounds in SQL (_pq_train_ctes) and hashes the "
+    "integer codes; the bit-exact Python replica remains in "
+    "tests/test_r4_ops.py.",
     tags=("similarity", "iterative"),
 )
 def sim_pq_encode(spark, sf_dir):
@@ -930,7 +1110,14 @@ def _pq_adc_ranked(spark, sf_dir, k):
 
 @register(
     "sim_ann_pq_adc",
-    None,  # rows-only: recall + distance-replica pytest
+    f"""
+    WITH {_pq_adc_ctes()}
+    SELECT s.vec_id, e.label, s.approx_l2
+    FROM scored s JOIN e USING (vec_id)
+    WHERE s.vec_id != {QUERY_VEC_ID}
+    ORDER BY s.approx_l2 ASC, s.vec_id ASC
+    LIMIT {TOP_K}
+    """,
     doc="similarity: ANN search by asymmetric distance computation over "
     "the PQ codes — the query stays UNquantized; its per-subspace "
     "distance table to every codebook centroid (M*K doubles) is "
@@ -938,7 +1125,11 @@ def _pq_adc_ranked(spark, sf_dir, k):
     "approximate L2 is the sum of M table lookups indexed by its codes "
     "(no per-pair array math at all). Top-k by approximate distance. "
     "At 100 TB this is the scan that replaces brute force: 4 byte "
-    "lookups + 3 adds per vector, with the table in L1.",
+    "lookups + 3 adds per vector, with the table in L1. PROMOTED from "
+    "rows-only in r8: the oracle re-derives the codebooks + codes "
+    "(_pq_train_ctes) and the distance table with the same folds, so "
+    "approx_l2 ships as RAW doubles (no quantization, the MMR "
+    "precedent).",
     tags=("similarity",),
 )
 def sim_ann_pq_adc(spark, sf_dir):
@@ -1009,7 +1200,15 @@ def sim_topk_batch(spark, sf_dir):
 
 @register(
     "sim_ann_ivf_pq",
-    None,  # rows-only: composition of two replica-pinned pieces
+    f"""
+    WITH {_pq_adc_ctes()}
+    SELECT s.vec_id, e.label, s.approx_l2
+    FROM scored s JOIN e USING (vec_id)
+    WHERE s.vec_id != {QUERY_VEC_ID}
+      AND e.label = (SELECT label FROM e WHERE vec_id = {QUERY_VEC_ID})
+    ORDER BY s.approx_l2 ASC, s.vec_id ASC
+    LIMIT {TOP_K}
+    """,
     doc="similarity: IVF + PQ — the full FAISS-style ANN index shape: "
     "the coarse quantizer (label = cell, as in sim_ann_ivf) prunes the "
     "scan to the query's cell, and within the cell candidates rank by "
@@ -1020,7 +1219,10 @@ def sim_topk_batch(spark, sf_dir):
     "M lookups + adds over 1-byte codes held in RAM. Re-ranking the "
     "ADC top-k with exact distances (the production refinement step) "
     "is the brute-force operator applied to k rows — composition, not "
-    "new machinery.",
+    "new machinery. PROMOTED from rows-only in r8: full oracle (the "
+    "ADC oracle + cell filter — assignment per vector is independent, "
+    "so encoding the whole corpus then filtering equals encoding the "
+    "cell).",
     tags=("similarity",),
 )
 def sim_ann_ivf_pq(spark, sf_dir):
@@ -1503,7 +1705,21 @@ PQ_REFINE_SHORTLIST = 50
 
 @register(
     "sim_ann_pq_refine",
-    None,  # rows-only: exact-rerank contract pinned in pytest
+    f"""
+    WITH {_pq_adc_ctes()},
+    short AS (
+        SELECT vec_id, approx_l2 FROM scored
+        WHERE vec_id != {QUERY_VEC_ID}
+        ORDER BY approx_l2 ASC, vec_id ASC
+        LIMIT {PQ_REFINE_SHORTLIST})
+    SELECT sh.vec_id, e.label, sh.approx_l2,
+           list_reduce(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (e.emb[i] - q.qv[i]) * (e.emb[i] - q.qv[i])),
+               (x, y) -> x + y) AS exact_l2
+    FROM short sh JOIN e USING (vec_id) CROSS JOIN q
+    ORDER BY exact_l2 ASC, sh.vec_id ASC
+    LIMIT {TOP_K}
+    """,
     doc="similarity: PQ-ADC with EXACT REFINEMENT — the standard "
     "two-stage ANN serving shape (FAISS IndexRefineFlat): the ADC "
     "scan's cheap approximate distances shortlist 50 candidates, then "
@@ -1517,7 +1733,9 @@ PQ_REFINE_SHORTLIST = 50
     "refine cost is O(shortlist x dim) regardless of corpus size; "
     "recall is bounded by what the shortlist caught (the pytest pins "
     "the refined order bit-equal to brute-force order RESTRICTED to "
-    "the shortlist — the refine stage itself is exact).",
+    "the shortlist — the refine stage itself is exact). PROMOTED from "
+    "rows-only in r8: full oracle — shortlist from the ADC oracle, "
+    "exact_l2 as the same per-index fold, raw doubles.",
     tags=("similarity", "r4e"),
 )
 def sim_ann_pq_refine(spark, sf_dir):

@@ -255,10 +255,12 @@ def test_dup_span_keep_first_canonical_copy_survives(spark, catalog):
 
 def test_pq_encode_matches_exact_replica(spark, catalog):
     """Bit-exact Python replay of PQ training + encoding (same float
-    semantics as sim_kmeans' replica: left-to-right folds, HALF_UP
-    decimal(18,9) update sums, first-min-wins argmin)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
+    semantics as sim_kmeans' replica: left-to-right folds,
+    engine-mirrored nano-unit update means (r8), first-min-wins
+    argmin)."""
+    from data_pipeline_4_online_retail_spark.functions.vector import (
+        nano_units_py,
+    )
     from data_pipeline_4_online_retail_spark.operators.similarity import (
         PQ_ITERS,
         PQ_K,
@@ -281,7 +283,6 @@ def test_pq_encode_matches_exact_replica(spark, catalog):
         d = [sq_dist(v, c) for c in books]
         return d.index(min(d))
 
-    qd = Decimal("1e-9")
     seed_ids = sorted(vecs)[:PQ_K]
     cb = [
         [vecs[i][m * sub : (m + 1) * sub] for i in seed_ids]
@@ -298,12 +299,9 @@ def test_pq_encode_matches_exact_replica(spark, catalog):
             comp = []
             for d in range(sub):
                 ssum = sum(
-                    Decimal(vecs[vid][m * sub + d]).quantize(
-                        qd, rounding=ROUND_HALF_UP
-                    )
-                    for vid in members
+                    nano_units_py(vecs[vid][m * sub + d]) for vid in members
                 )
-                comp.append(float(ssum) / len(members))
+                comp.append(float(ssum) / 1e9 / len(members))
             new_cb[m][code] = comp
         cb = new_cb
 

@@ -48,9 +48,12 @@ def test_ivf_subset_of_cell(spark, catalog):
 def test_kmeans_matches_exact_replica(spark):
     """Replays Lloyd k-means in pure Python with the SAME float semantics
     as the Spark operator: left-to-right double folds for distances,
-    HALF_UP decimal(18,9) sums for the update, first-min-wins argmin —
-    assignments must match exactly, not approximately."""
-    from decimal import ROUND_HALF_UP, Decimal
+    engine-mirrored nano-unit means for the update (r8 — see
+    functions/vector.nano_units), first-min-wins argmin — assignments
+    must match exactly, not approximately."""
+    from data_pipeline_4_online_retail_spark.functions.vector import (
+        nano_units_py,
+    )
 
     sf = "/root/testdata/sf0.001"
     from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
@@ -74,7 +77,6 @@ def test_kmeans_matches_exact_replica(spark):
         m = min(d)
         return d.index(m)
 
-    q = Decimal("1e-9")
     centroids = [vecs[i] for i in sorted(vecs)[: S.KMEANS_K]]
     for _ in range(S.KMEANS_ITERS):
         groups: dict[int, list] = {}
@@ -85,11 +87,8 @@ def test_kmeans_matches_exact_replica(spark):
             dim = len(centroids[0])
             comp = []
             for d in range(dim):
-                s = sum(
-                    (Decimal(vecs[m][d]).quantize(q, rounding=ROUND_HALF_UP))
-                    for m in members
-                )
-                comp.append(float(s) / len(members))
+                s = sum(nano_units_py(vecs[m][d]) for m in members)
+                comp.append(float(s) / 1e9 / len(members))
             new_c[cid] = comp
         centroids = new_c
 
