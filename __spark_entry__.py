@@ -45,83 +45,79 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 7. The driver checks the FIRST 50
-# registrations; after r6 the cross-round union stood at 265/288 with 23
-# never driver-checked + 5 promoted-since-r1/r3 queries whose rows-only
-# driver record predates their oracle (VERDICT r6 item 1 names all 28).
-# This window closes the union: all 23 never-checked (three of them —
-# ev_markov_absorption, graph_pagerank_copurchase (VERDICT item 6), and
-# sim_mmr_rerank (beyond the ask) — promoted to FULL oracles this
-# round), the 5 stale-promoted, the round's
-# one new registration (graph_itemcf_recs_capped, VERDICT item 2 — the
-# scale-safe itemcf path's own green row), and 21 re-proof slots: every
-# prefix-helper consumer (the r7 adaptive-bypass + tie-salt + eqNullSafe
-# + exact-div changes route them through NEW code at sf0.01 — the bypass
-# path — so these driver rows certify this round's plan change, while
-# the forced-decomposition path is re-proven by tools/oracle_check.py
-# with SPARK_GRAFT_PREFIX_SMALL_BYTES=0 and the pytest bit-identity
-# pins), the r6-touched graph/tpch queries (tpch_q11/q15 consume the
-# prefix module's persist_scoped), and 4 stalest-r1 controls per the
-# rotation_audit convention. Registry growth (+1) <= rotation (VERDICT
-# item 8); after this round every oracled registration has a hash-green
-# driver row in some round (288 of 289 checked + the new capped twin).
+# Driver-visible ordering, round 8: the REGRESSION RING (VERDICT r7 item
+# 1). The r1-r7 union is CLOSED (289/289 driver-checked, 0 reds ever),
+# so the 50 driver slots are pure regression-guard capacity; per the
+# rotation_audit convention this window fronts the STALEST records
+# oldest-first — all 19 r1-only rows (the star dims, the early op_*
+# micro-queries, sim_topk_pandas_udf) and the 24 stalest r2 rows (the
+# text core, the ev window family, mm_* metadata, set ops) — plus the 7
+# r8-touched re-proof slots: the five PROMOTED-to-full-oracle queries
+# (sim_kmeans + the PQ family, VERDICT r7 items 2-3 — their prior
+# driver rows predate the oracle, exactly the staleness class r7
+# rotated on), sim_label_centroids (oracle switched to the mirrored
+# nano-unit mean after the decimal(18,9) half-boundary audit — see
+# functions/vector.nano_units), and op_quantile_normalization (VERDICT
+# r7 item 5 fusion: the per-priority ranking now rides the global
+# prefix pass as conditional counts). 43/50 slots are r1/r2-stale; the
+# 17 remaining r2 rows head next round's window. Zero rows-only slots
+# this round (the promotions emptied the window's no_oracle tier).
+# Registry growth (0) <= rotation (standing item).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # --- the 23 never-driver-checked (closes the union) ---
-    "op_histogram_fixed_bins",
-    "op_parameterized_sql",
-    "op_sql_pipe_syntax",
-    "op_stack_long_format",
-    "op_transpose_summary",
-    "dedup_semantic_within_label_fast",
-    "dedup_minhash_estimate",
-    "emb_pca_project",
+    # --- the 19 r1-only records (stalest; oldest-first) ---
+    "star_dim_product",
+    "star_dim_datetime",
+    "star_dim_invoice",
+    "op_filter_predicates",
+    "op_derived_arithmetic",
+    "op_distinct_projection",
+    "op_window_lead_lag",
+    "op_quality_metrics",
+    "op_set_union",
+    "op_set_intersect",
+    "op_set_except",
+    "op_topk",
+    "op_order_by_full",
+    "op_deterministic_sample",
+    "op_group_topk",
+    "op_sql_api",
+    "op_from_json_struct",
+    "op_table_profile",
+    "sim_topk_pandas_udf",
+    # --- the 24 stalest r2 records ---
+    "star_report_year",
+    "op_window_running_sum",
+    "op_agg_conditional_pivot",
+    "op_json_extract",
+    "op_stratified_sample",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_word_freq",
+    "text_tf_df",
+    "text_regex_tokens",
+    "ev_tumbling_window",
+    "ev_hopping_window",
+    "ev_session_window",
+    "ev_interval_join",
+    "ev_multi_resolution_rollup",
+    "mm_binary_metadata",
+    "mm_frame_sample",
+    "op_string_functions",
+    "op_date_arithmetic",
+    "op_null_handling",
+    "op_agg_cube",
+    "op_percentiles_exact",
+    # --- r8-touched re-proofs: the five promotions + the two changed ---
+    "sim_kmeans",
     "sim_pq_encode",
     "sim_ann_pq_adc",
     "sim_ann_ivf_pq",
-    "sim_knn_classify",
-    "sim_mmr_rerank",
     "sim_ann_pq_refine",
-    "text_bpe_apply",
-    "text_dsir_weights",
-    "ev_gap_fill_forward",
-    "ev_markov_absorption",
-    "mm_ppm_resize",
-    "op_agg_approx_distinct_raw",
-    "op_percentiles_approx_raw",
-    "text_weighted_sample_ares",
-    "graph_pagerank_copurchase",
-    # --- the 5 promoted-since-r1/r3 whose driver record predates the oracle ---
-    "dedup_minhash_lsh_fast",
-    "dedup_simhash",
-    "dedup_incremental_fast",
-    "sim_ann_lsh",
-    "text_lm_score",
-    # --- NEW this round (lands in-window per the r4-r6 convention) ---
-    "graph_itemcf_recs_capped",
-    # --- r7 re-proof: every prefix-helper consumer (bypass/salt/div/NULL
-    #     changes) + r6-touched graph/tpch + 4 stalest-r1 controls ---
-    "op_rfm_segments",
-    "op_lorenz_curve",
-    "op_abc_classification",
-    "op_gini_revenue_concentration",
-    "text_vocab_growth",
-    "op_sequence_gaps",
-    "op_window_rank",
+    "sim_label_centroids",
     "op_quantile_normalization",
-    "op_skyline_pareto",
-    "ev_peak_concurrency",
-    "ev_conversion_lag",
-    "op_rfm_segments_approx",
-    "tpch_q11",
-    "tpch_q15",
-    "graph_triangle_count",
-    "graph_itemcf_recs",
-    "op_market_basket_pairs",
-    "op_window_group_max",
-    "star_dim_customer",
-    "op_project_alias",
-    "op_surrogate_key",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -165,16 +165,14 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
 # sim_mmr_rerank and dedup_semantic_within_label_fast to full oracles —
 # into the window so EVERY registration has some driver record (hash
 # rows for the oracled, rows-only for these).
-_EXPECTED_ROWS_ONLY_SLOTS = {
-    # r8: the PQ family (sim_pq_encode / sim_ann_pq_adc / sim_ann_ivf_pq
-    # / sim_ann_pq_refine) and sim_kmeans were PROMOTED to full oracles
-    # (VERDICT r7 items 2-3) and left this set.
-    "emb_pca_project",
-    "text_bpe_apply",
-    "mm_ppm_resize",
-    "op_agg_approx_distinct_raw",
-    "op_percentiles_approx_raw",
-}
+_EXPECTED_ROWS_ONLY_SLOTS: set[str] = set()
+# r8: empty — the regression-ring window fronts stale r1/r2 records plus
+# the five newly-promoted oracles (PQ family + sim_kmeans, VERDICT r7
+# items 2-3), all of which carry full DuckDB oracles. The 7 remaining
+# rows-only registrations (emb_pca_project, text_bpe_apply,
+# mm_image_features_fake, mm_audio_features_fake, mm_ppm_resize,
+# op_agg_approx_distinct_raw, op_percentiles_approx_raw) sit OUTSIDE
+# the window; each keeps its replica/bound pytest.
 
 
 def test_driver_window_integrity():

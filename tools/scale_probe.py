@@ -31,7 +31,12 @@ from bench import HEADLINE
 from data_pipeline_4_online_retail_spark.session import get_spark
 
 
-def time_query(fn, spark, sf_dir, n=2):
+def time_query(fn, spark, sf_dir, n=None):
+    if n is None:
+        # SPARK_GRAFT_PROBE_RUNS=1 for one-shot decade probes (sf100):
+        # the slopes of interest are ~10x factors, so +-10% single-run
+        # noise is immaterial and the heaviest queries run once.
+        n = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
     runs = []
     for _ in range(n):
         t = time.time()
