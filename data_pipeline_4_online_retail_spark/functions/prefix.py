@@ -394,13 +394,20 @@ def global_prefix(
             .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        out = df
-        for name, (kind, expr, incl) in aggs.items():
-            local_fn = _KINDS[kind][0]
-            out = out.withColumn(
-                name, _PLAIN[kind](local_fn(expr).over(w_i if incl else w_e))
-            )
-        return out
+        # ONE select, not chained withColumn: non-trivial window args
+        # (sum(CASE WHEN ...)) get extracted into a `_w0` Project under
+        # each Window node, and that Project blocks CollapseWindow — a
+        # 6-agg caller would otherwise stack 6 WindowExec buffer passes
+        # over the same sort (measured r8 on op_quantile_normalization).
+        return df.select(
+            "*",
+            *[
+                _PLAIN[kind](
+                    _KINDS[kind][0](expr).over(w_i if incl else w_e)
+                ).alias(name)
+                for name, (kind, expr, incl) in aggs.items()
+            ],
+        )
     b = attach_range_buckets(df, bucket_expr, n_buckets, salt_expr=salt_expr)
     w_incl = (
         Window.partitionBy(*pc, _BUCKET)
@@ -412,13 +419,20 @@ def global_prefix(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = b
+    # ONE select for all local prefix columns (same CollapseWindow
+    # blocker as the bypass path — see the comment there).
+    out = b.select(
+        "*",
+        *[
+            _KINDS[kind][0](expr)
+            .over(w_incl if incl else w_excl)
+            .alias(f"__loc_{name}")
+            for name, (kind, expr, incl) in aggs.items()
+        ],
+    )
     tot_aggs = []
     for name, (kind, expr, incl) in aggs.items():
-        local_fn, total_fn, _carry, _comb = _KINDS[kind]
-        out = out.withColumn(
-            f"__loc_{name}", local_fn(expr).over(w_incl if incl else w_excl)
-        )
+        _local_fn, total_fn, _carry, _comb = _KINDS[kind]
         tot_aggs.append(total_fn(expr).alias(f"__tot_{name}"))
     totals = b.groupBy(*pc, _BUCKET).agg(*tot_aggs)
     # Cross-bucket carry over the ≤ |partition keys|·n_buckets totals
