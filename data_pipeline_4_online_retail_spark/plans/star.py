@@ -295,13 +295,24 @@ def fct_invoice_line_value(cat: Catalog) -> DataFrame:
     The literal join-on-md5 pipeline shape is preserved verbatim in
     plans/retail.py (parity tier); this is the plan you'd run at 100 TB.
 
-    Key-computation placement: the md5 surrogate keys are functions of
-    join-side columns only, so they are computed on the *dimension-sided*
-    inputs before the join — |orders| md5s for invoice/date keys and
-    |part| md5s for the product key instead of |fact| each — and the join
-    fans the finished 32-char keys out to fact rows. At sf0.1 that is
-    0.17M+0.02M hashes instead of 1.8M (measured ~2× on the whole build);
-    at 100 TB the saving scales with fact/dim fan-out.
+    Key-computation placement (re-measured r8 at the sf100 replica): the
+    md5 key that can only come from a dimension (product_key — needs
+    p_brand/p_type) is computed dim-side on the LAST-joined input, so
+    the 32-char string rides only the |part|-row exchange, never a
+    fact-sized one. The orders-derived keys are NOT computed dim-side
+    any more: invoice_key is a function of the join key itself
+    (md5(o_orderkey) ≡ md5(l_orderkey) under the inner join) and
+    date_key of the carried 4-byte o_orderdate, so both are computed in
+    the final post-join projection — map-side, fused into the output
+    codegen stage. The r4 dim-side placement (|orders| hashes instead of
+    |fact|) minimized md5 CPU, but it made 600M fact rows carry 64 bytes
+    of high-entropy (incompressible) hex through the second sort-merge
+    exchange — at the sf100 replica that is ~35 GB of extra shuffle
+    write + the same again read, and it is what filled the 60 GB-scratch
+    decade probe's disk. |fact| md5s are whole-stage-codegen CPU
+    (~150 ns/row, seconds at sf100, scales with cores); fact-wide
+    shuffle bytes are the scarce resource at 100 TB. SCALING.md §r8 has
+    the measurement.
     """
     li = cat.table("lineitem")
     o = cat.table("orders")
@@ -315,13 +326,10 @@ def fct_invoice_line_value(cat: Catalog) -> DataFrame:
     orders_kept = (
         o.filter(F.col("o_orderdate").isNotNull())
         .join(customers_with_nation, o.o_custkey == F.col("c_custkey"), "left_semi")
-        .select(
-            "o_orderkey",
-            surrogate_key("o_orderkey").alias("invoice_key"),
-            surrogate_key(
-                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
-            ).alias("date_key"),
-        )
+        # naturals only: the fact-sized exchanges must stay narrow (see
+        # the key-placement note above) — o_orderdate is 4 bytes, the md5
+        # it feeds is computed post-join.
+        .select("o_orderkey", "o_orderdate")
     )
     part_kept = p.filter(
         F.col("p_partkey").isNotNull() & (F.col("p_retailprice") > 0)
@@ -334,8 +342,10 @@ def fct_invoice_line_value(cat: Catalog) -> DataFrame:
         .join(orders_kept, li.l_orderkey == orders_kept.o_orderkey, "inner")
         .join(part_kept, li.l_partkey == part_kept.p_partkey, "inner")
         .select(
-            "invoice_key",
-            "date_key",
+            surrogate_key("l_orderkey").alias("invoice_key"),
+            surrogate_key(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            ).alias("date_key"),
             "product_key",
             F.col("l_quantity").alias("quantity"),
             revenue_col().alias("total_price"),

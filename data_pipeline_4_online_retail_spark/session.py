@@ -65,6 +65,16 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cpus),
         )
+        # -- shuffle/spill compression codec. lz4 (Spark's default) is the
+        #    right latency/ratio trade on a cluster with real disks; on a
+        #    spill-constrained single node (the sf100 decade probes live on
+        #    ~60 GB of scratch) JVM-native zstd roughly halves shuffle-file
+        #    footprint for ~5-10% CPU. Env-set SPARK_GRAFT_IO_CODEC=zstd for
+        #    those probes; clusters tune via spark-submit as usual.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # -- Arrow for the (rare) pandas_udf paths -------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- keep parquet scans prunable ------------------------------------
