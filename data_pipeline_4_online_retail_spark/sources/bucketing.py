@@ -34,9 +34,25 @@ def write_bucketed(
     bucket_by: str,
     n_buckets: int,
     sort: bool = True,
+    single_file_buckets: bool = True,
 ) -> None:
     """Write ``df`` as an external bucketed (optionally bucket-sorted)
-    parquet table registered as ``table`` in the session catalog."""
+    parquet table registered as ``table`` in the session catalog.
+
+    ``single_file_buckets`` repartitions by the bucket key first so each
+    bucket is exactly ONE file (Spark otherwise writes one file per
+    (task, bucket) — up to tasks×buckets files). This matters beyond
+    file-count hygiene: the scan only reports the bucket SORT order when
+    every bucket is a single file, so multi-file buckets silently
+    re-introduce a per-query Sort under every SortMergeJoin that the
+    ``sortBy`` was meant to eliminate (observed r8: the bucketed star
+    probe kept a Sort node until the rewrite). The up-front repartition
+    is the same shuffle the bucketed write already implies; at 100 TB
+    pick n_buckets so one bucket ≈ one executor-core working set and
+    this stays the write-once cost the layout amortizes.
+    """
+    if single_file_buckets:
+        df = df.repartition(n_buckets, df[bucket_by])
     w = (
         df.write.mode("overwrite")
         .option("path", path)
@@ -52,5 +68,9 @@ def cobucketed_join(
 ) -> DataFrame:
     """Join two same-bucket-count tables on their bucket key. With both
     sides bucketed+sorted, the physical plan is a SortMergeJoin with
-    ZERO Exchange operators (and no per-query Sort when sortBy matched)."""
+    ZERO Exchange operators — and no per-query Sort either, when the
+    buckets are single-file (write_bucketed's default) and
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (Spark
+    only lists files to learn the sort order under that conf; enable it
+    on sessions that read persisted bucketed layouts)."""
     return spark.table(left_table).join(spark.table(right_table), key)

@@ -344,3 +344,56 @@ def test_rebalance_hint_evens_output_partitions(spark, catalog):
     plan = balanced._jdf.queryExecution().executedPlan().toString()
     assert "REBALANCE" in plan.upper() or "RebalancePartitions" in plan, plan[:800]
     assert balanced.count() == e.count()
+
+
+def test_single_file_buckets_eliminate_per_query_sort(
+    spark, catalog, tmp_path_factory
+):
+    """write_bucketed's single_file_buckets default writes exactly ONE
+    file per bucket, and under
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true the scan then
+    reports the sortBy order, so the cobucketed SMJ plans with NO Sort
+    node (on top of no Exchange). Multi-file buckets silently
+    re-introduce the per-query Sort — the r8 bucketed-star probe caught
+    exactly that, and this pins the fix."""
+    import glob
+
+    from data_pipeline_4_online_retail_spark.sources.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("bucket_sorted")
+    orders = catalog.table("orders")
+    li = catalog.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        write_bucketed(
+            orders, "t_orders_s", str(base / "o"), bucket_by="o_orderkey", n_buckets=4
+        )
+        write_bucketed(
+            li, "t_lineitem_s", str(base / "l"), bucket_by="o_orderkey", n_buckets=4
+        )
+        for d in ("o", "l"):
+            files = glob.glob(str(base / d / "*.parquet"))
+            assert len(files) == 4, files
+        joined = cobucketed_join(spark, "t_lineitem_s", "t_orders_s", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # "+- Sort [" is the Sort operator; bare "+- Sort" would also
+        # match SortMergeJoin itself
+        assert "+- Sort [" not in plan, plan
+        assert joined.count() == catalog.table("lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        )
+        spark.sql("DROP TABLE IF EXISTS t_orders_s")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_s")
