@@ -230,7 +230,7 @@ def test_pack_group_properties():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200, deadline=None, derandomize=True)
     @given(
         st.lists(
             st.tuples(

@@ -211,7 +211,7 @@ def test_resize_nearest_properties_hypothesis():
         resize_rgb_nearest,
     )
 
-    @settings(max_examples=50, deadline=None)
+    @settings(max_examples=50, deadline=None, derandomize=True)
     @given(
         st.integers(1, 12),
         st.integers(1, 12),
