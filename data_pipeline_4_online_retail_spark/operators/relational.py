@@ -1164,8 +1164,8 @@ FROM chain
     "The successor relation is a linear DAG (one LEAD edge per order), "
     "so UNION ALL recursion terminates in max-chain-length iterations "
     "with no duplicate paths (Spark doesn't yet allow UNION DISTINCT "
-    "in recursion — cyclic closure needs the iterative DataFrame "
-    "label-propagation in dedup.connected_components instead). Each "
+    "in recursion — cyclic closure needs the star-contraction loop in "
+    "dedup.connected_components instead). Each "
     "iteration is one equi-join on next_key: hash-partitioned, "
     "AQE-sized; depth_i frontier rows only, never the whole history.",
     tags=("relational", "r4b"),

@@ -46,10 +46,12 @@ def write_bucketed(
     every bucket is a single file, so multi-file buckets silently
     re-introduce a per-query Sort under every SortMergeJoin that the
     ``sortBy`` was meant to eliminate (observed r8: the bucketed star
-    probe kept a Sort node until the rewrite). The up-front repartition
-    is the same shuffle the bucketed write already implies; at 100 TB
-    pick n_buckets so one bucket ≈ one executor-core working set and
-    this stays the write-once cost the layout amortizes.
+    probe kept a Sort node until the rewrite). Note the cost honestly:
+    a plain bucketBy write does NOT shuffle (it sorts within tasks and
+    writes per-(task,bucket) files), so the up-front repartition adds
+    one write-time exchange — a cost the layout amortizes across every
+    subsequent co-bucketed read. At 100 TB pick n_buckets so one bucket
+    ≈ one executor-core working set.
     """
     if single_file_buckets:
         df = df.repartition(n_buckets, df[bucket_by])

@@ -386,9 +386,11 @@ def test_single_file_buckets_eliminate_per_query_sort(
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
-        # "+- Sort [" is the Sort operator; bare "+- Sort" would also
-        # match SortMergeJoin itself
-        assert "+- Sort [" not in plan, plan
+        # " Sort [" matches the Sort operator on EITHER join branch and
+        # under any tree prefix (":- Sort [", "+- Sort [", "*(n) Sort [")
+        # without matching "SortMergeJoin [" (ADVICE r8: the old
+        # "+- Sort [" form only caught a Sort rendered as last child)
+        assert " Sort [" not in plan, plan
         assert joined.count() == catalog.table("lineitem").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)

@@ -53,8 +53,11 @@ def _time(df, n=2):
 
 
 def _exchanges(df) -> int:
+    # Shuffle exchanges only: counting every "Exchange" would include
+    # BroadcastExchange nodes (present in BOTH plain and bucketed plans
+    # from the customer semi-join and part join) and muddy the delta.
     return df._jdf.queryExecution().executedPlan().toString().count(
-        "Exchange"
+        "Exchange hashpartitioning"
     )
 
 
@@ -90,11 +93,10 @@ def main() -> None:
     write_sec = round(time.time() - t0, 3)
 
     bucketed = Catalog(spark)
-    bucketed.register("lineitem_b", spark.table("li_bucketed"))
-    bucketed._tables["lineitem"] = spark.table("li_bucketed")
-    bucketed._tables["orders"] = spark.table("ord_bucketed")
+    bucketed.register("lineitem", spark.table("li_bucketed"))
+    bucketed.register("orders", spark.table("ord_bucketed"))
     for name in ("part", "customer", "nation"):
-        bucketed._tables[name] = plain.table(name)
+        bucketed.register(name, plain.table(name))
 
     plain_fct = fct_invoice_line_value(plain)
     bucketed_fct = fct_invoice_line_value(bucketed)
