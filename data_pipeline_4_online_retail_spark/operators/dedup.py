@@ -890,11 +890,12 @@ FROM clusters
     _CLUSTERS_SQL,
     doc="near-dup clustering: the step that actually deduplicates — "
     "verified MinHash/LSH pairs collapse into connected components via "
-    "iterative min-label propagation (one join+agg per round, "
-    "O(diameter) rounds), and the minimum doc_id of each component is "
-    "elected keeper. The DuckDB oracle recomputes the components as a "
-    "recursive-CTE transitive closure — an independent algorithm "
-    "reaching the same fixpoint.",
+    "alternating large-star/small-star contraction (Kiveris et al. "
+    "SoCC'14: two groupBy+join passes per round, O(log) rounds "
+    "regardless of component diameter), and the minimum doc_id of each "
+    "component is elected keeper. The DuckDB oracle recomputes the "
+    "components as a recursive-CTE transitive closure — an independent "
+    "algorithm reaching the same fixpoint.",
 )
 def dedup_clusters(spark, sf_dir):
     release_caches()
