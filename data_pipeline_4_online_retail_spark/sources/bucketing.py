@@ -52,6 +52,19 @@ def write_bucketed(
     one write-time exchange — a cost the layout amortizes across every
     subsequent co-bucketed read. At 100 TB pick n_buckets so one bucket
     ≈ one executor-core working set.
+
+    Layout decision rule, measured (tools/second_key_probe.py, SCALING
+    §r9): bucket the FACT on the workload's dominant join key only —
+    a table has one layout. For each secondary dim join, size decides:
+    below the broadcast threshold the planner broadcasts the pruned dim
+    and layout is irrelevant (sf10: part broadcast in every variant);
+    above it, bucket the DIM on its own key — at sf100 a 2.9 s part
+    write removed the dim-side exchange+sort for −10% on the fact build
+    (95.8 → 85.9 s) — and accept the fact-side exchange as the
+    single-key floor. Never force-broadcast past the threshold: the
+    sf100 hint variant planned 3-exchanges but DIED in the broadcast
+    build ("Not enough memory to build and broadcast", 20M-row dim,
+    16 GB JVM) — the same wall a large cluster hits as network fan-out.
     """
     if single_file_buckets:
         df = df.repartition(n_buckets, df[bucket_by])

@@ -22,6 +22,13 @@ Usage:
   python tools/second_key_probe.py [SF_DIR] [N_BUCKETS]
 (defaults: /tmp/scale100_sf10, 32)
 
+SPARK_GRAFT_SKP_VARIANTS=comma,list restricts which variants are TIMED
+(static shuffle counts are always recorded for all four — they cost one
+plan, not a run). At sf100 the plain fact build spills ~35 GB; with the
+bucketed copies co-resident on the 63 GB scratch box that run ENOSPCs,
+and its number is already on record (SCALING.md §r8: 131.4 s) — so the
+sf100 invocation times only the bucketed-fact variants.
+
 Prints one JSON line: seconds (warm min-of-2, noop sink) and
 shuffle-exchange counts for plain / fact-bucketed / fact-bucketed+
 part-bucketed / fact-bucketed+part-broadcast, plus the write costs.
@@ -126,14 +133,27 @@ def main() -> None:
         make_cat(li=li_b, orders=ord_b, part=F.broadcast(plain.table("part")))
     )
 
-    for name in (
+    all_names = (
         "plain",
         "fact_bucketed",
         "fact_part_bucketed",
         "fact_bucketed_part_broadcast",
-    ):
-        out[f"{name}_sec"] = _time(variants[name])
+    )
+    timed = set(
+        os.environ.get("SPARK_GRAFT_SKP_VARIANTS", ",".join(all_names)).split(",")
+    )
+    for name in all_names:
         out[f"{name}_shuffles"] = _shuffles(variants[name])
+        if name in timed:
+            # Fault-isolated (the bench.py convention): a variant that
+            # cannot run at this scale — e.g. the part broadcast
+            # exceeding the driver's build budget at sf100 — is itself
+            # a result, and must not cost the completed timings.
+            try:
+                out[f"{name}_sec"] = _time(variants[name])
+            except Exception as exc:  # noqa: BLE001
+                out[f"{name}_error"] = str(exc).split("\n")[0][:300]
+            print(json.dumps({k: out[k] for k in out if name in k}), flush=True)
 
     for t in ("skp_li", "skp_ord", "skp_part"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
