@@ -60,6 +60,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- skew-split granularity (measured, tools/skew_probe.py r9):
+        #    the 256 MB/factor-5 defaults barely split a ~300 MB
+        #    CPU-bound hot partition (13.0 s vs 13.7 unhandled on a 30%-
+        #    hot-key join at sf10); 64 MB/factor-2 recovers 2x (6.4 s).
+        #    Only partitions >2x median AND >64 MB split, so uniform
+        #    workloads are untouched. ------------------------------------
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64m",
+        )
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         # -- shuffle sizing: small for local test SFs; clusters override ---
         .config(
             "spark.sql.shuffle.partitions",
