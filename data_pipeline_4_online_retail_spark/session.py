@@ -76,6 +76,21 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cpus),
         )
+        # -- scale-adaptive granularity: START each exchange 8x finer and
+        #    let AQE coalesce back to the 64 MB advisory size. At sf0.1
+        #    everything coalesces to the same effective partitioning
+        #    (bench-verified flat); at sf100 sort-heavy stages KEEP the
+        #    fine tasks — q04's 600M-row semi-join sort dies with
+        #    UNABLE_TO_ACQUIRE_MEMORY at 32x ~300 MB tasks on this box
+        #    and runs in 33 s at this setting (measured r9; fixed 128
+        #    partitions reads 23 s, but a static number can't serve both
+        #    SFs — the cluster analogue is exactly this config). ---------
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(
+                8 * int(shuffle_partitions if shuffle_partitions is not None else cpus)
+            ),
+        )
         # -- shuffle/spill compression codec. lz4 (Spark's default) is the
         #    right latency/ratio trade on a cluster with real disks; on a
         #    spill-constrained single node (the sf100 decade probes live on
