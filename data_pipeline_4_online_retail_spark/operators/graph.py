@@ -53,9 +53,14 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
-    """Unpersist every tracked graph cache."""
+    """Unpersist every tracked graph cache (guarded like dedup.py's:
+    stale handles from a stopped-and-replaced SparkContext NPE on
+    unpersist; their blocks are already gone, so drop the handle)."""
     while _RETAINED:
-        _RETAINED.pop().unpersist()
+        try:
+            _RETAINED.pop().unpersist()
+        except Exception:  # noqa: BLE001 — stale handle from a stopped context
+            pass
 
 
 def copurchase_edges(li: DataFrame) -> DataFrame:

@@ -27,6 +27,68 @@ from pyspark.sql import SparkSession
 # the test scale factors.
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Input-size threshold (bytes of on-disk parquet) above which exchanges
+# START fine-grained (8x shuffle.partitions) and rely on AQE to coalesce.
+# Measured r9/r10 (SCALING §r10 A/B/A): the 8x floor costs 15-20% at
+# sf0.1 (~17 MB — every small exchange pays scheduling + tiny-task
+# overhead) while its benefit exists only at sf100 scale (q04's 600M-row
+# semi-join sort dies with UNABLE_TO_ACQUIRE_MEMORY at 32 coarse tasks)
+# — so the multiplier is gated on input size instead of applied
+# unconditionally. 256 MiB keeps every local test SF (sf0.001-sf1
+# replicas, <=175 MB) on the fast 1x path and trips for the sf10/sf100
+# decade replicas (1.7/17.5 GB) where coarse tasks sort hundreds of MB.
+_FINE_SHUFFLE_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FINE_INPUT_BYTES", str(256 * 1024 * 1024))
+)
+_FINE_SHUFFLE_MULT = 8
+
+
+def _dir_bytes(path: str) -> int:
+    """Total on-disk bytes under ``path`` (0 if unreadable/absent)."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
+def initial_partition_num(
+    sf_dir: str | None, shuffle_partitions: int
+) -> int:
+    """Scale-aware AQE ``initialPartitionNum``: ``shuffle_partitions`` for
+    small inputs, ``8x`` past :data:`_FINE_SHUFFLE_INPUT_BYTES` so large
+    sort/shuffle stages start fine and AQE coalesces back to the 64 MB
+    advisory. ``SPARK_GRAFT_INIT_PART_MULT`` forces the multiplier (the
+    A/B harnesses use it); on a real cluster the analogue is sizing this
+    conf to the job's input, which spark-submit does per-job anyway.
+    """
+    forced = os.environ.get("SPARK_GRAFT_INIT_PART_MULT")
+    if forced:
+        return max(1, int(forced)) * shuffle_partitions
+    if sf_dir and _dir_bytes(sf_dir) >= _FINE_SHUFFLE_INPUT_BYTES:
+        return _FINE_SHUFFLE_MULT * shuffle_partitions
+    return shuffle_partitions
+
+
+def apply_scale_granularity(spark: SparkSession, sf_dir: str | None) -> int:
+    """Re-derive ``initialPartitionNum`` for a (possibly different-scale)
+    input dir on a live session — it is a runtime SQL conf, so bench /
+    probe harnesses call this when they switch tiers (sf0.1 -> scale10
+    replica -> sf100 replica) instead of rebuilding the session."""
+    n = initial_partition_num(
+        sf_dir, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(n)
+    )
+    return n
+
 
 def get_spark(
     app_name: str = "data-pipeline-4-online-retail-spark",
@@ -76,19 +138,29 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cpus),
         )
-        # -- scale-adaptive granularity: START each exchange 8x finer and
-        #    let AQE coalesce back to the 64 MB advisory size. At sf0.1
-        #    everything coalesces to the same effective partitioning
-        #    (bench-verified flat); at sf100 sort-heavy stages KEEP the
-        #    fine tasks — q04's 600M-row semi-join sort dies with
-        #    UNABLE_TO_ACQUIRE_MEMORY at 32x ~300 MB tasks on this box
-        #    and runs in 33 s at this setting (measured r9; fixed 128
-        #    partitions reads 23 s, but a static number can't serve both
-        #    SFs — the cluster analogue is exactly this config). ---------
+        # -- scale-aware shuffle granularity: exchanges start FINE (8x)
+        #    only when the input dir is large enough to need it, else at
+        #    shuffle.partitions. r9 applied the 8x floor unconditionally
+        #    on a wrong "bench-verified flat" claim; the r9 judge A/B/A/B
+        #    and the r10 A/B/A (SCALING §r10) both measure a real 15-20%
+        #    sf0.1 cost, while the benefit (q04 sf100's
+        #    UNABLE_TO_ACQUIRE_MEMORY fix — 32 coarse tasks each sorting
+        #    ~300 MB on one heap) only exists at decade scale. Runtime
+        #    conf; bench/probes re-derive per tier via
+        #    apply_scale_granularity(). -----------------------------------
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(
-                8 * int(shuffle_partitions if shuffle_partitions is not None else cpus)
+                initial_partition_num(
+                    os.environ.get(
+                        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                    ),
+                    int(
+                        shuffle_partitions
+                        if shuffle_partitions is not None
+                        else cpus
+                    ),
+                )
             ),
         )
         # -- shuffle/spill compression codec. lz4 (Spark's default) is the

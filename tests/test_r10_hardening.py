@@ -1,0 +1,149 @@
+"""Round-10 hardening: scale-aware shuffle granularity (VERDICT r9 item
+1), stale-cache release across a session restart (item 7), and the
+connected-components self-pair contract (ADVICE r9)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+from data_pipeline_4_online_retail_spark.session import (
+    _FINE_SHUFFLE_MULT,
+    apply_scale_granularity,
+    initial_partition_num,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_initial_partition_num_small_input_stays_1x():
+    """Every local test SF is far below the 256 MiB threshold — the r9
+    judge A/B/A/B isolated a 15-20% sf0.1 cost to the unconditional 8x
+    floor, so small inputs must get exactly shuffle_partitions."""
+    assert initial_partition_num(SF001, 32) == 32
+    assert initial_partition_num("/root/testdata/sf0.1", 32) == 32
+    # absent/unreadable dir: no evidence of scale -> fast path
+    assert initial_partition_num("/nonexistent", 32) == 32
+    assert initial_partition_num(None, 32) == 32
+
+
+def test_initial_partition_num_large_input_goes_fine(monkeypatch):
+    """Past the byte threshold exchanges start 8x finer (the q04 sf100
+    UNABLE_TO_ACQUIRE_MEMORY fix). Exercised by shrinking the threshold
+    rather than manufacturing GBs of parquet."""
+    import data_pipeline_4_online_retail_spark.session as sess
+
+    monkeypatch.setattr(sess, "_FINE_SHUFFLE_INPUT_BYTES", 1024)
+    assert sess.initial_partition_num(SF001, 32) == _FINE_SHUFFLE_MULT * 32
+
+
+def test_initial_partition_num_env_force(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INIT_PART_MULT", "8")
+    assert initial_partition_num(SF001, 32) == 256
+    monkeypatch.setenv("SPARK_GRAFT_INIT_PART_MULT", "1")
+    assert initial_partition_num("/anything", 32) == 32
+
+
+def test_apply_scale_granularity_sets_runtime_conf(spark, monkeypatch):
+    """Bench/probe harnesses re-derive per tier on the LIVE session —
+    the conf must be runtime-settable and follow the derivation."""
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    before = spark.conf.get(key, None)
+    try:
+        n = apply_scale_granularity(spark, SF001)
+        assert n == int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert spark.conf.get(key) == str(n)
+        monkeypatch.setenv("SPARK_GRAFT_INIT_PART_MULT", "8")
+        n8 = apply_scale_granularity(spark, SF001)
+        assert n8 == 8 * n
+        assert spark.conf.get(key) == str(n8)
+    finally:
+        if before is not None:
+            spark.conf.set(key, before)
+
+
+def test_connected_components_self_pair_singletons(spark):
+    """A doc seen ONLY in a self-pair is its own singleton cluster; a
+    self-pair on an edge-connected doc adds nothing (ADVICE r9: the old
+    _canon_edges silently dropped self-pairs, narrowing the contract)."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (2, 1), (1, 1), (7, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 5, 7: 7}
+
+
+def test_connected_components_all_self_pairs(spark):
+    """Degenerate input — no real edges at all — must label every node
+    as its own cluster instead of returning empty."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(3, 3), (9, 9)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {3: 3, 9: 9}
+
+
+def test_release_caches_survive_session_restart(tmp_path):
+    """VERDICT r9 item 7: a host that stops the SparkSession and builds a
+    new one in-process left stale persisted handles in _RETAINED whose
+    unpersist NPE'd (BlockManagerMaster.driverEndpoint() is null). The
+    guarded release must drain them silently and leave the registry
+    usable on the NEW session. Subprocess-isolated: the scenario kills a
+    SparkContext, which must never touch the suite's shared session."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, %r)
+        from data_pipeline_4_online_retail_spark.session import get_spark
+        from data_pipeline_4_online_retail_spark.operators import dedup, graph
+        from data_pipeline_4_online_retail_spark.functions import prefix
+
+        s1 = get_spark("restart-test", shuffle_partitions=2)
+        df = s1.createDataFrame([(1, "a")], "id long, v string")
+        dedup._persist(df).count()
+        graph._persist(df.select("id")).count()
+        prefix._RETAINED.append(df)
+        s1.stop()
+
+        s2 = get_spark("restart-test-2", shuffle_partitions=2)
+        dedup.release_caches()   # raised py4j NPE before the r10 guard
+        graph.release_caches()
+        prefix.release_caches()
+        assert not dedup._RETAINED and not graph._RETAINED
+        assert not prefix._RETAINED
+
+        # the new session is fully usable, including a fresh _persist
+        out = dedup._persist(s2.createDataFrame([(2,)], "id long"))
+        assert out.count() == 1
+        dedup.release_caches()
+        print("RESTART_OK")
+        """
+    ) % str(Path(__file__).resolve().parent.parent)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "JAVA_HOME": os.environ.get("JAVA_HOME", ""),
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "RESTART_OK" in proc.stdout

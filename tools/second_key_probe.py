@@ -153,7 +153,15 @@ def main() -> None:
                 out[f"{name}_sec"] = _time(variants[name])
             except Exception as exc:  # noqa: BLE001
                 out[f"{name}_error"] = str(exc).split("\n")[0][:300]
-            print(json.dumps({k: out[k] for k in out if name in k}), flush=True)
+            # exact per-variant key list: substring match (`name in k`)
+            # swept sibling variants sharing a prefix, e.g.
+            # 'fact_bucketed' also printed the
+            # 'fact_bucketed_part_broadcast_*' keys (ADVICE r9)
+            keys = (f"{name}_shuffles", f"{name}_sec", f"{name}_error")
+            print(
+                json.dumps({k: out[k] for k in keys if k in out}),
+                flush=True,
+            )
 
     for t in ("skp_li", "skp_ord", "skp_part"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -103,7 +103,17 @@ def main() -> None:
         out["smj_no_skew_handling_sec"] = _time(df)
         checks["smj_no_skew_handling"] = df.collect()[0]
 
+        # Spark's STOCK granularity (256 MB threshold / factor 5) — set
+        # explicitly because session.py now bakes the tuned 64m/factor-2
+        # into the SparkConf, so "unset"/inherited values would measure
+        # the tuned config twice and this row would stop reproducing the
+        # published defaults number (ADVICE r9).
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in (
+            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5"),
+        ):
+            spark.conf.set(k, v)
         df = joined_agg(big, small)
         out["aqe_skew_join_sec"] = _time(df)
         checks["aqe_skew_join"] = df.collect()[0]
@@ -130,12 +140,16 @@ def main() -> None:
         out["advisory_only_sec"] = _time(df)
         checks["advisory_only"] = df.collect()[0]
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        for k in (
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        # Restore the engine's session values explicitly — unset would
+        # fall back to the SparkConf (the tuned values) for the skew
+        # pair but to Spark stock for the advisory size, an inconsistent
+        # mix (ADVICE r9).
+        for k, v in (
+            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
         ):
-            spark.conf.unset(k)
+            spark.conf.set(k, v)
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
         # Salt by the value column: deterministic per row (retry-safe,
         # the operators/skew contract) and uniform enough to spread the
