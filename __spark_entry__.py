@@ -45,72 +45,73 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 9: the REGRESSION RING continues
-# (VERDICT r8 item 3). The union is closed at 289/289 with 0 reds, so
-# the 50 slots front the stalest records oldest-first: the 17 remaining
-# r2-last-checked rows (this CLOSES the r2 tier — after this window
-# max-staleness in the ring is r3), then the two r9-TOUCHED re-proofs —
-# dedup_clusters and dedup_corpus, whose connected-components core was
-# rewritten this round from O(diameter) min-label propagation to
-# large-star/small-star contraction with per-round lineage truncation
-# (VERDICT r8 item 1; same oracles, judge asked for an in-window
-# re-proof) — and the 31 stalest r3 rows as fill. Zero rows-only slots.
+# Driver-visible ordering, round 10: the REGRESSION RING continues
+# (VERDICT r9 item 3). The union is closed at 289/289 with 0 reds, so
+# the 50 slots front the stalest records oldest-first: the 10 remaining
+# r3-last-checked rows (this CLOSES the r3 tier — after this window
+# max-staleness in the ring is r4), then the two r10-TOUCHED re-proofs —
+# dedup_clusters and dedup_corpus, whose connected-components entry was
+# reworked this round to surface self-pair singletons (ADVICE r9) —
+# then the 38 stalest r4 rows as fill, which include tpch_q02 (its r9
+# semi-join reorder gets its first in-window driver row, per VERDICT r9
+# item 3). Two rows-only slots (the mm_*_fake pair — their replica
+# pytests are the strong check; the driver row refreshes staleness).
 # Registry growth (0) <= rotation (standing item).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # --- the 17 remaining r2-stale records (oldest-first) ---
-    "retail_dim_customer",
-    "retail_dim_datetime",
-    "retail_dim_product",
-    "retail_dim_invoice",
-    "retail_report_customer_invoices",
-    "retail_report_product_invoices",
-    "retail_report_year_invoices",
-    "wh_scd2_build",
-    "skew_salted_aggregate",
-    "skew_salted_join",
-    "text_quality_filters",
-    "text_contamination",
-    "pii_mask",
-    "text_split_assign",
-    "text_bm25",
-    "text_chunk_windows",
-    "text_pack_sequences",
-    # --- r9-touched re-proofs: the star-contraction rewrite's consumers ---
+    # --- the 10 remaining r3-stale records (oldest-first) ---
+    "dedup_incremental",
+    "text_repetition_stats",
+    "ev_resample_fill",
+    "mm_image_features_fake",
+    "mm_audio_window_stats",
+    "mm_audio_features_fake",
+    "text_quality_sample",
+    "text_mixture_sample",
+    "text_shard_assign",
+    "wh_merge_upsert",
+    # --- r10-touched re-proofs: the self-pair singleton rework's consumers ---
     "dedup_clusters",
     "dedup_corpus",
-    # --- the 31 stalest r3 records (oldest-first) ---
-    "star_report_customer",
-    "star_report_product",
-    "op_conditional_case",
-    "op_dedup_row_number",
-    "op_agg_group_multi",
-    "op_agg_count_distinct",
-    "op_agg_rollup",
-    "op_join_semi",
-    "op_join_anti",
-    "op_join_range",
-    "op_datetime_roundtrip",
-    "op_array_functions",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "sim_ann_ivf",
-    "retail_fct_invoice_line_value",
-    "op_math_functions",
-    "emb_l2_normalize",
-    "emb_quantize_int8",
-    "op_window_range_frame",
-    "op_window_distribution",
-    "op_agg_grouping_sets",
-    "op_fuzzy_match_blocked",
-    "op_unpivot_melt",
-    "op_pivot_native",
-    "text_bpe_pair_freqs",
-    "ev_funnel",
-    "ev_cohort_retention",
+    # --- the 38 stalest r4 records (oldest-first) ---
+    "star_fct_invoice_line_value",
+    "op_recursive_cte_chain",
+    "op_lateral_join",
+    "op_checksum_table",
+    "dedup_semantic_within_label",
+    "dedup_containment",
+    "sim_topk_batch",
+    "text_ngram_novelty",
+    "text_dsir_stats",
+    "ev_resample_interpolate",
+    "ev_markov_transitions",
+    "ev_anomaly_zscore",
+    "ev_sketch_rollup_uniques",
+    "ev_attribution_last_touch",
+    "ev_sessionize",
+    "ev_journey_paths",
+    "ev_cumulative_distinct_users",
+    "op_agg_approx_distinct",
+    "op_percentiles_approx",
+    "op_winsorize",
+    "op_bitmap_distinct",
+    "op_try_arithmetic",
+    "ev_asof_join",
+    "text_temperature_sample",
+    "text_dup_span_removal",
+    "text_source_cap",
+    "pipeline_curation_e2e",
+    "wh_snapshot_diff",
+    "wh_pit_snapshot",
+    "tpch_q01",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q22",
+    "tpch_q09",
+    "tpch_q21",
+    "tpch_q02",
+    "tpch_q16",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -1188,13 +1188,23 @@ def tpch_q02(spark, sf_dir):
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
-    eu = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey)
+    # Supplier attributes join AFTER the per-part min filter, not before
+    # (r10; SCALING §r10). The suppkey semi above already restricts ps to
+    # European suppliers and s_suppkey is unique, so the window MIN over
+    # bare ps equals the old MIN over ps⋈supplier — but the join now
+    # touches only the min-cost winners (≈|qualifying parts| rows)
+    # instead of every pair: the pair-sized suppkey exchange AND the
+    # window's partkey re-exchange both disappear. eu_supp is dim-sized
+    # at every SF (supplier ∩ EUROPE), hence broadcast.
     w = Window.partitionBy("ps_partkey")
-    best = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
+    best = ps.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
         F.col("ps_supplycost") == F.col("min_cost")
     )
     return (
-        best.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        best.join(
+            F.broadcast(eu_supp), best.ps_suppkey == eu_supp.s_suppkey
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name",
             "p_partkey", "p_retailprice", "ps_supplycost",

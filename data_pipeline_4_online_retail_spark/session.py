@@ -29,16 +29,17 @@ _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Input-size threshold (bytes of on-disk parquet) above which exchanges
 # START fine-grained (8x shuffle.partitions) and rely on AQE to coalesce.
-# Measured r9/r10 (SCALING §r10 A/B/A): the 8x floor costs 15-20% at
-# sf0.1 (~17 MB — every small exchange pays scheduling + tiny-task
-# overhead) while its benefit exists only at sf100 scale (q04's 600M-row
-# semi-join sort dies with UNABLE_TO_ACQUIRE_MEMORY at 32 coarse tasks)
-# — so the multiplier is gated on input size instead of applied
-# unconditionally. 256 MiB keeps every local test SF (sf0.001-sf1
-# replicas, <=175 MB) on the fast 1x path and trips for the sf10/sf100
-# decade replicas (1.7/17.5 GB) where coarse tasks sort hundreds of MB.
+# Measured A/B/A at both tiers (SCALING §r10): at sf0.1 (~17 MB) the 8x
+# floor taxes exchange-heavy queries 20-30% (op_window_group_max 0.46-
+# 0.55 -> 0.59-0.62 s, dedup_minhash_lsh_fast 1.34-1.53 -> 1.76-1.82 s;
+# the r9 judge A/B/A/B read the same shape as a 15-20% total), while at
+# the sf1 replica (~163 MB) the pairs run flat-to-8x-faster (14.2/12.8
+# vs 12.4/12.8 s) and at sf100 the fine start is REQUIRED (q04's
+# 600M-row semi-join sort dies with UNABLE_TO_ACQUIRE_MEMORY at 32
+# coarse tasks). 128 MiB therefore puts sf0.001-sf0.1 on the fast 1x
+# path and sf1-and-up on the fine-start path.
 _FINE_SHUFFLE_INPUT_BYTES = int(
-    os.environ.get("SPARK_GRAFT_FINE_INPUT_BYTES", str(256 * 1024 * 1024))
+    os.environ.get("SPARK_GRAFT_FINE_INPUT_BYTES", str(128 * 1024 * 1024))
 )
 _FINE_SHUFFLE_MULT = 8
 

@@ -30,7 +30,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
-from data_pipeline_4_online_retail_spark.session import get_spark
+from data_pipeline_4_online_retail_spark.session import (
+    apply_scale_granularity,
+    get_spark,
+)
 from data_pipeline_4_online_retail_spark.sources.bucketing import (
     write_bucketed,
 )
@@ -71,6 +74,7 @@ def main() -> None:
             "spark.sql.legacy.bucketedTableScan.outputOrdering": "true"
         },
     )
+    apply_scale_granularity(spark, SF_DIR)
     qs = entry.queries()
     cat = load_tables(spark, SF_DIR)
     results = {}

@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from data_pipeline_4_online_retail_spark.plans.star import (
     fct_invoice_line_value,
 )
-from data_pipeline_4_online_retail_spark.session import get_spark
+from data_pipeline_4_online_retail_spark.session import (
+    apply_scale_granularity,
+    get_spark,
+)
 from data_pipeline_4_online_retail_spark.sources.bucketing import (
     write_bucketed,
 )
@@ -73,6 +76,7 @@ def main() -> None:
             "spark.sql.legacy.bucketedTableScan.outputOrdering": "true"
         },
     )
+    apply_scale_granularity(spark, SF_DIR)
     plain = load_tables(spark, SF_DIR)
 
     t0 = time.time()

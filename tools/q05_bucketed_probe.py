@@ -33,7 +33,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_pipeline_4_online_retail_spark.operators.tpch import tpch_q05
-from data_pipeline_4_online_retail_spark.session import get_spark
+from data_pipeline_4_online_retail_spark.session import (
+    apply_scale_granularity,
+    get_spark,
+)
 from data_pipeline_4_online_retail_spark.sources.bucketing import (
     write_bucketed,
 )
@@ -89,6 +92,7 @@ def main() -> None:
             "spark.sql.legacy.bucketedTableScan.outputOrdering": "true"
         },
     )
+    apply_scale_granularity(spark, SF_DIR)
     cat = load_tables(spark, SF_DIR)
     out = {
         "metric": "q05_bucketed_probe",

@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 from bench import HEADLINE
-from data_pipeline_4_online_retail_spark.session import get_spark
+from data_pipeline_4_online_retail_spark.session import (
+    apply_scale_granularity,
+    get_spark,
+)
 
 
 def time_query(fn, spark, sf_dir, n=None):
@@ -87,7 +90,10 @@ def main() -> None:
             out["errors"][f"_warmup:{d}"] = str(exc)[:200]
     for name in names:
         try:
+            # per-tier shuffle granularity (runtime conf; session.py r10)
+            apply_scale_granularity(spark, base)
             out["base_sec"][name] = time_query(qs[name], spark, base)
+            apply_scale_granularity(spark, big)
             out["big_sec"][name] = time_query(qs[name], spark, big)
             out["ratio"][name] = round(
                 out["big_sec"][name] / max(out["base_sec"][name], 1e-9), 2

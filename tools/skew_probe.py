@@ -42,7 +42,10 @@ from pyspark.sql import functions as F
 from data_pipeline_4_online_retail_spark.operators.skew import (
     salted_broadcast_skew_join,
 )
-from data_pipeline_4_online_retail_spark.session import get_spark
+from data_pipeline_4_online_retail_spark.session import (
+    apply_scale_granularity,
+    get_spark,
+)
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale100_sf10"
@@ -61,6 +64,7 @@ def _time(df, n=2):
 
 def main() -> None:
     spark = get_spark("skew-probe")
+    apply_scale_granularity(spark, SF_DIR)
     cat = load_tables(spark, SF_DIR)
 
     # Skewed big side: HOT_TENTHS/10 of lineitem lands on one key. The
