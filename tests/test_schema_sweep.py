@@ -165,14 +165,18 @@ def test_no_unintended_cartesian_or_nested_loop_joins(spark):
 # sim_mmr_rerank and dedup_semantic_within_label_fast to full oracles —
 # into the window so EVERY registration has some driver record (hash
 # rows for the oracled, rows-only for these).
-_EXPECTED_ROWS_ONLY_SLOTS: set[str] = set()
-# r8: empty — the regression-ring window fronts stale r1/r2 records plus
-# the five newly-promoted oracles (PQ family + sim_kmeans, VERDICT r7
-# items 2-3), all of which carry full DuckDB oracles. The 7 remaining
-# rows-only registrations (emb_pca_project, text_bpe_apply,
-# mm_image_features_fake, mm_audio_features_fake, mm_ppm_resize,
+# r8/r9: empty — those windows fronted stale records that all carry
+# full DuckDB oracles. r10: the ring's stalest tier (r3) includes the
+# two rows-only multimodal fakes, which VERDICT r9 item 3 explicitly
+# rotates in — their byte-exact replica pytests remain the strong
+# check; the driver row refreshes staleness. The other 5 rows-only
+# registrations (emb_pca_project, text_bpe_apply, mm_ppm_resize,
 # op_agg_approx_distinct_raw, op_percentiles_approx_raw) sit OUTSIDE
 # the window; each keeps its replica/bound pytest.
+_EXPECTED_ROWS_ONLY_SLOTS: set[str] = {
+    "mm_image_features_fake",
+    "mm_audio_features_fake",
+}
 
 
 def test_driver_window_integrity():
