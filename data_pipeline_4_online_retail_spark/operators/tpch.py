@@ -1141,8 +1141,10 @@ def _ps_cost(spark, sf_dir) -> DataFrame:
     "restrictions are on pair keys, so they push below the pair-cost "
     "aggregation as pair-preserving semi-joins (the aggregate reads "
     "the European-economy slice of the fact, measured 1.7x at sf0.1); "
-    "top-100 is TakeOrderedAndProject with a full deterministic "
-    "tie-break.",
+    "supplier attributes join after the per-part min filter (r10 — "
+    "sf0.1 0.80 -> 0.62 s, sf100 on the partkey projection 5-6 s with "
+    "two fewer exchanges, SCALING §r10); top-100 is "
+    "TakeOrderedAndProject with a full deterministic tie-break.",
     tags=("tpch", "r4b"),
 )
 def tpch_q02(spark, sf_dir):

@@ -53,18 +53,23 @@ def write_bucketed(
     subsequent co-bucketed read. At 100 TB pick n_buckets so one bucket
     ≈ one executor-core working set.
 
-    Layout decision rule, measured (tools/second_key_probe.py, SCALING
-    §r9): bucket the FACT on the workload's dominant join key only —
-    a table has one layout. For each secondary dim join, size decides:
-    below the broadcast threshold the planner broadcasts the pruned dim
-    and layout is irrelevant (sf10: part broadcast in every variant);
-    above it, bucket the DIM on its own key — at sf100 a 2.9 s part
-    write removed the dim-side exchange+sort for −10% on the fact build
-    (95.8 → 85.9 s) — and accept the fact-side exchange as the
-    single-key floor. Never force-broadcast past the threshold: the
-    sf100 hint variant planned 3-exchanges but DIED in the broadcast
-    build ("Not enough memory to build and broadcast", 20M-row dim,
-    16 GB JVM) — the same wall a large cluster hits as network fan-out.
+    Layout decision rule, measured (tools/second_key_probe.py §r9,
+    tools/partkey_tail_probe.py §r10): bucket the FACT on the
+    workload's dominant join key only — a table has one layout. For a
+    standing SECOND key family (TPC-H's partkey tail), the priced
+    options at sf100 are: (a) dim-side bucketing — free (8 s part
+    write), a reliable 12-25% (only the dim-side exchange dies; the
+    fact-side exchange stays) — take it when fact storage is capped;
+    (b) a second fact copy bucketed on the second key — 2x fact
+    storage, 2.4-7.8x per query, amortizes in ONE pass of the family
+    (~170 s saved per sweep vs a 272 s write) — take it when the
+    family is a standing workload. For one-off dim joins below the
+    broadcast threshold the planner broadcasts the pruned dim and
+    layout is irrelevant (sf10: part broadcast in every variant).
+    Never force-broadcast past the threshold: the sf100 hint variant
+    planned 3-exchanges but DIED in the broadcast build ("Not enough
+    memory to build and broadcast", 20M-row dim, 16 GB JVM) — the same
+    wall a large cluster hits as network fan-out.
     """
     if single_file_buckets:
         df = df.repartition(n_buckets, df[bucket_by])
