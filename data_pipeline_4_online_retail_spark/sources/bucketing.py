@@ -15,10 +15,14 @@ warehouse.
 
 At 100 TB: pick bucket counts so one bucket of the LARGER table fits an
 executor core's working set (e.g. 4096 buckets for a 10 TB fact ≈ 2.5 GB
-per bucket), and keep the count a power of two so a future re-bucketing
-to half/double the count can merge/split buckets without a full shuffle.
-Bucket-pruning on point predicates (key = literal) reads 1/N of the
-files.
+per bucket) AND so the count is several waves of the cluster's core
+count — zero-shuffle consumers inherit the scan's parallelism directly,
+and a 1-wave count measurably leaves ~20% on the table (32 vs 128
+buckets at sf100: q17 14.4 → 11.5 s, q19 2.9 → 2.27 s, write 44%
+cheaper; SCALING §r10 addendum). Keep the count a power of two so a
+future re-bucketing to half/double the count can merge/split buckets
+without a full shuffle. Bucket-pruning on point predicates
+(key = literal) reads 1/N of the files.
 """
 
 from __future__ import annotations
