@@ -164,6 +164,27 @@ def get_spark(
                 )
             ),
         )
+        # -- runtime bloom-filter join pruning (InjectRuntimeFilter):
+        #    build a bloom from a shuffle join's filtered dim side and
+        #    semi-reduce the fact scan BEFORE its exchange — the
+        #    zero-storage runtime cousin of the partkey projection.
+        #    Spark's stock applicationSideScanSizeThreshold (10 GB) means
+        #    it practically never fires; 1g/100m measured at sf100
+        #    (tools/runtime_filter_probe.py, SCALING §r10): q17 63 -> 9 s,
+        #    q19 21.6 -> 6.3, q09 64.8 -> 40.2, q08 64.6 -> 51.4, and
+        #    plan-verified a no-op at sf0.1/sf1 (joins broadcast below
+        #    these sizes — zero might_contain across headline+tpch).
+        #    Semantics-free: bloom false positives just reach the real
+        #    join. --------------------------------------------------------
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1g",
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100m",
+        )
         # -- shuffle/spill compression codec. lz4 (Spark's default) is the
         #    right latency/ratio trade on a cluster with real disks; on a
         #    spill-constrained single node (the sf100 decade probes live on
