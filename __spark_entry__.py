@@ -45,73 +45,75 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 10: the REGRESSION RING continues
-# (VERDICT r9 item 3). The union is closed at 289/289 with 0 reds, so
-# the 50 slots front the stalest records oldest-first: the 10 remaining
-# r3-last-checked rows (this CLOSES the r3 tier — after this window
-# max-staleness in the ring is r4), then the two r10-TOUCHED re-proofs —
-# dedup_clusters and dedup_corpus, whose connected-components entry was
-# reworked this round to surface self-pair singletons (ADVICE r9) —
-# then the 38 stalest r4 rows as fill, which include tpch_q02 (its r9
-# semi-join reorder gets its first in-window driver row, per VERDICT r9
-# item 3). Two rows-only slots (the mm_*_fake pair — their replica
-# pytests are the strong check; the driver row refreshes staleness).
+# Driver-visible ordering, round 11: the REGRESSION RING continues
+# (VERDICT r10 item 2). The union is closed at 289/289 with 0 reds, so
+# the 50 slots front the stalest records oldest-first: the 7 remaining
+# r4-last-checked rows (this CLOSES the r4 tier), then two r10-TOUCHED
+# re-proofs — tpch_q17 and tpch_q02, whose sf100 plans the late-r10
+# runtime bloom-filter adoption changes most (their sf0.01 plans are
+# bloom-free by construction — plan-verified no-op below sf1 — but the
+# window row re-proves the adopted tree; q19, the third bloom
+# beneficiary, sits in the r5 tier below) — then 41 of the 44 r5-stale
+# rows as fill. The 3 deferred r5 rows (wh_late_arriving_dim,
+# wh_scd3_prior_value, wh_scd6_hybrid — SCD variants pinned by
+# test_warehouse.py) stay at staleness r5, keeping max-staleness <= r5
+# per the VERDICT r10 done-bar; they front the r12 window.
 # Registry growth (0) <= rotation (standing item).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # --- the 10 remaining r3-stale records (oldest-first) ---
-    "dedup_incremental",
-    "text_repetition_stats",
-    "ev_resample_fill",
-    "mm_image_features_fake",
-    "mm_audio_window_stats",
-    "mm_audio_features_fake",
-    "text_quality_sample",
-    "text_mixture_sample",
-    "text_shard_assign",
-    "wh_merge_upsert",
-    # --- r10-touched re-proofs: the self-pair singleton rework's consumers ---
-    "dedup_clusters",
-    "dedup_corpus",
-    # --- the 38 stalest r4 records (oldest-first) ---
-    "star_fct_invoice_line_value",
-    "op_recursive_cte_chain",
-    "op_lateral_join",
-    "op_checksum_table",
-    "dedup_semantic_within_label",
-    "dedup_containment",
-    "sim_topk_batch",
-    "text_ngram_novelty",
-    "text_dsir_stats",
-    "ev_resample_interpolate",
-    "ev_markov_transitions",
-    "ev_anomaly_zscore",
-    "ev_sketch_rollup_uniques",
-    "ev_attribution_last_touch",
-    "ev_sessionize",
-    "ev_journey_paths",
-    "ev_cumulative_distinct_users",
-    "op_agg_approx_distinct",
-    "op_percentiles_approx",
-    "op_winsorize",
-    "op_bitmap_distinct",
-    "op_try_arithmetic",
-    "ev_asof_join",
-    "text_temperature_sample",
-    "text_dup_span_removal",
-    "text_source_cap",
-    "pipeline_curation_e2e",
-    "wh_snapshot_diff",
-    "wh_pit_snapshot",
-    "tpch_q01",
-    "tpch_q13",
+    # --- the 7 remaining r4-stale records (oldest-first; closes r4) ---
+    "tpch_q20",
+    "ev_props_json_stats",
+    "ev_props_json_roundtrip",
+    "ev_props_variant_stats",
+    "text_udtf_word_positions",
+    "ev_props_xml_roundtrip",
+    "gov_gdpr_erasure_audit",
+    # --- post-bloom-adoption re-proofs (VERDICT r10 item 2) ---
     "tpch_q17",
-    "tpch_q18",
-    "tpch_q22",
-    "tpch_q09",
-    "tpch_q21",
     "tpch_q02",
-    "tpch_q16",
+    # --- 41 of the 44 r5-stale records ---
+    "dedup_url_canonicalize",
+    "ev_ab_test_metrics",
+    "ev_cm_heavy_hitters",
+    "ev_cusum_alarm",
+    "ev_ewma_level",
+    "ev_feature_store_pit",
+    "ev_holt_winters",
+    "ev_props_csv_and_xpath",
+    "ev_props_json_filter",
+    "ev_props_variant_explode",
+    "ev_seasonal_decompose",
+    "ev_survival_kaplan_meier",
+    "ev_time_weighted_avg",
+    "gov_k_anonymity",
+    "gov_pii_scan_report",
+    "gov_row_level_security",
+    "graph_bfs_distances",
+    "mm_binaryfile_source",
+    "mm_phash_dedup",
+    "mm_ppm_features",
+    "mm_wav_features",
+    "op_cogroup_asof",
+    "op_did_analysis",
+    "op_revenue_bridge",
+    "text_filter_attrition",
+    "tpch_q03",
+    "tpch_q04",
+    "tpch_q05",
+    "tpch_q06",
+    "tpch_q07",
+    "tpch_q08",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    "wh_bitemporal_asof",
+    "wh_cdc_apply_with_deletes",
+    "wh_data_diff_summary",
+    "wh_dim_surrogate_assign",
+    "wh_foreign_key_check",
+    "wh_scd2_asof_join",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

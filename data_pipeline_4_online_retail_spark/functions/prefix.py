@@ -82,6 +82,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_pipeline_4_online_retail_spark.session import drain_retained
+
 _BUCKET = "__pfx_bucket"
 
 # Below this Catalyst size estimate for the input frame, skip the
@@ -117,12 +119,9 @@ def _persist(df: DataFrame) -> DataFrame:
 def release_caches() -> None:
     """Unpersist every tracked prefix-helper cache (guarded like
     dedup.py's: stale handles from a stopped-and-replaced SparkContext
-    NPE on unpersist; their blocks are already gone)."""
-    while _RETAINED:
-        try:
-            _RETAINED.pop().unpersist()
-        except Exception:  # noqa: BLE001 — stale handle from a stopped context
-            pass
+    NPE on unpersist; their blocks are already gone; swallowed errors
+    log at DEBUG via session.drain_retained)."""
+    drain_retained(_RETAINED)
 
 
 def persist_scoped(df: DataFrame) -> DataFrame:

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_4_online_retail_spark.functions.vector import cosine_similarity
 from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.session import drain_retained
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
 
 # MinHash/LSH geometry: 16 hashes = 8 bands × 2 rows.
@@ -87,12 +88,9 @@ def release_caches() -> None:
     here whose ``unpersist`` NPEs against the dead context
     (``BlockManagerMaster.driverEndpoint() is null`` — VERDICT r9 item
     7); the blocks died with that context, so dropping the handle is the
-    correct release."""
-    while _RETAINED:
-        try:
-            _RETAINED.pop().unpersist()
-        except Exception:  # noqa: BLE001 — stale handle from a stopped context
-            pass
+    correct release. Swallowed errors log at DEBUG via the shared
+    :func:`session.drain_retained` (ADVICE r10)."""
+    drain_retained(_RETAINED)
 
 
 # ---------------------------------------------------------------------------

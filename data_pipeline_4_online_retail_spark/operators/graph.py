@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_4_online_retail_spark.plans.registry import register
+from data_pipeline_4_online_retail_spark.session import drain_retained
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
 
 DAMPING = 0.85
@@ -55,12 +56,9 @@ def _persist(df: DataFrame) -> DataFrame:
 def release_caches() -> None:
     """Unpersist every tracked graph cache (guarded like dedup.py's:
     stale handles from a stopped-and-replaced SparkContext NPE on
-    unpersist; their blocks are already gone, so drop the handle)."""
-    while _RETAINED:
-        try:
-            _RETAINED.pop().unpersist()
-        except Exception:  # noqa: BLE001 — stale handle from a stopped context
-            pass
+    unpersist; their blocks are already gone, so drop the handle;
+    swallowed errors log at DEBUG via session.drain_retained)."""
+    drain_retained(_RETAINED)
 
 
 def copurchase_edges(li: DataFrame) -> DataFrame:

