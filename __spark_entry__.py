@@ -53,12 +53,15 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # runtime bloom-filter adoption changes most (their sf0.01 plans are
 # bloom-free by construction — plan-verified no-op below sf1 — but the
 # window row re-proves the adopted tree; q19, the third bloom
-# beneficiary, sits in the r5 tier below) — then 41 of the 44 r5-stale
-# rows as fill. The 3 deferred r5 rows (wh_late_arriving_dim,
-# wh_scd3_prior_value, wh_scd6_hybrid — SCD variants pinned by
-# test_warehouse.py) stay at staleness r5, keeping max-staleness <= r5
-# per the VERDICT r10 done-bar; they front the r12 window.
-# Registry growth (0) <= rotation (standing item).
+# beneficiary, sits in the r5 tier below) — then the round's ONE new
+# registration (dedup_clusters_fast, the xxhash64 clustering rung from
+# the r11 density probe — never-checked entries front the ring) and 40
+# of the 44 r5-stale rows as fill. The 4 deferred r5 rows
+# (wh_late_arriving_dim, wh_scd2_asof_join, wh_scd3_prior_value,
+# wh_scd6_hybrid — SCD variants pinned by test_warehouse.py) stay at
+# staleness r5, keeping max-staleness <= r5 per the VERDICT r10
+# done-bar; they front the r12 window.
+# Registry growth (+1) <= rotation (standing item).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # --- the 7 remaining r4-stale records (oldest-first; closes r4) ---
@@ -72,7 +75,9 @@ _DRIVER_PRIORITY = [
     # --- post-bloom-adoption re-proofs (VERDICT r10 item 2) ---
     "tpch_q17",
     "tpch_q02",
-    # --- 41 of the 44 r5-stale records ---
+    # --- the round's new registration (never-checked fronts the ring) ---
+    "dedup_clusters_fast",
+    # --- 40 of the 44 r5-stale records ---
     "dedup_url_canonicalize",
     "ev_ab_test_metrics",
     "ev_cm_heavy_hitters",
@@ -113,7 +118,6 @@ _DRIVER_PRIORITY = [
     "wh_data_diff_summary",
     "wh_dim_surrogate_assign",
     "wh_foreign_key_check",
-    "wh_scd2_asof_join",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

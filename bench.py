@@ -314,6 +314,19 @@ def main() -> None:
             qs["op_order_by_full"](spark, SF_DIR).write.mode("overwrite").format(
                 "noop"
             ).save()
+            # touch EVERY table's footers + first page so no headline query
+            # pays first-IO on its cold run (VERDICT r10 item 6: the worst
+            # offender, star_report_customer, reads dims the trivial warmup
+            # query never opens; min-of-3 already discards the cold run —
+            # this just narrows the cold-vs-warm spread the driver sees)
+            from data_pipeline_4_online_retail_spark.sources.catalog import (
+                load_tables as _lt,
+            )
+            _cat = _lt(spark, SF_DIR)
+            for _t in _cat.names():
+                _cat.table(_t).limit(1).write.mode("overwrite").format(
+                    "noop"
+                ).save()
         except Exception as exc:  # noqa: BLE001
             errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:500]
         result["warmup_sec"] = round(time.time() - t0, 3)

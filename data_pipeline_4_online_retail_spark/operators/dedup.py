@@ -969,6 +969,77 @@ def dedup_corpus(spark, sf_dir):
     )
 
 
+def _clusters_fast_sql() -> str:
+    """Clusters oracle on the xxhash64 signature path: the fast twin's
+    bit-exact banded CTEs (functions/xxh64_sql.py) feeding the same
+    recursive-CTE transitive closure the md5 clusters oracle uses.
+    ``pairs``/``edges`` are MATERIALIZED — DuckDB inlines CTEs by
+    default, and the recursive ``reach`` references ``edges`` from both
+    the seed and the step, which would re-evaluate the whole xxhash64
+    chain per iteration (the r7 pagerank spill lesson)."""
+    return f"""
+WITH RECURSIVE {SHINGLES_ARRAY_CTE.strip()},
+{_xx_banded_ctes().strip()},
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM xbanded x JOIN xbanded y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id
+),
+pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b
+    FROM cand
+    JOIN sharr a ON doc_a = a.doc_id
+    JOIN sharr b ON doc_b = b.doc_id
+    WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+),
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+),
+clusters AS (
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(doc_id = cluster_id AS BOOLEAN) AS is_keeper
+FROM clusters
+"""
+
+
+@register(
+    "dedup_clusters_fast",
+    _clusters_fast_sql(),
+    doc="near-dup clustering, production variant: xxhash64 MinHash "
+    "signatures + long band keys (dedup_minhash_lsh_fast's candidate "
+    "path) feeding the SAME exact-Jaccard verification and "
+    "large-star/small-star contraction as dedup_clusters. Motivated by "
+    "the r11 density probe (SCALING §r11): the third-decade clusters "
+    "cost is 64% md5 signature computation, and the xxhash64 twin is "
+    "~10x cheaper per hash with 8-byte band keys end-to-end. Oracle "
+    "re-derives Spark's xxhash64 bit-exactly in DuckDB SQL "
+    "(functions/xxh64_sql.py) and closes the components with the same "
+    "recursive-CTE transitive closure the md5 clusters oracle uses.",
+)
+def dedup_clusters_fast(spark, sf_dir):
+    release_caches()
+    sharr = _persist(shingled_docs(_docs(spark, sf_dir)))
+    sig = minhash_signature_xxhash64(sharr)
+    cand = lsh_candidate_pairs_long(sig)
+    pairs = _persist(jaccard_verify_pairs(cand, sharr, JACCARD_THRESHOLD))
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. Incremental dedup: new batch vs the existing corpus index
 # ---------------------------------------------------------------------------

@@ -248,3 +248,21 @@ def test_semantic_dedup_udf_twin_exact(spark):
     ).collect()
     assert both
     assert all(r.fold == r.arrow for r in both)
+
+
+def test_dedup_clusters_fast_matches_md5_clusters(spark, catalog):
+    """The xxhash64 clustering (r11) reaches the same fixpoint as the md5
+    pipeline on the fixture: identical (doc_id, cluster_id, is_keeper)
+    sets. Not guaranteed in general (different hash families can band
+    differently near the recall boundary) — on this corpus both LSH
+    schemes recover the same verified pair set (pinned above), so the
+    components must agree; a drift here means one pipeline's candidate
+    generation changed."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_fast,
+    )
+
+    md5_rows = {tuple(r) for r in dedup_clusters(spark, SF_DIR).collect()}
+    xx_rows = {tuple(r) for r in dedup_clusters_fast(spark, SF_DIR).collect()}
+    assert md5_rows == xx_rows
