@@ -16,13 +16,19 @@ warehouse.
 At 100 TB: pick bucket counts so one bucket of the LARGER table fits an
 executor core's working set (e.g. 4096 buckets for a 10 TB fact ≈ 2.5 GB
 per bucket) AND so the count is several waves of the cluster's core
-count — zero-shuffle consumers inherit the scan's parallelism directly,
-and a 1-wave count measurably leaves ~20% on the table (32 vs 128
-buckets at sf100: q17 14.4 → 11.5 s, q19 2.9 → 2.27 s, write 44%
-cheaper; SCALING §r10 addendum). Keep the count a power of two so a
-future re-bucketing to half/double the count can merge/split buckets
-without a full shuffle. Bucket-pruning on point predicates
-(key = literal) reads 1/N of the files.
+count — zero-shuffle consumers inherit the scan's parallelism directly.
+Measured on BOTH layouts at sf100 (SCALING §r10 addendum, §r11): on the
+partkey projection a 1-wave count leaves ~20% on the table (32 → 128:
+q17 14.4 → 11.5 s, q19 2.9 → 2.27); on the orderkey layout the penalty
+is worst where the plan is nothing but the scan (q04 filter+semi+agg on
+the bucketed key: 12.5 → 2.24 s at 128; q21 20.8 → 13.8) while the
+exchange-bound q05 mildly prefers fewer (19.3 vs 21.9 — its post-scan
+exchanges re-partition anyway and 4x the files costs scan setup). The
+write itself is 35-44% cheaper at 128 (more write parallelism). Default
+locally: 128. Keep the count a power of two so a future re-bucketing to
+half/double the count can merge/split buckets without a full shuffle.
+Bucket-pruning on point predicates (key = literal) reads 1/N of the
+files.
 """
 
 from __future__ import annotations

@@ -40,7 +40,7 @@ from data_pipeline_4_online_retail_spark.sources.bucketing import (
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale100_sf10"
-N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 128  # §r11 sweep
 NAMES = sys.argv[3:] or [
     "tpch_q03",
     "tpch_q04",
