@@ -53,15 +53,16 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # runtime bloom-filter adoption changes most (their sf0.01 plans are
 # bloom-free by construction — plan-verified no-op below sf1 — but the
 # window row re-proves the adopted tree; q19, the third bloom
-# beneficiary, sits in the r5 tier below) — then the round's ONE new
-# registration (dedup_clusters_fast, the xxhash64 clustering rung from
-# the r11 density probe — never-checked entries front the ring) and 40
-# of the 44 r5-stale rows as fill. The 4 deferred r5 rows
-# (wh_late_arriving_dim, wh_scd2_asof_join, wh_scd3_prior_value,
-# wh_scd6_hybrid — SCD variants pinned by test_warehouse.py) stay at
-# staleness r5, keeping max-staleness <= r5 per the VERDICT r10
-# done-bar; they front the r12 window.
-# Registry growth (+1) <= rotation (standing item).
+# beneficiary, sits in the r5 tier below) — then the round's TWO new
+# registrations (dedup_clusters_fast + dedup_corpus_fast, the xxhash64
+# clustering rungs from the r11 density probe — never-checked entries
+# front the ring) and 39 of the 44 r5-stale rows as fill. The 5
+# deferred r5 rows (wh_foreign_key_check, wh_late_arriving_dim,
+# wh_scd2_asof_join, wh_scd3_prior_value, wh_scd6_hybrid — warehouse
+# ops pinned by test_warehouse.py) stay at staleness r5, keeping
+# max-staleness <= r5 per the VERDICT r10 done-bar; they front the r12
+# window.
+# Registry growth (+2) <= rotation (standing item).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # --- the 7 remaining r4-stale records (oldest-first; closes r4) ---
@@ -75,9 +76,10 @@ _DRIVER_PRIORITY = [
     # --- post-bloom-adoption re-proofs (VERDICT r10 item 2) ---
     "tpch_q17",
     "tpch_q02",
-    # --- the round's new registration (never-checked fronts the ring) ---
+    # --- the round's new registrations (never-checked fronts the ring) ---
     "dedup_clusters_fast",
-    # --- 40 of the 44 r5-stale records ---
+    "dedup_corpus_fast",
+    # --- 39 of the 44 r5-stale records ---
     "dedup_url_canonicalize",
     "ev_ab_test_metrics",
     "ev_cm_heavy_hitters",
@@ -117,7 +119,6 @@ _DRIVER_PRIORITY = [
     "wh_cdc_apply_with_deletes",
     "wh_data_diff_summary",
     "wh_dim_surrogate_assign",
-    "wh_foreign_key_check",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

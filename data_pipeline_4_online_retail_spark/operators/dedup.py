@@ -1040,6 +1040,44 @@ def dedup_clusters_fast(spark, sf_dir):
     )
 
 
+def _corpus_fast_sql() -> str:
+    """dedup_corpus's LEFT-anti shape over the xxhash64 clusters CTEs."""
+    body = _clusters_fast_sql()
+    head, _, _tail = body.rpartition("SELECT doc_id, cluster_id,")
+    return (
+        head
+        + """SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+"""
+    )
+
+
+@register(
+    "dedup_corpus_fast",
+    _corpus_fast_sql(),
+    doc="the deduplicated corpus on the xxhash64 clustering path — "
+    "dedup_corpus's anti-join (documents minus non-keeper cluster "
+    "members) consuming dedup_clusters_fast, so the full production "
+    "chain (signatures -> candidates -> verify -> components -> corpus) "
+    "runs at the fast twin's cost (1.92x at sf100, SCALING §r11). Same "
+    "100 TB shape: only the non-keeper id list (8-byte longs) is the "
+    "anti-join's right side.",
+)
+def dedup_corpus_fast(spark, sf_dir):
+    drop = (
+        dedup_clusters_fast(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. Incremental dedup: new batch vs the existing corpus index
 # ---------------------------------------------------------------------------

@@ -266,3 +266,17 @@ def test_dedup_clusters_fast_matches_md5_clusters(spark, catalog):
     md5_rows = {tuple(r) for r in dedup_clusters(spark, SF_DIR).collect()}
     xx_rows = {tuple(r) for r in dedup_clusters_fast(spark, SF_DIR).collect()}
     assert md5_rows == xx_rows
+
+
+def test_dedup_corpus_fast_matches_md5_corpus(spark, catalog):
+    """The fast corpus (anti-join over xxhash64 clusters) keeps exactly
+    the md5 pipeline's survivor set on the fixture (clusters agree —
+    pinned above — so the corpora must too)."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        dedup_corpus,
+        dedup_corpus_fast,
+    )
+
+    md5_rows = {tuple(r) for r in dedup_corpus(spark, SF_DIR).collect()}
+    xx_rows = {tuple(r) for r in dedup_corpus_fast(spark, SF_DIR).collect()}
+    assert md5_rows == xx_rows
