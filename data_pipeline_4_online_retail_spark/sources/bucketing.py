@@ -19,13 +19,16 @@ per bucket) AND so the count is several waves of the cluster's core
 count — zero-shuffle consumers inherit the scan's parallelism directly.
 Measured on BOTH layouts at sf100 (SCALING §r10 addendum, §r11): on the
 partkey projection a 1-wave count leaves ~20% on the table (32 → 128:
-q17 14.4 → 11.5 s, q19 2.9 → 2.27); on the orderkey layout the penalty
-is worst where the plan is nothing but the scan (q04 filter+semi+agg on
-the bucketed key: 12.5 → 2.24 s at 128; q21 20.8 → 13.8) while the
-exchange-bound q05 mildly prefers fewer (19.3 vs 21.9 — its post-scan
-exchanges re-partition anyway and 4x the files costs scan setup). The
-write itself is 35-44% cheaper at 128 (more write parallelism). Default
-locally: 128. Keep the count a power of two so a future re-bucketing to
+q17 14.4 → 11.5 s, q19 2.9 → 2.27); on the orderkey layout the trade is
+PER-QUERY — scan-dominated consumers want several waves (q04
+filter+semi+agg on the bucketed key: 12.5 → 2.24 s at 128; q21
+20.8 → 13.8; q18 27.7 → 24.3; q10 6.2 → 5.6) while exchange-dominated
+consumers prefer 1-wave (q03 18.9@32 vs 28.4@128; q05 19.3 vs 21.9 —
+their post-scan exchanges re-partition anyway and 4x the files costs
+scan setup). Across the measured six-query family the several-waves
+count wins in aggregate (96.2 s vs 105.4) and the write itself is
+35-44% cheaper at 128 (more write parallelism). Default locally: 128,
+with the q03/q05 caveat recorded rather than averaged away. Keep the count a power of two so a future re-bucketing to
 half/double the count can merge/split buckets without a full shuffle.
 Bucket-pruning on point predicates (key = literal) reads 1/N of the
 files.
