@@ -314,11 +314,15 @@ def main() -> None:
             qs["op_order_by_full"](spark, SF_DIR).write.mode("overwrite").format(
                 "noop"
             ).save()
-            # touch EVERY table's footers + first page so no headline query
+            # touch every table's footer + first page so no headline query
             # pays first-IO on its cold run (VERDICT r10 item 6: the worst
             # offender, star_report_customer, reads dims the trivial warmup
             # query never opens; min-of-3 already discards the cold run —
-            # this just narrows the cold-vs-warm spread the driver sees)
+            # this just narrows the cold-vs-warm spread the driver sees).
+            # NOTE (ADVICE r11): limit(1) scans one file/partition per
+            # table — full coverage on this harness's single-file tables,
+            # only PARTIAL first-IO narrowing on multi-file tables at
+            # real tiers.
             from data_pipeline_4_online_retail_spark.sources.catalog import (
                 load_tables as _lt,
             )

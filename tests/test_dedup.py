@@ -280,3 +280,30 @@ def test_dedup_corpus_fast_matches_md5_corpus(spark, catalog):
     md5_rows = {tuple(r) for r in dedup_corpus(spark, SF_DIR).collect()}
     xx_rows = {tuple(r) for r in dedup_corpus_fast(spark, SF_DIR).collect()}
     assert md5_rows == xx_rows
+
+
+def test_fast_oracle_sql_composition(spark, catalog):
+    """r12 (ADVICE r11): both xxhash64 oracles compose their final SELECT
+    onto the shared ``_fast_clusters_ctes()`` prefix explicitly — no
+    rpartition surgery on generated SQL. Pins the exact byte shape so a
+    prefix edit that breaks the composition (empty head, missing CTE)
+    fails here, not in a confusing DuckDB error."""
+    from data_pipeline_4_online_retail_spark.operators.dedup import (
+        _clusters_fast_sql,
+        _corpus_fast_sql,
+        _fast_clusters_ctes,
+    )
+
+    ctes = _fast_clusters_ctes()
+    assert ctes.rstrip().endswith(")")  # closes the clusters CTE
+    assert "clusters AS (" in ctes and "MATERIALIZED" in ctes
+    prefix = f"\nWITH RECURSIVE {ctes}"
+    clusters_sql = _clusters_fast_sql()
+    corpus_sql = _corpus_fast_sql()
+    assert clusters_sql.startswith(prefix)
+    assert corpus_sql.startswith(prefix)
+    # final SELECTs are plain literals appended to the prefix
+    assert clusters_sql[len(prefix):].startswith("SELECT doc_id, cluster_id,")
+    assert corpus_sql[len(prefix):].startswith(
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars"
+    )
