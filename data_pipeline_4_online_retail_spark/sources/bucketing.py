@@ -28,7 +28,10 @@ their post-scan exchanges re-partition anyway and 4x the files costs
 scan setup). Across the measured six-query family the several-waves
 count wins in aggregate (96.2 s vs 105.4) and the write itself is
 35-44% cheaper at 128 (more write parallelism). Default locally: 128,
-with the q03/q05 caveat recorded rather than averaged away. Keep the count a power of two so a future re-bucketing to
+with the q03/q05 caveat recorded rather than averaged away. This rule
+is CODE, not prose: ``pick_bucket_count(table_bytes, cores,
+consumers=...)`` below implements it (the layout probes derive their
+defaults from it). Keep the count a power of two so a future re-bucketing to
 half/double the count can merge/split buckets without a full shuffle.
 Bucket-pruning on point predicates (key = literal) reads 1/N of the
 files.
@@ -37,6 +40,74 @@ files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: One bucket of the larger table should fit an executor core's working
+#: set. 2.5 GiB reproduces the header's 100 TB sizing example (10 TiB
+#: fact -> 4096 buckets) and holds at the measured sf100 tier.
+BUCKET_WORKING_SET_BYTES = int(2.5 * 2**30)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
+def pick_bucket_count(
+    table_bytes: int,
+    cores: int,
+    *,
+    consumers: str = "scan",
+    bucket_bytes: int = BUCKET_WORKING_SET_BYTES,
+) -> int:
+    """The measured bucket-count rule as code (VERDICT r11 item 5).
+
+    Two lower bounds, take the max, round to a power of two (so a future
+    re-bucketing to half/double the count merges/splits buckets without
+    a full shuffle):
+
+    1. **Working-set bound** — one bucket of the table must fit an
+       executor core's working set: ``ceil(table_bytes / bucket_bytes)``.
+       Dominates at real tiers (10 TiB fact / 2.5 GiB -> 4096).
+    2. **Waves bound** — zero-shuffle consumers inherit the scan's
+       parallelism directly, so the count is a multiple of the core
+       count. ``consumers`` picks the multiplier per the sf100 sweep
+       (module header, SCALING §r10 addendum / §r11):
+
+       - ``"scan"`` (default): SEVERAL waves (4x cores). Scan-dominated
+         consumers — filter+semi+agg on the bucketed key — want small
+         buckets for wave balance: q04 12.5 -> 2.24 s, q21 20.8 -> 13.8,
+         q17 14.4 -> 11.5, q19 2.9 -> 2.27 at 128 vs 32 on 32 cores;
+         the write itself is 35-44% cheaper.
+       - ``"exchange"``: ONE wave. Exchange-dominated consumers (q03
+         18.9@32 vs 28.4@128; q05 19.3 vs 21.9) re-partition after the
+         scan anyway, and more files only add scan setup.
+
+    Locally (32 cores, sub-GiB tables) this yields the defaults the
+    probes measured: 128 for the orderkey/partkey layouts' scan family,
+    32 for the q03/q05 exception.
+    """
+    if consumers not in ("scan", "exchange"):
+        raise ValueError(f"consumers must be 'scan' or 'exchange': {consumers!r}")
+    waves = 4 if consumers == "scan" else 1
+    working_set_bound = -(-max(0, int(table_bytes)) // bucket_bytes)  # ceil
+    return max(
+        _next_pow2(waves * max(1, int(cores))),
+        _next_pow2(working_set_bound),
+    )
+
+
+def table_file_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of ``<sf_dir>/<table>.parquet`` (file or directory) —
+    the ``table_bytes`` input the layout probes feed pick_bucket_count."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def write_bucketed(

@@ -399,3 +399,43 @@ def test_single_file_buckets_eliminate_per_query_sort(
         )
         spark.sql("DROP TABLE IF EXISTS t_orders_s")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_s")
+
+
+def test_pick_bucket_count_measured_table():
+    """r12 (VERDICT r11 item 5): the bucket-count rule as code, pinned
+    against the sf100 sweep it encodes (bucketing.py header, SCALING
+    §r10 addendum / §r11): scan-dominated consumers (q04/q17/q19/q21)
+    -> 128 on 32 cores; the exchange-dominated q03/q05 exception -> 32;
+    the 100 TB header example (10 TiB fact / 2.5 GiB working set) ->
+    4096 via the working-set bound."""
+    from data_pipeline_4_online_retail_spark.sources.bucketing import (
+        BUCKET_WORKING_SET_BYTES,
+        pick_bucket_count,
+        table_file_bytes,
+    )
+
+    # measured local tier: sub-GiB fact, 32 cores — waves bound dominates
+    assert pick_bucket_count(800 * 2**20, 32, consumers="scan") == 128
+    assert pick_bucket_count(800 * 2**20, 32, consumers="exchange") == 32
+    # 100 TB sizing example — working-set bound dominates
+    assert pick_bucket_count(10 * 2**40, 32, consumers="exchange") == 4096
+    # both bounds always yield a power of two, and never shrink with size
+    for b in (0, 1, 2**30, 7 * 2**30, 13 * 2**40):
+        for c in (1, 8, 32, 100):
+            for cons in ("scan", "exchange"):
+                n = pick_bucket_count(b, c, consumers=cons)
+                assert n & (n - 1) == 0 and n >= 1
+                # one bucket fits the working set (within pow2 rounding)
+                assert b / n <= BUCKET_WORKING_SET_BYTES * 2
+    # waves bound: scan is 4 waves, exchange 1 wave, pow2-rounded up
+    assert pick_bucket_count(0, 100, consumers="scan") == 512
+    assert pick_bucket_count(0, 100, consumers="exchange") == 128
+    try:
+        pick_bucket_count(1, 1, consumers="both")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("invalid consumers accepted")
+    # table_file_bytes handles both single-file and directory layouts
+    assert table_file_bytes("/root/testdata/sf0.1", "lineitem") > 10**6
+    assert table_file_bytes("/root/testdata/sf0.1", "part") > 10**4

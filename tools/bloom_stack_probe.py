@@ -45,7 +45,16 @@ from data_pipeline_4_online_retail_spark.sources.bucketing import write_bucketed
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale1000_sf100"
-N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+N_BUCKETS = (
+    int(sys.argv[2])
+    if len(sys.argv) > 2
+    # measured rule as code (VERDICT r11 item 5): partkey family q17/q19/q09 is scan-dominated -> 128 on 32 cores
+    else pick_bucket_count(
+        table_file_bytes(SF_DIR, "lineitem"),
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        consumers="scan",
+    )
+)
 NAMES = sys.argv[3:] or ["tpch_q17", "tpch_q19", "tpch_q09"]
 WAREHOUSE = "/tmp/bloom_stack_probe"
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BSP_RUNS", "2"))

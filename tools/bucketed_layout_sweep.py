@@ -40,7 +40,16 @@ from data_pipeline_4_online_retail_spark.sources.bucketing import (
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale100_sf10"
-N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 128  # §r11 sweep
+N_BUCKETS = (
+    int(sys.argv[2])
+    if len(sys.argv) > 2
+    # measured rule as code (VERDICT r11 item 5): sweep default = the aggregate winner; q03/q05 exception via CLI
+    else pick_bucket_count(
+        table_file_bytes(SF_DIR, "lineitem"),
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        consumers="scan",
+    )
+)
 NAMES = sys.argv[3:] or [
     "tpch_q03",
     "tpch_q04",

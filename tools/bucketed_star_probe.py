@@ -42,7 +42,16 @@ from data_pipeline_4_online_retail_spark.sources.catalog import (
 )
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale100_sf10"
-N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+N_BUCKETS = (
+    int(sys.argv[2])
+    if len(sys.argv) > 2
+    # measured rule as code (VERDICT r11 item 5): star consumers re-partition post-scan (r8 probe ran 1 wave)
+    else pick_bucket_count(
+        table_file_bytes(SF_DIR, "lineitem"),
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        consumers="exchange",
+    )
+)
 WAREHOUSE = "/tmp/bucketed_star_probe"
 
 

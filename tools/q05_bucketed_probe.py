@@ -43,7 +43,16 @@ from data_pipeline_4_online_retail_spark.sources.bucketing import (
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale1000_sf100"
-N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+N_BUCKETS = (
+    int(sys.argv[2])
+    if len(sys.argv) > 2
+    # measured rule as code (VERDICT r11 item 5): q05 is the exchange-dominated exception -> 1 wave
+    else pick_bucket_count(
+        table_file_bytes(SF_DIR, "lineitem"),
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        consumers="exchange",
+    )
+)
 WAREHOUSE = "/tmp/q05_bucketed_probe"
 
 

@@ -60,7 +60,16 @@ from data_pipeline_4_online_retail_spark.sources.catalog import (
 )
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale100_sf10"
-N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+N_BUCKETS = (
+    int(sys.argv[2])
+    if len(sys.argv) > 2
+    # measured rule as code (VERDICT r11 item 5): second-key family default per the refined rule; r9 ran 32 via CLI
+    else pick_bucket_count(
+        table_file_bytes(SF_DIR, "lineitem"),
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        consumers="scan",
+    )
+)
 WAREHOUSE = "/tmp/second_key_probe"
 
 
