@@ -268,33 +268,72 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _minhash_via_explode(sharr: DataFrame, hash_cols: list) -> DataFrame:
+    """Shared signature core: explode the shingle array and take the
+    per-doc MIN of each hash expression in ONE whole-stage-codegen hash
+    aggregate.
+
+    r12 formulation change (guide §4.1: prefer codegen'd built-ins over
+    interpreted paths): the previous form — n_hashes separate
+    ``array_min(transform(shingles, λ))`` columns — evaluated the lambda
+    through the *interpreted* higher-order-function path, paying
+    per-element lambda dispatch × n_hashes and allocating n_hashes
+    intermediate arrays per row. The explode + groupBy(min) form computes
+    the IDENTICAL minima (tools/sig_formulation_probe.py pins equality
+    row-for-row at sf0.1 and the 10× replica, and measures −30% on the
+    signature stage at both tiers; a one-pass HOF ``aggregate``+
+    ``zip_with`` variant was also tried and loses to explode at 10×).
+    Partial (map-side) aggregation makes the added exchange carry one
+    narrow row per doc — |docs| × (n_hashes longs / hex strings), exactly
+    the signature table itself — so nothing document-sized shuffles.
+
+    Edge parity with the array_min form, pinned by the probe's full-outer
+    equality join: ``explode_outer`` keeps empty/NULL shingle arrays as a
+    single NULL-shingle row whose guarded hash is NULL, so those docs
+    keep a signature row with all-NULL minima (= array_min of an empty
+    array).
+    """
+    ex = sharr.select("doc_id", F.explode_outer("shingles").alias("_s"))
+    s = F.col("_s")
+    aggs = [
+        F.min(F.when(s.isNotNull(), h(s))).alias(f"h{i}")
+        for i, h in enumerate(hash_cols)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signature_md5(sharr: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature, **map-side**: h_i = the minimum of
-    md5('<i>#' || shingle) over the row's shingle array.
+    """Per-doc MinHash signature: h_i = the minimum of
+    md5('<i>#' || shingle) over the doc's shingles (explode + codegen
+    hash aggregate — see :func:`_minhash_via_explode`).
 
     md5 exists in both Spark and DuckDB with identical output, so the
     signature (and therefore the LSH bucketing) is oracle-reproducible.
     Lexicographic MIN over hex digests is a valid uniform hash order.
     """
-    def h(i: int):
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}#"), s)))
-        ).alias(f"h{i}")
-
-    return sharr.select("doc_id", *[h(i) for i in range(n_hashes)])
+    return _minhash_via_explode(
+        sharr,
+        [
+            (lambda i: lambda s: F.md5(F.concat(F.lit(f"{i}#"), s)))(i)
+            for i in range(n_hashes)
+        ],
+    )
 
 
 def minhash_signature_xxhash64(
     sharr: DataFrame, n_hashes: int = N_HASHES
 ) -> DataFrame:
     """Production signature: xxhash64 longs (8 bytes/hash vs 32, faster
-    hashing). Same geometry; verified by pytest (DuckDB has no xxhash64)."""
-    def h(i: int):
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"h{i}")
-
-    return sharr.select("doc_id", *[h(i) for i in range(n_hashes)])
+    hashing), explode + codegen hash aggregate (see
+    :func:`_minhash_via_explode`). Same geometry; verified by pytest
+    (DuckDB has no xxhash64 — the SQL twin lives in functions/xxh64_sql)."""
+    return _minhash_via_explode(
+        sharr,
+        [
+            (lambda i: lambda s: F.xxhash64(s, F.lit(i)))(i)
+            for i in range(n_hashes)
+        ],
+    )
 
 
 def _sig_hash_count(sig: DataFrame) -> int:

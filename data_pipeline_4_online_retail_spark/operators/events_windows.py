@@ -276,31 +276,37 @@ def ev_multi_resolution_rollup(spark, sf_dir):
     doc="product analytics: ordered funnel (signup → view → click → "
     "purchase) — each stage is the first qualifying event at-or-after "
     "the previous stage's timestamp; funnel_stage is the furthest stage "
-    "reached. Four aggregations and three joins ALL keyed on user_id, "
-    "so one hash partitioning serves the whole plan (AQE reuses the "
-    "exchanges); no window state, no per-user iteration.",
+    "reached. r12 formulation (guide §2.4: remove repeated passes): a "
+    "CHAIN of four whole-partition window minima over ONE user_id "
+    "partitioning — stage N's conditional min references stage N-1's "
+    "window column, consecutive WindowExecs share the single exchange "
+    "and sort, and the final per-user collapse is an aggregate on the "
+    "already-partitioned rows. The previous join-chain (4 aggregations "
+    "+ 3 joins, each stage re-deriving its upstream) planned 10 scans "
+    "of events / 7 shuffle + 9 broadcast exchanges; this plans 1 scan "
+    "/ 1 exchange / 4 sort-sharing WindowExecs "
+    "(plans/r12/ev_funnel_{before,after}.txt) and measured 1.5-2.5x "
+    "at sf0.1 AND the 10x replica with row-identical output.",
     tags=("events", "analytics"),
 )
 def ev_funnel(spark, sf_dir):
-    e = _events(spark, sf_dir)
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
 
-    def first_at_or_after(df, etype: str, bound_col: str, out: str):
-        return (
-            e.filter(F.col("event_type") == etype)
-            .join(df, "user_id")
-            .filter(F.col("ts") >= F.col(bound_col))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
+    def stage_min(etype: str, bound_col: str | None) -> F.Column:
+        qualifies = F.col("event_type") == etype
+        if bound_col is not None:
+            # NULL bound (stage not reached) compares NULL -> the min
+            # ignores every row, exactly the old join+filter behavior.
+            qualifies = qualifies & (F.col("ts") >= F.col(bound_col))
+        return F.min(F.when(qualifies, F.col("ts"))).over(w)
 
-    s = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
-            "signup_ts"
-        )
+    d = (
+        e.withColumn("signup_ts", stage_min("signup", None))
+        .withColumn("view_ts", stage_min("view", "signup_ts"))
+        .withColumn("click_ts", stage_min("click", "view_ts"))
+        .withColumn("purchase_ts", stage_min("purchase", "click_ts"))
     )
-    v = first_at_or_after(s, "view", "signup_ts", "view_ts")
-    c = first_at_or_after(v, "click", "view_ts", "click_ts")
-    p = first_at_or_after(c, "purchase", "click_ts", "purchase_ts")
     stage = (
         F.when(F.col("purchase_ts").isNotNull(), 4)
         .when(F.col("click_ts").isNotNull(), 3)
@@ -308,14 +314,16 @@ def ev_funnel(spark, sf_dir):
         .when(F.col("signup_ts").isNotNull(), 1)
         .otherwise(0)
     )
-    return (
-        s.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id", "signup_ts", "view_ts", "click_ts", "purchase_ts",
-            stage.alias("funnel_stage"),
-        )
+    # every row of a user carries identical staged values; min() is the
+    # order-free collapse and needs no new exchange (already partitioned)
+    return d.groupBy("user_id").agg(
+        F.min("signup_ts").alias("signup_ts"),
+        F.min("view_ts").alias("view_ts"),
+        F.min("click_ts").alias("click_ts"),
+        F.min("purchase_ts").alias("purchase_ts"),
+    ).select(
+        "user_id", "signup_ts", "view_ts", "click_ts", "purchase_ts",
+        stage.alias("funnel_stage"),
     )
 
 

@@ -951,15 +951,42 @@ def phash64_from_text(text: str) -> int:
     mean, in exact integer arithmetic). Returns a SIGNED 64-bit value so
     it round-trips through a Spark LongType column."""
     raw = text.encode("utf-8")
-    n_px = max(1, len(raw) // 3)
+    L = len(raw)
+    n_px = max(1, L // 3)
     h = max(1, n_px // PPM_WIDTH)
-    rgb = (raw * 3)[: PPM_WIDTH * h * 3]
-    small = resize_rgb_nearest(rgb, PPM_WIDTH, h, RESIZE_W, RESIZE_H)
-    luma = [
-        (small[i * 3] * 299 + small[i * 3 + 1] * 587 + small[i * 3 + 2] * 114)
-        // 1000
-        for i in range(RESIZE_W * RESIZE_H)
-    ]
+    if L >= PPM_WIDTH * 3:
+        # r12 fast path (guide §4.2: don't copy bytes to re-slice them):
+        # the tiled raster is raw repeated, and the 8x8 nearest-neighbor
+        # resize only READS 64 pixels — sample the 192 source bytes
+        # directly instead of building the 3L-byte tile + full-raster
+        # resize. Index identity with the slow path below (and the DuckDB
+        # oracle): pixel i reads source offset
+        # sp = ((i//8)*h//8)*PPM_WIDTH + (i%8)*(PPM_WIDTH//8); for
+        # L >= 48 every 3*sp+2 < 48h <= L, so the tile never wraps and
+        # raw[3*sp+k] IS the tiled byte. Byte equality vs the old path is
+        # pinned by tests/test_r4e_ops.py's Spark comparison and the
+        # mm_phash_dedup DuckDB oracle (which samples raw[(3*sp+k) % L]).
+        luma = []
+        for i in range(RESIZE_W * RESIZE_H):
+            sp = ((i // RESIZE_W) * h // RESIZE_H) * PPM_WIDTH + (
+                i % RESIZE_W
+            ) * (PPM_WIDTH // RESIZE_W)
+            o = 3 * sp
+            luma.append(
+                (raw[o] * 299 + raw[o + 1] * 587 + raw[o + 2] * 114) // 1000
+            )
+    else:
+        rgb = (raw * 3)[: PPM_WIDTH * h * 3]
+        small = resize_rgb_nearest(rgb, PPM_WIDTH, h, RESIZE_W, RESIZE_H)
+        luma = [
+            (
+                small[i * 3] * 299
+                + small[i * 3 + 1] * 587
+                + small[i * 3 + 2] * 114
+            )
+            // 1000
+            for i in range(RESIZE_W * RESIZE_H)
+        ]
     total = sum(luma)
     bits = 0
     for i, p in enumerate(luma):

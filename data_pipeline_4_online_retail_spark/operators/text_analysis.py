@@ -745,7 +745,15 @@ def _dsir_buckets(spark, sf_dir):
     bucket = (
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _DSIR_B
     )
-    return toks.select("doc_id", "source", bucket.alias("bucket"))
+    # The explicit isNotNull drops nothing (tok comes from explode(split)
+    # and is never NULL, so neither is the md5-derived bucket) — it exists
+    # so every consumer subtree carries the SAME filter the bucket
+    # equi-joins push down, keeping the per-(doc,source,bucket) count
+    # exchange byte-identical across branches and therefore reusable
+    # (r12; without it the weights totals branch re-tokenized the corpus).
+    return toks.select("doc_id", "source", bucket.alias("bucket")).where(
+        F.col("bucket").isNotNull()
+    )
 
 
 @register(
@@ -774,26 +782,46 @@ def _dsir_buckets(spark, sf_dir):
     "feature buckets — the integer-exact core of the importance weight "
     "(the log-ratio itself is the rows-only sibling "
     "text_dsir_weights; libm). Target domain = source 'src0'. Scale: "
-    "both count tables are bucket-bounded (B=512 rows, broadcast), so "
-    "the only corpus-sized shuffle is the per-doc aggregate.",
+    "one tokenize pass total (r12) — the corpus aggregates once to "
+    "per-(doc,source,bucket) counts, the bucket mass table derives from "
+    "that aggregate's REUSED exchange via a conditional sum (B=512 "
+    "rows, broadcast), and the per-doc masses are count-weighted sums "
+    "over the same counts; the only corpus-sized shuffle is the "
+    "map-side-combined count exchange.",
     tags=("text",),
 )
 def text_dsir_stats(spark, sf_dir):
+    # r12 single-tokenize formulation (guide §2.4: remove repeated work,
+    # share one exchange). The previous shape consumed the per-token
+    # stream `tb` from THREE distinct subtrees (filtered tgt aggregate,
+    # raw aggregate, per-doc main branch) — three full tokenize+md5
+    # scans of documents, no exchange reuse because the subtrees differ.
+    # Now: ONE per-(doc_id, source, bucket) count aggregate `g`; the
+    # bucket mass table derives from g with a CONDITIONAL sum (not a
+    # where-filter, which Catalyst would push below g's exchange and
+    # break exchange identity), so the plan has a single documents scan
+    # and a ReusedExchange for the masses branch (plans/r12/
+    # text_dsir_stats_after.txt). All quantities are integer counts:
+    # sum(k), sum(k·c_t), sum(k·c_r) are exactly the old per-token
+    # count/coalesce-sums regrouped — bit-identical, and the oracle SQL
+    # is unchanged.
     tb = _dsir_buckets(spark, sf_dir)
-    tgt = (
-        tb.where(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    g = tb.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("k")
     )
-    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    masses = g.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("k")).otherwise(F.lit(0))
+        ).alias("c_t"),
+        F.sum("k").alias("c_r"),
+    )
     return (
-        tb.join(F.broadcast(tgt), "bucket", "left")
-        .join(F.broadcast(raw), "bucket")
+        g.join(F.broadcast(masses), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("target_mass"),
-            F.sum("c_r").alias("raw_mass"),
+            F.sum("k").alias("n_toks"),
+            F.sum(F.col("k") * F.col("c_t")).alias("target_mass"),
+            F.sum(F.col("k") * F.col("c_r")).alias("raw_mass"),
         )
     )
 
@@ -844,26 +872,45 @@ def text_dsir_stats(spark, sf_dir):
     tags=("text",),
 )
 def text_dsir_weights(spark, sf_dir):
+    # r12 (guide §2.4): the bucket mass tables come from ONE
+    # per-(doc,source,bucket) count aggregate with a CONDITIONAL c_t sum
+    # (same rewrite as text_dsir_stats — a where-filtered tgt subtree
+    # would tokenize src0 documents a third time), and both totals fold
+    # into a single 1-row aggregate/crossJoin. The per-token MAIN branch
+    # is deliberately NOT regrouped to (bucket, k) multiplicities: the
+    # log-weight sum is a float fold, and k·x differs from x summed k
+    # times in ulps — the 4-decimal quantization absorbs sum-ORDER noise
+    # but a changed value set is a different query. c_t/c_r/t_total/
+    # r_total are integers, so per_tok's inputs — and therefore the
+    # per-token doubles being summed — are bit-identical to the old
+    # formulation. 3 tokenize scans -> 2.
     tb = _dsir_buckets(spark, sf_dir)
-    tgt = (
-        tb.where(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    g = tb.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("k")
     )
-    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
-    t_total = tgt.agg(F.sum("c_t").alias("t_total"))
-    r_total = raw.agg(F.sum("c_r").alias("r_total"))
+    masses = g.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("k")).otherwise(F.lit(0))
+        ).alias("c_t"),
+        F.sum("k").alias("c_r"),
+    )
+    # when(c_t>0): zero-c_t buckets add nothing to the sum, but an
+    # all-zero corpus (no src0 tokens anywhere) must yield NULL — the
+    # old tgt-side aggregate (and the DuckDB oracle's) sums an EMPTY
+    # table in that case.
+    totals = masses.agg(
+        F.sum(F.when(F.col("c_t") > 0, F.col("c_t"))).alias("t_total"),
+        F.sum("c_r").alias("r_total"),
+    )
     per_tok = (
-        F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double"))
+        F.log((F.col("c_t") + 1).cast("double"))
         - F.log((F.col("t_total") + F.lit(_DSIR_B)).cast("double"))
         - F.log((F.col("c_r") + 1).cast("double"))
         + F.log((F.col("r_total") + F.lit(_DSIR_B)).cast("double"))
     )
     return (
-        tb.join(F.broadcast(tgt), "bucket", "left")
-        .join(F.broadcast(raw), "bucket")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
+        tb.join(F.broadcast(masses), "bucket")
+        .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),

@@ -307,3 +307,53 @@ def test_fast_oracle_sql_composition(spark, catalog):
     assert corpus_sql[len(prefix):].startswith(
         "SELECT d.doc_id, d.lang, d.source, d.n_chars"
     )
+
+
+def test_minhash_explode_formulation_matches_hof_array_min(spark):
+    """r12: the signature builders moved from n_hashes ×
+    array_min(transform(...)) (interpreted HOF) to one explode_outer +
+    codegen hash aggregate. Pin value equality against the old HOF
+    formulation on a fixture that includes the edge cases: normal docs,
+    a doc shorter than 3 tokens (EMPTY shingle array -> all-NULL
+    signature row must survive), and duplicate shingles."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c a b c"),
+            (3, "xy"),  # < 3 tokens -> empty shingles
+            (4, "q w e r t y u"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sharr = shingled_docs(docs)
+
+    def hof_md5(i):
+        return F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}#"), s))
+            )
+        ).alias(f"h{i}")
+
+    def hof_xx(i):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"h{i}")
+
+    for new_df, hof in (
+        (minhash_signature_md5(sharr), hof_md5),
+        (minhash_signature_xxhash64(sharr), hof_xx),
+    ):
+        old = {
+            r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+            for r in sharr.select(
+                "doc_id", *[hof(i) for i in range(16)]
+            ).collect()
+        }
+        new = {
+            r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+            for r in new_df.collect()
+        }
+        assert new == old
+        assert new[3] == tuple([None] * 16)  # empty-shingle doc kept

@@ -988,3 +988,46 @@ def test_interarrival_percentiles_are_actual_gaps(spark, catalog, qs):
         assert r.p50_us == gaps[math.ceil(0.5 * len(gaps)) - 1]
         assert r.p90_us == gaps[math.ceil(0.9 * len(gaps)) - 1]
         assert r.min_us <= r.p50_us <= r.p90_us <= r.max_us
+
+
+def test_phash_direct_sampling_matches_tiled_resize():
+    """r12: phash64_from_text samples the 64 thumbnail pixels directly
+    from the UTF-8 bytes (O(1) per doc) instead of building the 3L-byte
+    tiled raster and running the full resize (O(L)). Pin bit-identity
+    against the old tile+resize formulation across doc lengths on both
+    sides of the fast-path threshold (L >= 48)."""
+    from data_pipeline_4_online_retail_spark.operators.multimodal import (
+        PPM_WIDTH,
+        RESIZE_H,
+        RESIZE_W,
+        phash64_from_text,
+        resize_rgb_nearest,
+    )
+
+    def old_phash(text: str) -> int:
+        raw = text.encode("utf-8")
+        n_px = max(1, len(raw) // 3)
+        h = max(1, n_px // PPM_WIDTH)
+        rgb = (raw * 3)[: PPM_WIDTH * h * 3]
+        small = resize_rgb_nearest(rgb, PPM_WIDTH, h, RESIZE_W, RESIZE_H)
+        luma = [
+            (small[i * 3] * 299 + small[i * 3 + 1] * 587 + small[i * 3 + 2] * 114)
+            // 1000
+            for i in range(RESIZE_W * RESIZE_H)
+        ]
+        total = sum(luma)
+        bits = 0
+        for i, p in enumerate(luma):
+            if p * 64 > total:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    import random
+
+    rng = random.Random(12)
+    texts = [
+        "".join(rng.choice("abcdefgh ") for _ in range(n))
+        for n in (48, 49, 95, 96, 100, 333, 1000, 4096)
+    ] + ["x" * 48, "spark " * 100]
+    for t in texts:
+        assert phash64_from_text(t) == old_phash(t), len(t)
