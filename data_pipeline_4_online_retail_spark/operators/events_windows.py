@@ -351,21 +351,29 @@ def ev_funnel(spark, sf_dir):
     tags=("events", "analytics"),
 )
 def ev_cohort_retention(spark, sf_dir):
+    # r13: one events scan instead of two. The distinct (user, day) pairs
+    # keep their map-side-deduped exchange; the cohort aggregate + join
+    # are replaced by a whole-partition min window over a second, PAIRS-
+    # sized user_id exchange (|users × days|, not |events|) — cohort_day
+    # per user is the min over that user's distinct days, identical to
+    # the old per-user min over raw events, and the old inner join kept
+    # exactly the pair rows (every activity user has a cohort row), so
+    # the window-annotated pair set is the same relation. NULL user_ids
+    # were dropped by the join; the explicit filter keeps that.
     e = _events(spark, sf_dir)
-    cohort = e.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    pairs = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("active_day"))
+        .distinct()
     )
-    activity = e.select(
-        "user_id", F.col("ts").cast("date").alias("active_day")
-    ).distinct()
-    return (
-        activity.join(cohort, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff("active_day", "cohort_day").alias("day_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+    d = pairs.withColumn(
+        "cohort_day",
+        F.min("active_day").over(Window.partitionBy("user_id")),
     )
+    return d.groupBy(
+        "cohort_day",
+        F.datediff("active_day", "cohort_day").alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
 
 
 @register(
@@ -1817,24 +1825,53 @@ def ev_bounce_rate(spark, sf_dir):
     tags=("events", "analytics", "r4d"),
 )
 def ev_conversion_lag(spark, sf_dir):
+    # r13 (VERDICT r12 item 6, the ev_funnel playbook): the old lags
+    # subtree planned TWO filtered event scans + two aggregates + two
+    # joins (plans/r12/ev_conversion_lag_before.txt nodes 3/14/42). One
+    # scan restricted to the two relevant event types, one user_id
+    # exchange, a whole-partition conditional min window and a collapse
+    # aggregate riding the same partitioning compute the identical lag
+    # table:
+    # - first_click := min(ts | click) over the user partition — NULL
+    #   when the user never clicked, exactly the old f-aggregate;
+    # - a purchase row qualifies iff ts >= first_click (NULL bound →
+    #   predicate NULL → dropped), exactly the old p-join+filter;
+    # - per user, min(qualifying ts) = first_purchase and min(first_click)
+    #   = first_click (constant across the partition), so the inner join
+    #   f⋈p degenerates to this aggregate's output row set.
+    # The old joins dropped NULL user_ids; the explicit isNotNull keeps
+    # that. Skew note: the exchange now carries click+purchase event rows
+    # (not per-user partials) and the window buffers one user's rows per
+    # task — the measured trade accepted for ev_funnel (SCALING §r13).
     ev = _events(spark, sf_dir)
-    f = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "first_click",
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+        )
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(f, "user_id")
-        .filter(F.col("ts") >= F.col("first_click"))
+    lags = (
+        staged.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("first_click"))
+        )
         .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    lags = f.join(p, "user_id").select(
-        "user_id",
-        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias(
-            "lag_us"
-        ),
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.min("first_click").alias("first_click"),
+        )
+        .select(
+            "user_id",
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_click")
+            ).alias("lag_us"),
+        )
     )
     pcts = lags.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
