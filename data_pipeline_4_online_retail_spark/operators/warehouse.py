@@ -680,7 +680,10 @@ _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 )
 def wh_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_tables(spark, sf_dir)
-    li = cat.table("lineitem")
+    # layout-gated spread (r13): the decimal revenue partial aggregate is
+    # per-row map CPU over every fact line — narrow layouts serialized it
+    # (measured 0.79 -> 0.41 s at sf0.1); wide layouts skip the exchange.
+    li = cat.spread("lineitem", "l_partkey")
     dim = (
         cat.table("part")
         .filter(F.col("p_partkey") % LATE_DIM_MOD != 0)
