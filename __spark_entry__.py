@@ -45,80 +45,87 @@ import data_pipeline_4_online_retail_spark.operators.governance  # noqa: E402,F4
 import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-visible ordering, round 11: the REGRESSION RING continues
-# (VERDICT r10 item 2). The union is closed at 289/289 with 0 reds, so
-# the 50 slots front the stalest records oldest-first: the 7 remaining
-# r4-last-checked rows (this CLOSES the r4 tier), then two r10-TOUCHED
-# re-proofs — tpch_q17 and tpch_q02, whose sf100 plans the late-r10
-# runtime bloom-filter adoption changes most (their sf0.01 plans are
-# bloom-free by construction — plan-verified no-op below sf1 — but the
-# window row re-proves the adopted tree; q19, the third bloom
-# beneficiary, sits in the r5 tier below) — then the round's TWO new
-# registrations (dedup_clusters_fast + dedup_corpus_fast, the xxhash64
-# clustering rungs from the r11 density probe — never-checked entries
-# front the ring) and 39 of the 44 r5-stale rows as fill. The 5
-# deferred r5 rows (wh_foreign_key_check, wh_late_arriving_dim,
-# wh_scd2_asof_join, wh_scd3_prior_value, wh_scd6_hybrid — warehouse
-# ops pinned by test_warehouse.py) stay at staleness r5, keeping
-# max-staleness <= r5 per the VERDICT r10 done-bar; they front the r12
-# window.
-# Registry growth (+2) <= rotation (standing item).
+# Driver-visible ordering, round 13: the REGRESSION RING continues
+# (VERDICT r12 items 2/4). The 50 slots front, in order:
+# 1. the 2 never-checked registrations (mm_png_features +
+#    mm_image_features, from the interrupted post-r11 build — never had
+#    a driver row);
+# 2. every execution path this OPTIMIZATION round changed: the spread
+#    star paths (fct/report_customer/report_year/dim_datetime), the
+#    single-scan window rewrites (ev_conversion_lag, ev_cohort_retention),
+#    the persisted-signature mm_phash_dedup, and the spread
+#    wh_late_arriving_dim / op_sql_udf;
+# 3. the r12-changed paths the r12 window never re-proved (VERDICT r12
+#    gate section): ev_funnel, text_dsir_stats, text_dsir_weights, and
+#    the 7 non-windowed consumers of the r12 signature core
+#    (dedup_minhash_lsh, dedup_clusters, dedup_corpus, dedup_incremental,
+#    dedup_incremental_fast, dedup_lsh_recall_report,
+#    dedup_minhash_estimate) — all of which also inherit this round's
+#    gated _docs spread;
+# 4. the 5 warehouse rows deferred at r5 (wh_foreign_key_check,
+#    wh_scd2_asof_join, wh_scd3_prior_value, wh_scd6_hybrid;
+#    wh_late_arriving_dim already fronts in group 2) — this CLOSES the
+#    r5 tier;
+# 5. 25 of the 45 r6-stale rows as fill (alphabetical; the remaining 20
+#    r6 rows front the r14 window — max staleness becomes r6).
+# Registry growth (0) <= rotation (standing item).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # --- the 7 remaining r4-stale records (oldest-first; closes r4) ---
-    "tpch_q20",
-    "ev_props_json_stats",
-    "ev_props_json_roundtrip",
-    "ev_props_variant_stats",
-    "text_udtf_word_positions",
-    "ev_props_xml_roundtrip",
-    "gov_gdpr_erasure_audit",
-    # --- post-bloom-adoption re-proofs (VERDICT r10 item 2) ---
-    "tpch_q17",
-    "tpch_q02",
-    # --- the round's new registrations (never-checked fronts the ring) ---
-    "dedup_clusters_fast",
-    "dedup_corpus_fast",
-    # --- 39 of the 44 r5-stale records ---
-    "dedup_url_canonicalize",
-    "ev_ab_test_metrics",
-    "ev_cm_heavy_hitters",
-    "ev_cusum_alarm",
-    "ev_ewma_level",
-    "ev_feature_store_pit",
-    "ev_holt_winters",
-    "ev_props_csv_and_xpath",
-    "ev_props_json_filter",
-    "ev_props_variant_explode",
-    "ev_seasonal_decompose",
-    "ev_survival_kaplan_meier",
-    "ev_time_weighted_avg",
-    "gov_k_anonymity",
-    "gov_pii_scan_report",
-    "gov_row_level_security",
-    "graph_bfs_distances",
-    "mm_binaryfile_source",
+    # --- 1. never-checked registrations (front the ring) ---
+    "mm_png_features",
+    "mm_image_features",
+    # --- 2. r13-touched execution paths ---
+    "star_fct_invoice_line_value",
+    "star_report_customer",
+    "star_report_year",
+    "star_dim_datetime",
+    "ev_conversion_lag",
+    "ev_cohort_retention",
     "mm_phash_dedup",
-    "mm_ppm_features",
-    "mm_wav_features",
-    "op_cogroup_asof",
-    "op_did_analysis",
-    "op_revenue_bridge",
-    "text_filter_attrition",
-    "tpch_q03",
-    "tpch_q04",
-    "tpch_q05",
-    "tpch_q06",
-    "tpch_q07",
-    "tpch_q08",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q19",
-    "wh_bitemporal_asof",
-    "wh_cdc_apply_with_deletes",
-    "wh_data_diff_summary",
-    "wh_dim_surrogate_assign",
+    "op_sql_udf",
+    "wh_late_arriving_dim",
+    # --- 3. r12-changed, never driver-re-proved ---
+    "ev_funnel",
+    "text_dsir_stats",
+    "text_dsir_weights",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_corpus",
+    "dedup_incremental",
+    "dedup_incremental_fast",
+    "dedup_lsh_recall_report",
+    "dedup_minhash_estimate",
+    # --- 4. the r5-deferred warehouse rows (closes r5) ---
+    "wh_foreign_key_check",
+    "wh_scd2_asof_join",
+    "wh_scd3_prior_value",
+    "wh_scd6_hybrid",
+    # --- 5. r6-stale fill (alphabetical) ---
+    "ev_audience_overlap",
+    "ev_bounce_rate",
+    "ev_burst_detection",
+    "ev_cohort_ltv",
+    "ev_dwell_time",
+    "ev_forecast_backtest",
+    "ev_funnel_dropoff",
+    "ev_holt_linear_trend",
+    "ev_interarrival_percentiles",
+    "ev_interval_coverage",
+    "ev_nearest_join",
+    "ev_rolling_wau",
+    "ev_seasonality_profile",
+    "op_benford_first_digit",
+    "op_collation_group",
+    "op_constraint_check",
+    "op_crosstab_chi2",
+    "op_date_spine",
+    "op_explode_outer",
+    "op_group_moments_mergeable",
+    "op_group_sample_exact_k",
+    "op_map_functions",
+    "op_map_in_arrow",
+    "op_median_absolute_deviation",
+    "op_moving_average_centered",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -181,7 +181,7 @@ def dim_datetime(cat: Catalog) -> DataFrame:
     convention."""
     # spread(): the per-row md5 + date_format projection precedes the
     # distinct's exchange; a narrow layout would run it on one core.
-    o = cat.spread("orders", "o_orderkey")
+    o = cat.spread("orders", "o_orderkey", min_speedup=4.0)
     ds = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
     return (
         o.filter(F.col("o_orderdate").isNotNull())
@@ -321,7 +321,7 @@ def fct_invoice_line_value(cat: Catalog) -> DataFrame:
     # scan task) they would run on ONE core (measured 1.43 → 0.48 s at
     # sf0.1, tools/star_fct_probe.py). On a many-file layout the gate
     # compiles to a plain scan — no exchange in the plan (guide §2.4/§6).
-    li = cat.spread("lineitem", "l_orderkey")
+    li = cat.spread("lineitem", "l_orderkey", min_speedup=4.0)
     o = cat.table("orders")
     p = cat.table("part")
     c = cat.table("customer")
@@ -413,7 +413,7 @@ def report_customer(cat: Catalog) -> DataFrame:
     # spread() keyed on the first rollup's group key: the gated exchange
     # (narrow layouts only) is the SAME partitioning the l_orderkey
     # aggregate requires, so the rollup rides it with no second shuffle.
-    li = cat.spread("lineitem", "l_orderkey")
+    li = cat.spread("lineitem", "l_orderkey", min_speedup=4.0)
     o = cat.table("orders")
     c = cat.table("customer")
     n = cat.table("nation")
@@ -517,7 +517,7 @@ def report_year(cat: Catalog) -> DataFrame:
     addition is associative/exact, so the two-level sum is bit-identical
     to the single-pass one.
     """
-    li = cat.spread("lineitem", "l_orderkey")
+    li = cat.spread("lineitem", "l_orderkey", min_speedup=4.0)
     o = cat.table("orders")
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(revenue_col().cast("decimal(18,4)")).alias("order_revenue")

@@ -65,7 +65,7 @@ class Catalog:
             return 1 << 30
         return _layout_scan_width(path, self.spark)
 
-    def spread(self, name: str, *cols: str) -> DataFrame:
+    def spread(self, name: str, *cols: str, min_speedup: float = 2.0) -> DataFrame:
         """``table(name)``, hash-repartitioned on ``cols`` ONLY when the
         on-disk layout cannot feed enough scan tasks to keep the session's
         cores busy (guide §2.4/§6: a narrow layout serializes every
@@ -73,10 +73,19 @@ class Catalog:
         and this helper provably inserts NO exchange — the gate runs at
         plan-build time, so a wide layout's plan has no REPARTITION node).
         Keyed (never round-robin) so the exchange is deterministic under
-        retries and downstream ops keyed the same way can ride it."""
+        retries and downstream ops keyed the same way can ride it.
+
+        ``min_speedup`` is the parallelism gain (cores / useful scan
+        tasks) below which the crutch exchange costs more than the serial
+        work it parallelizes — callers declare how heavy their map-side
+        stage is. Measured at the 11-file 10x replica (32 cores, gain
+        2.9x): dedup's shingle pass still wins with the exchange (2.19 →
+        1.86 s, heavy per-row HOF work → default 2.0 keeps it), while the
+        star rollups lose (report_year 1.17 plain vs 1.74 spread — cheap
+        partial aggregates → those sites pass 4.0)."""
         df = self.table(name)
         cores = self.spark.sparkContext.defaultParallelism
-        if self.scan_width(name) >= cores:
+        if self.scan_width(name) * min_speedup > cores:
             return df
         return df.repartition(*[F.col(c) for c in cols])
 
