@@ -295,6 +295,13 @@ def _minhash_via_explode(sharr: DataFrame, hash_cols: list) -> DataFrame:
     single NULL-shingle row whose guarded hash is NULL, so those docs
     keep a signature row with all-NULL minima (= array_min of an empty
     array).
+
+    PRECONDITION (ADVICE r12): ``doc_id`` must be unique in ``sharr`` —
+    the groupBy collapses duplicate doc_ids into ONE signature over the
+    union of their shingles, whereas the old array_min form emitted one
+    row per input row. Every current caller passes
+    :func:`shingled_docs` output, one row per source document; a future
+    caller with non-distinct doc_ids must pre-aggregate or re-key.
     """
     ex = sharr.select("doc_id", F.explode_outer("shingles").alias("_s"))
     s = F.col("_s")

@@ -989,15 +989,20 @@ def phash64_from_text(text: str) -> int:
         # raw[3*sp+k] IS the tiled byte. Byte equality vs the old path is
         # pinned by tests/test_r4e_ops.py's Spark comparison and the
         # mm_phash_dedup DuckDB oracle (which samples raw[(3*sp+k) % L]).
+        # sx/sy are spelled EXACTLY as resize_rgb_nearest spells them
+        # (ADVICE r12: one source of truth for the index math, so a
+        # future RESIZE_*/PPM_WIDTH change cannot desynchronize the two
+        # paths).
         luma = []
-        for i in range(RESIZE_W * RESIZE_H):
-            sp = ((i // RESIZE_W) * h // RESIZE_H) * PPM_WIDTH + (
-                i % RESIZE_W
-            ) * (PPM_WIDTH // RESIZE_W)
-            o = 3 * sp
-            luma.append(
-                (raw[o] * 299 + raw[o + 1] * 587 + raw[o + 2] * 114) // 1000
-            )
+        for y in range(RESIZE_H):
+            sy = y * h // RESIZE_H
+            for x in range(RESIZE_W):
+                sx = x * PPM_WIDTH // RESIZE_W
+                o = 3 * (sy * PPM_WIDTH + sx)
+                luma.append(
+                    (raw[o] * 299 + raw[o + 1] * 587 + raw[o + 2] * 114)
+                    // 1000
+                )
     else:
         rgb = (raw * 3)[: PPM_WIDTH * h * 3]
         small = resize_rgb_nearest(rgb, PPM_WIDTH, h, RESIZE_W, RESIZE_H)
