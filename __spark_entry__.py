@@ -53,8 +53,10 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 # 2. every execution path this OPTIMIZATION round changed: the spread
 #    star paths (fct/report_customer/report_year/dim_datetime), the
 #    single-scan window rewrites (ev_conversion_lag, ev_cohort_retention),
-#    the persisted-signature mm_phash_dedup, and the spread
-#    wh_late_arriving_dim / op_sql_udf;
+#    the persisted-signature mm_phash_dedup, the spread
+#    wh_late_arriving_dim / op_sql_udf, and the registry-sweep-outlier
+#    rewrites (dedup_embedding_cosine chain-dot, op_fuzzy_match_blocked
+#    thresholded levenshtein, sim_ann_lsh SQL-string buckets);
 # 3. the r12-changed paths the r12 window never re-proved (VERDICT r12
 #    gate section): ev_funnel, text_dsir_stats, text_dsir_weights, and
 #    the 7 non-windowed consumers of the r12 signature core
@@ -66,7 +68,7 @@ import data_pipeline_4_online_retail_spark.plans.retail_oracle  # noqa: E402,F40
 #    wh_scd2_asof_join, wh_scd3_prior_value, wh_scd6_hybrid;
 #    wh_late_arriving_dim already fronts in group 2) — this CLOSES the
 #    r5 tier;
-# 5. 25 of the 45 r6-stale rows as fill (alphabetical; the remaining 20
+# 5. 22 of the 45 r6-stale rows as fill (alphabetical; the remaining 23
 #    r6 rows front the r14 window — max staleness becomes r6).
 # Registry growth (0) <= rotation (standing item).
 # ---------------------------------------------------------------------------
@@ -85,6 +87,9 @@ _DRIVER_PRIORITY = [
     "op_sql_udf",
     "wh_late_arriving_dim",
     # --- 3. r12-changed, never driver-re-proved ---
+    "dedup_embedding_cosine",
+    "op_fuzzy_match_blocked",
+    "sim_ann_lsh",
     "ev_funnel",
     "text_dsir_stats",
     "text_dsir_weights",
@@ -123,9 +128,6 @@ _DRIVER_PRIORITY = [
     "op_group_moments_mergeable",
     "op_group_sample_exact_k",
     "op_map_functions",
-    "op_map_in_arrow",
-    "op_median_absolute_deviation",
-    "op_moving_average_centered",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

@@ -76,6 +76,31 @@ def dot_product(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def dot_chain(a: str | Column, b: str | Column, dim: int) -> Column:
+    """Σ aᵢ·bᵢ as double for a KNOWN fixed dimension, spelled as a
+    positional ``element_at`` chain (r13): the higher-order-function
+    fold in :func:`dot_product` evaluates through the interpreted
+    CodegenFallback path, paying per-element lambda dispatch — on a
+    pairwise join that is dispatch × dim × |pairs|. The chain's
+    left-to-right additions reproduce the fold's summation order
+    exactly (the fold's extra 0.0 seed can only flip the sign of a zero
+    result — invisible to any magnitude comparison). CALLERS must guard
+    on ``size(a) == dim AND size(b) == dim`` and fall back to
+    :func:`dot_product` otherwise — ``element_at`` past the end would
+    silently NULL the sum."""
+    ca, cb = _c(a), _c(b)
+
+    def term(i: int) -> Column:
+        return F.element_at(ca, i).cast("double") * F.element_at(cb, i).cast(
+            "double"
+        )
+
+    s = term(1)
+    for i in range(2, dim + 1):
+        s = s + term(i)
+    return s
+
+
 def l2_norm(a: str | Column) -> Column:
     """‖a‖₂ as double."""
     return F.sqrt(

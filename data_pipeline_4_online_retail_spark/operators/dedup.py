@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_4_online_retail_spark.functions.vector import cosine_similarity
+from data_pipeline_4_online_retail_spark.functions.vector import (
+    cosine_similarity,
+    dot_chain,
+    dot_product,
+    l2_norm,
+)
 from data_pipeline_4_online_retail_spark.plans.registry import register
 from data_pipeline_4_online_retail_spark.session import drain_retained
 from data_pipeline_4_online_retail_spark.sources.catalog import load_tables
@@ -767,10 +772,39 @@ def dedup_simhash(spark, sf_dir):
     tags=("dedup", "embeddings", "verification"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    # r13 formulation (registry-sweep outlier: 52 s at sf0.1, the whole
+    # O(n^2) pair space funnelled through ONE task with three interpreted
+    # HOF folds per pair). Three changes, pair-set-identical by
+    # construction (verified exceptAll-empty both directions at sf0.1):
+    # 1. spread the STREAMED side — the broadcast NLJ parallelizes over
+    #    its streamed partitions, so the narrow layout serialized the
+    #    entire pair space;
+    # 2. per-row norms computed once before the join (same l2_norm fold
+    #    expression -> bit-identical values), instead of 2 folds per pair;
+    # 3. the dot product as a positional element_at chain when both
+    #    arrays have the fixture dimension (left-to-right adds = the
+    #    fold's order; the 0.0-seed difference can only flip the sign of
+    #    a zero, which a >= 0.4 threshold never sees), falling back to
+    #    the fold for any other dimension. Measured 52 -> 11-13 s; a
+    #    numpy gemm would be faster still but changes summation order,
+    #    which only an empirical margin argument covers — rejected for
+    #    an exactness-tier query.
+    from data_pipeline_4_online_retail_spark.operators.similarity import EMB_DIM
+
     e = load_tables(spark, sf_dir).table("embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    es = load_tables(spark, sf_dir).spread("embeddings", "vec_id")
+    a = es.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("_nrm")
+    ).alias("a")
+    b = e.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("_nrm")
+    ).alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    dot = F.when(
+        (F.size(ea) == EMB_DIM) & (F.size(eb) == EMB_DIM),
+        dot_chain(ea, eb, EMB_DIM),
+    ).otherwise(dot_product(ea, eb))
+    cos = dot / (F.col("a._nrm") * F.col("b._nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos >= COSINE_THRESHOLD)

@@ -1000,14 +1000,21 @@ def op_fuzzy_match_blocked(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     a = p.alias("a")
     b = p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # r13: thresholded levenshtein (3-arg form, Spark 3.5+) — the DP
+    # early-exits once the distance provably exceeds 2 (incl. the O(1)
+    # length-gap check), O(k*n) instead of O(n^2) per pair across the
+    # blocked pair space. Returns -1 past the threshold, so `>= 0` is
+    # exactly the old `dist <= 2`, and at-or-under the threshold the
+    # returned value IS the true distance — output bit-identical
+    # (exceptAll-verified both directions at sf0.1; 14.5 -> 5.8 s).
+    dist = F.expr("levenshtein(a.p_name, b.p_name, 2)")
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
-        .filter(dist <= 2)
+        .filter(dist >= 0)
         .select(
             F.col("a.p_brand").alias("brand"),
             F.col("a.p_partkey").alias("a_key"),

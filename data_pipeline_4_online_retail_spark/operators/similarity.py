@@ -177,15 +177,42 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _sql_double(x: float) -> str:
+    """Bit-exact SQL double literal: ``repr`` emits the shortest decimal
+    that round-trips in IEEE754, and Spark's parser (Double.parseDouble)
+    is correctly rounded — the parsed value IS ``x``."""
+    return f"{float(x)!r}D"
+
+
 def lsh_bucket(col, planes: list[list[float]]):
-    """Sign-bit bucket id: bit j = [dot(v, plane_j) > 0]."""
-    bucket = F.lit(0).cast("long")
+    """Sign-bit bucket id: bit j = [dot(v, plane_j) > 0].
+
+    r13: the whole bucket is generated as ONE SQL string (a single
+    ``F.expr`` py4j round-trip) instead of composing ~65 Column calls
+    per plane — the old form cost 216 planes × 65 py4j round-trips
+    ≈ 14k driver calls ≈ 16 s of pure DataFrame CONSTRUCTION in
+    sim_ann_lsh before any job ran (measured; guide §7.3 — "nothing is
+    running" time is driver-side). The parsed expression is the same
+    tree the Column form built: aggregate(zip_with(v, array(...),
+    (x, y) -> double(x) * double(y)), 0.0, +) per plane — the left fold
+    whose bit-exactness the _lsh_oracle twin re-derives — XOR-folded
+    over shifted sign bits. ``col`` must be a SQL fragment (column
+    name), not a Column."""
+    col_sql = col if isinstance(col, str) else "embedding"
+    parts = ["CAST(0 AS BIGINT)"]
     for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot_product(col, lit_plane)
-        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseXOR(F.shiftleft(bit, j))
-    return bucket
+        arr = ", ".join(_sql_double(x) for x in plane)
+        dot = (
+            f"aggregate(zip_with({col_sql}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bit = (
+            f"CASE WHEN {dot} > 0 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+        parts.append(f"shiftleft({bit}, {j})")
+    return F.expr(" ^ ".join(parts))
 
 
 N_TABLES = 18
@@ -242,7 +269,7 @@ def lsh_candidates(
     planes = _hyperplanes(len(qv), n_tables * k)
     tables = [planes[t * k : (t + 1) * k] for t in range(n_tables)]
     buckets = F.array(
-        *[lsh_bucket(F.col("embedding"), tables[t]) for t in range(n_tables)]
+        *[lsh_bucket("embedding", tables[t]) for t in range(n_tables)]
     )
     entries = emb.select(
         "vec_id", "label", "embedding",
@@ -254,7 +281,7 @@ def lsh_candidates(
             "tbl int, bucket long",
         )
     )
-    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    qv_lit = F.lit([float(x) for x in qv])
     return (
         entries.filter(F.col("vec_id") != query_vec_id)
         .join(probes_df, ["tbl", "bucket"])
